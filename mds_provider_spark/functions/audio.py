@@ -1,0 +1,238 @@
+"""Audio codec decode + SNR checks, vectorized over Arrow batches.
+
+BASELINE.json per-row invariant: "decoded-PCM allclose (SNR>=30dB) +
+transcript equality ... vectorized pandas/Arrow UDFs (no per-row Python)".
+
+Codec registry
+--------------
+This container ships no audio libraries (no soundfile/librosa/ffmpeg), so
+the registry mixes REAL codecs implementable with numpy/stdlib and
+clearly-marked deterministic stand-ins with the same plumbing a real
+decoder would use (binary in -> float32 PCM out):
+
+  pcm_s16le : REAL — 16-bit little-endian linear PCM (lossless).
+  opus      : stand-in — ITU-T G.711 mu-law companding (a REAL lossy
+              telephony codec, ~38 dB SNR; public spec) used where a true
+              Opus decoder would plug in.
+  flac      : stand-in — zlib(DEFLATE) over s16le frames (lossless
+              entropy coding, the same shape as FLAC's residual coding).
+  mp3       : stand-in — 8-bit linear requantization (lossy, ~44 dB SNR
+              on our fixtures) where a true MP3 decoder would plug in.
+
+Real decoders drop in by replacing one entry in ``DECODERS`` — the Spark
+plumbing (schema, batch iteration, column pruning) does not change.
+Unknown codecs raise NotImplementedError at decode time; the engine's
+enum rule catches them BEFORE the PCM stage so the UDF never sees them.
+
+All decode/SNR math is numpy over whole clips inside Arrow batches; the
+only per-clip Python is the loop over variable-length binary cells, which
+is unavoidable for ragged binary and costs nothing next to the vector
+math.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mds_provider_spark import schema as S
+
+# ---------------------------------------------------------------- codecs
+
+
+def encode_pcm_s16le(wave: np.ndarray) -> bytes:
+    x = np.clip(wave, -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
+
+
+def decode_pcm_s16le(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32767.0
+
+
+# G.711 mu-law (mu = 255), vectorized. Public-domain companding math.
+_MU = 255.0
+
+
+def encode_ulaw(wave: np.ndarray) -> bytes:
+    x = np.clip(wave, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8).tobytes()
+
+
+def decode_ulaw(buf: bytes) -> np.ndarray:
+    y = np.frombuffer(buf, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+    return (np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU))) / _MU).astype(np.float32)
+
+
+def encode_flac(wave: np.ndarray) -> bytes:
+    return zlib.compress(encode_pcm_s16le(wave), level=6)
+
+
+def decode_flac(buf: bytes) -> np.ndarray:
+    return decode_pcm_s16le(zlib.decompress(buf))
+
+
+def encode_mp3(wave: np.ndarray) -> bytes:
+    x = np.clip(wave, -1.0, 1.0)
+    return np.round((x + 1.0) * 127.5).astype(np.uint8).tobytes()
+
+
+def decode_mp3(buf: bytes) -> np.ndarray:
+    return (np.frombuffer(buf, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0).astype(
+        np.float32
+    )
+
+
+ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
+    "pcm_s16le": encode_pcm_s16le,
+    "opus": encode_ulaw,
+    "flac": encode_flac,
+    "mp3": encode_mp3,
+}
+
+DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "pcm_s16le": decode_pcm_s16le,
+    "opus": decode_ulaw,
+    "flac": decode_flac,
+    "mp3": decode_mp3,
+}
+
+
+def decode(codec: str, buf: bytes) -> np.ndarray:
+    dec = DECODERS.get(codec)
+    if dec is None:
+        raise NotImplementedError(f"no decoder registered for codec {codec!r}")
+    return dec(buf)
+
+
+def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
+    """20*log10(||ref|| / ||ref - dec||); inf when bit-exact."""
+    n = min(ref.size, dec.size)
+    if n == 0 or ref.size != dec.size:
+        return float("-inf")
+    err = ref[:n].astype(np.float64) - dec[:n].astype(np.float64)
+    p_sig = float(np.dot(ref[:n], ref[:n]))
+    p_err = float(np.dot(err, err))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * math.log10(p_sig / p_err)
+
+
+# ------------------------------------------------------- Spark PCM check
+
+RefWaveFn = Callable[[str, int, int], np.ndarray]
+"""(clip_id, sr_hz, dur_ms) -> reference float32 waveform."""
+
+
+def pcm_violations(
+    clips: DataFrame,
+    ref_wave_fn: RefWaveFn,
+    min_snr_db: float = 30.0,
+    key_col: str = "clip_id",
+    part_col: str = "part_id",
+) -> DataFrame:
+    """bad_pcm violations via mapInPandas (Arrow batches, BASELINE.json).
+
+    Column-pruned input (only 5 columns cross the Arrow boundary — never
+    select * before a Python stage). Validation is LAYERED like the
+    reference's (a record failing schema checks is not further
+    content-checked): rows that already violate structural rules — NULL
+    key/bytes/codec, unregistered codec, non-positive duration — are
+    skipped here; those findings belong to not_null/enum/range rules.
+    """
+    rid = S.rule_id(S.BAD_PCM, "bytes")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad_ids, bad_parts, msgs = [], [], []
+            for cid, buf, sr, dur, codec, part in zip(
+                pdf[key_col], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"],
+                pdf["codec"], pdf[part_col],
+            ):
+                if (
+                    cid is None
+                    or buf is None
+                    or codec not in DECODERS
+                    or pd.isna(sr)
+                    or pd.isna(dur)
+                    or int(sr) <= 0
+                    or int(dur) <= 0
+                ):
+                    continue
+                try:
+                    dec = decode(codec, bytes(buf))
+                except Exception as exc:  # undecodable bytes ARE a violation
+                    bad_ids.append(cid)
+                    bad_parts.append(part)
+                    msgs.append(f"decode failed: {type(exc).__name__}")
+                    continue
+                ref = ref_wave_fn(cid, int(sr), int(dur))
+                got = snr_db(ref, dec)
+                if not (got >= min_snr_db):
+                    bad_ids.append(cid)
+                    bad_parts.append(part)
+                    msgs.append(f"SNR {got:.1f} dB < {min_snr_db:.1f} dB")
+            yield pd.DataFrame(
+                {
+                    "rule_id": rid,
+                    "clip_id": pd.array(bad_ids, dtype="string"),
+                    "column_name": "bytes",
+                    "message": pd.array(msgs, dtype="string"),
+                    "part_id": pd.array(bad_parts, dtype="int32"),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "sr_hz", "dur_ms", "codec", part_col)
+    return pruned.mapInPandas(
+        check,
+        "rule_id string, clip_id string, column_name string, message string, part_id int",
+    )
+
+
+def audio_features(clips: DataFrame, key_col: str = "clip_id") -> DataFrame:
+    """Multimodal feature-extraction plumbing: binary -> typed features.
+
+    Decodes each clip and emits (clip_id, n_samples, rms, peak,
+    zero_crossings). Image/video analogs would use the same shape —
+    their actual decoders are NOT available in this container and would
+    plug into DECODERS; the Spark-side contract (pruned select, Arrow
+    batches, fixed output schema) is what this function demonstrates.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, peak, zc = [], [], [], [], []
+            for cid, buf, codec in zip(pdf[key_col], pdf["bytes"], pdf["codec"]):
+                if buf is None or codec not in DECODERS:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                ids.append(cid)
+                ns.append(int(w.size))
+                rms.append(float(np.sqrt(np.mean(w * w))) if w.size else 0.0)
+                peak.append(float(np.max(np.abs(w))) if w.size else 0.0)
+                zc.append(int(np.count_nonzero(np.diff(np.signbit(w)))) if w.size else 0)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "peak": pd.array(peak, dtype="float64"),
+                    "zero_crossings": pd.array(zc, dtype="int64"),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec")
+    return pruned.mapInPandas(
+        feats,
+        "clip_id string, n_samples long, rms double, peak double, zero_crossings long",
+    )

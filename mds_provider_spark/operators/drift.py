@@ -1,0 +1,194 @@
+"""Distribution-drift detection vs a baseline snapshot (BASELINE.json A5/J2).
+
+Two quantile-sketch paths:
+
+1. ``profile()`` quantiles (built-in ``percentile_approx``, a GK-style
+   mergeable sketch, partial+final automatic) — the default.
+2. A true t-digest implemented as the EXPLICIT two-stage partial/merge
+   pandas UDAF the north star calls out: per-input-partition digests via
+   ``mapInPandas`` (stage 1 — no shuffle, scales with data), then a
+   single merge of the tiny centroid set per column (stage 2 — shuffle
+   carries only centroids, ~compression x partitions rows, independent of
+   data size). Deterministic: centroids are sorted-merge compressed with
+   a fixed scale function, no randomness.
+
+The comparison itself is a broadcast join of two tiny snapshot tables
+(one row per column) — never a data-scale shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mds_provider_spark import schema as S
+from mds_provider_spark.operators.stats import DEFAULT_PROBS, profile
+
+# ------------------------------------------------------------- snapshots
+
+
+def snapshot(
+    df: DataFrame,
+    cols: Sequence[str],
+    snapshot_id: str,
+    probs: Sequence[float] = DEFAULT_PROBS,
+) -> DataFrame:
+    """Per-column sketch rows in SNAPSHOT_SCHEMA shape (FIXTURES.md §3)."""
+    return profile(df, cols, probs=probs).select(
+        F.lit(snapshot_id).alias("snapshot_id"),
+        "column_name",
+        "quantiles",
+        "null_rate",
+        "approx_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
+def drift_violations(
+    current: DataFrame,
+    baseline: DataFrame,
+    quantile_rel_threshold: float = 0.25,
+    null_rate_abs_threshold: float = 0.05,
+    distinct_rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Compare two snapshot tables -> drift findings (rule_id drift:<col>).
+
+    A column drifts when any quantile moved by more than
+    ``quantile_rel_threshold`` relative to the baseline's (max-min) span,
+    or null_rate moved by more than the absolute threshold, or distinct
+    count changed by more than the relative threshold. Both inputs are
+    one-row-per-column — broadcast join, trivially cheap at any scale.
+    """
+    b = F.broadcast(
+        baseline.select(
+            "column_name",
+            F.col("quantiles").alias("q_base"),
+            F.col("null_rate").alias("nr_base"),
+            F.col("approx_distinct").alias("d_base"),
+            F.col("min_val").alias("min_base"),
+            F.col("max_val").alias("max_base"),
+        )
+    )
+    j = current.join(b, "column_name", "inner")
+    span = F.greatest(F.col("max_base") - F.col("min_base"), F.lit(1e-12))
+    max_q_shift = F.when(
+        F.col("quantiles").isNotNull() & F.col("q_base").isNotNull(),
+        F.array_max(
+            F.zip_with("quantiles", "q_base", lambda c, bse: F.abs(c - bse) / span)
+        ),
+    ).otherwise(F.lit(0.0))
+    nr_shift = F.abs(F.col("null_rate") - F.col("nr_base"))
+    d_shift = F.abs(F.col("approx_distinct") - F.col("d_base")) / F.greatest(
+        F.col("d_base"), F.lit(1)
+    )
+    return (
+        j.withColumn("max_q_shift", max_q_shift)
+        .withColumn("nr_shift", nr_shift)
+        .withColumn("d_shift", d_shift)
+        .where(
+            (F.col("max_q_shift") > quantile_rel_threshold)
+            | (F.col("nr_shift") > null_rate_abs_threshold)
+            | (F.col("d_shift") > distinct_rel_threshold)
+        )
+        .select(
+            F.concat(F.lit(S.DRIFT + ":"), F.col("column_name")).alias("rule_id"),
+            "column_name",
+            F.round("max_q_shift", 6).alias("max_q_shift"),
+            F.round("nr_shift", 6).alias("nr_shift"),
+            F.round("d_shift", 6).alias("d_shift"),
+        )
+    )
+
+
+# ------------------------------------------------------------- t-digest
+
+# Minimal deterministic merging t-digest (Dunning & Ertl, "Computing
+# extremely accurate quantiles using t-digests", arXiv:1902.04023 — public
+# paper; implementation from scratch). Scale function k1:
+#   k(q) = delta/(2*pi) * asin(2q - 1)
+
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    return delta / (2 * math.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: float):
+    """Merge sorted centroids greedily under the k1 size bound."""
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = [float(means[0])]
+    out_w: list[float] = [float(weights[0])]
+    w_so_far = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = w_so_far / total
+        q2 = (w_so_far + out_w[-1] + w) / total
+        if _k1(np.array([q2]), delta)[0] - _k1(np.array([q0]), delta)[0] <= 1.0:
+            # merge into current centroid (weighted mean)
+            nw = out_w[-1] + w
+            out_m[-1] += (m - out_m[-1]) * (w / nw)
+            out_w[-1] = nw
+        else:
+            w_so_far += out_w[-1]
+            out_m.append(float(m))
+            out_w.append(float(w))
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _quantile_from_centroids(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    total = weights.sum()
+    if total == 0:
+        return float("nan")
+    if means.size == 1:
+        return float(means[0])
+    cum = np.cumsum(weights) - weights / 2.0
+    target = q * total
+    return float(np.interp(target, cum, means))
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float] = DEFAULT_PROBS,
+    delta: float = 200.0,
+) -> DataFrame:
+    """Two-stage t-digest: mapInPandas partials -> one merge per column.
+
+    Returns a 1-row DataFrame (column_name, quantiles array<double>).
+    """
+    probs = list(probs)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stage 1: one digest per arrow batch stream (per input partition)
+        vals = []
+        for pdf in batches:
+            v = pd.to_numeric(pdf[col], errors="coerce").dropna().to_numpy(dtype=np.float64)
+            if v.size:
+                vals.append(v)
+        if not vals:
+            yield pd.DataFrame({"mean": [], "weight": []})
+            return
+        v = np.concatenate(vals)
+        m, w = _compress(v, np.ones_like(v), delta)
+        yield pd.DataFrame({"mean": m, "weight": w})
+
+    partials = df.select(col).mapInPandas(partial, "mean double, weight double")
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress(
+            pdf["mean"].to_numpy(np.float64), pdf["weight"].to_numpy(np.float64), delta
+        )
+        qs = [_quantile_from_centroids(m, w, p) for p in probs]
+        return pd.DataFrame({"column_name": [col], "quantiles": [qs]})
+
+    # stage 2: single tiny group — shuffle moves only centroid rows.
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        merge, "column_name string, quantiles array<double>"
+    )

@@ -1,0 +1,71 @@
+"""Salted two-stage duplicate-key detection (BASELINE.json A4).
+
+The reference delegates primary-key integrity to Postgres
+(``ON CONFLICT (trip_id) DO ...`` in mds/db.py ≈L220–300). At 10^12 rows a
+plain ``groupBy(key).count()`` is correct but its stage-1 shuffle can skew
+if a pathological key repeats billions of times. We make the partial/merge
+explicit:
+
+  stage 1: groupBy(spark_partition_id(), key).count()
+           -- map-side only distribution: identical keys living on M input
+              partitions produce M partial rows, hashed to M different
+              reducers (the input-partition id IS the salt; deterministic,
+              no rand()).
+  stage 2: groupBy(key).sum(partial) -> filter n > 1
+           -- merges at most M small rows per key.
+
+With AQE on, stage-2 skew is additionally split at runtime. The final
+duplicate set is tiny relative to input, so every downstream join against
+it broadcasts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from mds_provider_spark import schema as S
+
+
+def duplicate_keys(df: DataFrame, cols: Sequence[str], salt_partitions: int | None = None) -> DataFrame:
+    """Return one row per duplicated key: (*cols, n_rows)."""
+    cols = list(cols)
+    partial = (
+        df.select(*cols)
+        .groupBy(F.spark_partition_id().alias("_salt"), *cols)
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return (
+        partial.groupBy(*cols)
+        .agg(F.sum("_partial").alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+def duplicate_violations(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_col: str = "clip_id",
+    part_col: str = "part_id",
+) -> DataFrame:
+    """Violation rows for duplicated keys, canonical shape.
+
+    Every row that belongs to a duplicated key is reported (the reference
+    semantics: each conflicting record is an error), found by a BROADCAST
+    semi-join of the (tiny) duplicate-key set back onto the table — no
+    second full shuffle of the input.
+    """
+    cols = list(cols)
+    dup = duplicate_keys(df, cols).select(*cols)
+    rid = S.rule_id(S.DUPLICATE_ID, ",".join(cols))
+    return (
+        df.join(F.broadcast(dup), cols, "left_semi")
+        .select(
+            F.lit(rid).alias("rule_id"),
+            F.col(key_col).alias("clip_id"),
+            F.lit(",".join(cols)).alias("column_name"),
+            F.lit(f"duplicate key on ({', '.join(cols)})").alias("message"),
+            F.col(part_col).alias("part_id"),
+        )
+    )

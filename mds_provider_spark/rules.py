@@ -1,0 +1,306 @@
+"""Declarative rule set -> single-pass Catalyst validation.
+
+This module is the Spark-native restatement of mds-provider's validation
+core (mds/schemas.py ≈L150–300: ``DataValidator.validate`` walking
+``jsonschema.Draft6Validator.iter_errors`` per record, wrapping each error
+in ``DataValidationError``). Instead of an interpreted per-record walk, a
+``RuleSet`` compiles ALL row-level rules into ONE projection:
+
+    df.select(key, part,
+              filter(array(when(pred_1, struct_1), ..., when(pred_n, struct_n)),
+                     x -> x is not null) AS hits)
+
+which Catalyst fuses into a single whole-stage-codegen stage over the
+scan — one pass over 100 TB regardless of rule count, with column pruning
+limited to exactly the columns the rules reference. Violations are
+``explode(hits)``; per-partition verdicts are a groupBy over the same
+projection (shared scan).
+
+JSON-Schema keyword -> rule mapping (SURVEY.md §2.2):
+  required            -> not_null          (P1)
+  type                -> castable          (P2)
+  enum                -> is_in             (P3)
+  minimum/maximum     -> in_range          (P4)
+  pattern/format      -> matches           (P5)
+  items/minItems      -> array_size / elements_in (P6)
+  (cross-row)         -> unique_key        (A4, salted two-stage)
+
+Rule semantics: a rule FIRES (emits a violation row) when its predicate is
+True. NULL handling is explicit per rule kind — e.g. ``is_in`` does not
+fire on NULL (that's ``not_null``'s job), mirroring JSON Schema where
+``enum`` and ``required`` are independent keywords.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mds_provider_spark import schema as S
+
+# ------------------------------------------------------------------ rules
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One row-level constraint compiled to a Catalyst predicate.
+
+    ``predicate`` returns a Column that is True IFF the row violates the
+    rule. Must be null-safe: it must never return NULL (wrap with
+    coalesce(..., False) semantics where needed) so the compiled
+    hit-array has deterministic size.
+    """
+
+    rule_id: str
+    column: str
+    message: str
+    predicate: Callable[[], Column]
+
+    def hit(self) -> Column:
+        return F.when(
+            self.predicate(),
+            F.struct(
+                F.lit(self.rule_id).alias("rule_id"),
+                F.lit(self.column).alias("column_name"),
+                F.lit(self.message).alias("message"),
+            ),
+        )
+
+
+def _nn(col: str, pred: Column) -> Column:
+    """Guard: only fire when the column is present (non-null)."""
+    return F.col(col).isNotNull() & F.coalesce(pred, F.lit(False))
+
+
+def not_null(col: str) -> Rule:
+    return Rule(
+        S.rule_id(S.MISSING_FIELD, col),
+        col,
+        f"required field {col} is missing",
+        lambda: F.col(col).isNull(),
+    )
+
+
+def is_in(col: str, allowed: Sequence) -> Rule:
+    vals = list(allowed)
+    return Rule(
+        S.rule_id(S.BAD_ENUM, col),
+        col,
+        f"{col} not in allowed set {vals}",
+        lambda: _nn(col, ~F.col(col).isin(vals)),
+    )
+
+
+def in_range(
+    col: str,
+    lo=None,
+    hi=None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = True,
+) -> Rule:
+    def pred() -> Column:
+        c = F.col(col)
+        conds = []
+        if lo is not None:
+            conds.append(c < lo if lo_inclusive else c <= lo)
+        if hi is not None:
+            conds.append(c > hi if hi_inclusive else c >= hi)
+        out = conds[0]
+        for extra in conds[1:]:
+            out = out | extra
+        return _nn(col, out)
+
+    bounds = f"[{lo},{hi}]" if lo_inclusive and hi_inclusive else f"({lo},{hi})"
+    return Rule(
+        S.rule_id(S.OUT_OF_RANGE, col), col, f"{col} out of range {bounds}", pred
+    )
+
+
+def matches(col: str, regex: str, kind: str = S.BAD_FORMAT) -> Rule:
+    return Rule(
+        S.rule_id(kind, col),
+        col,
+        f"{col} does not match /{regex}/",
+        lambda: _nn(col, ~F.col(col).rlike(regex)),
+    )
+
+
+def non_empty(col: str, kind: str = S.EMPTY_TEXT) -> Rule:
+    """Fires on whitespace-only / empty strings. NULL is not_null's job."""
+    return Rule(
+        S.rule_id(kind, col),
+        col,
+        f"{col} is empty or whitespace-only",
+        lambda: _nn(col, F.length(F.trim(F.col(col))) == 0),
+    )
+
+
+def castable(col: str, to_type: str) -> Rule:
+    """JSON-Schema ``type``: value present but not castable to target type."""
+    return Rule(
+        S.rule_id(S.BAD_TYPE, col),
+        col,
+        f"{col} not castable to {to_type}",
+        lambda: _nn(col, F.col(col).try_cast(to_type).isNull()),
+    )
+
+
+def array_size(col: str, min_items: int | None = None, max_items: int | None = None) -> Rule:
+    def pred() -> Column:
+        sz = F.size(F.col(col))
+        conds = []
+        if min_items is not None:
+            conds.append(sz < min_items)
+        if max_items is not None:
+            conds.append(sz > max_items)
+        out = conds[0]
+        for extra in conds[1:]:
+            out = out | extra
+        return _nn(col, out)
+
+    return Rule(
+        S.rule_id(S.BAD_SHAPE, col),
+        col,
+        f"{col} array size outside [{min_items},{max_items}]",
+        pred,
+    )
+
+
+def elements_in(col: str, allowed: Sequence) -> Rule:
+    vals = [F.lit(v) for v in allowed]
+    return Rule(
+        S.rule_id(S.BAD_ENUM, col),
+        col,
+        f"{col} has element(s) outside allowed set",
+        lambda: _nn(
+            col, ~F.forall(F.col(col), lambda x: F.array_contains(F.array(*vals), x))
+        ),
+    )
+
+
+def unique_key(cols: str | Sequence[str]) -> "UniqueKey":
+    return UniqueKey(tuple([cols] if isinstance(cols, str) else cols))
+
+
+@dataclass(frozen=True)
+class UniqueKey:
+    """Cross-row uniqueness; compiled separately (needs a shuffle).
+
+    Executed as the salted two-stage hash aggregation mandated by
+    BASELINE.json (see operators/uniqueness.py): partial counts per
+    (input-partition, key) map-side, then final merge per key — identical
+    hot keys never concentrate on one reducer in stage 1.
+    """
+
+    cols: tuple[str, ...]
+
+    @property
+    def rule_id(self) -> str:
+        return S.rule_id(S.DUPLICATE_ID, ",".join(self.cols))
+
+
+# --------------------------------------------------------------- rule set
+
+
+@dataclass
+class RuleSet:
+    """The Spark analog of one MDS JSON Schema document + validator.
+
+    ``key_col`` plays the role of the record identifier in violation rows
+    (mds-provider reports the failing instance; we report its key).
+    """
+
+    rules: list[Rule] = field(default_factory=list)
+    unique_keys: list[UniqueKey] = field(default_factory=list)
+    key_col: str = "clip_id"
+    part_col: str = "part_id"
+
+    def add(self, *rules) -> "RuleSet":
+        for r in rules:
+            if isinstance(r, UniqueKey):
+                self.unique_keys.append(r)
+            else:
+                self.rules.append(r)
+        return self
+
+    # -- compilation -------------------------------------------------
+
+    def hits_column(self) -> Column:
+        """array<struct<rule_id,column_name,message>> of fired rules."""
+        arr = F.array(*[r.hit() for r in self.rules])
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    def flagged(self, df: DataFrame) -> DataFrame:
+        """ONE projection: (clip_id, part_id, _hits). Whole-stage codegen;
+        shared by violations() and verdicts() so the scan happens once
+        when the caller persists or writes it."""
+        return df.select(
+            F.col(self.key_col).alias("clip_id"),
+            F.col(self.part_col).alias("part_id"),
+            self.hits_column().alias("_hits"),
+        )
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        """Row-level violations in the canonical VIOLATIONS_SCHEMA order.
+
+        Does NOT include cross-row (unique/referential) violations — those
+        need shuffles and are produced by their operators, then unioned by
+        the runner. Keeping this path shuffle-free means it pipelines with
+        the scan at 100 TB.
+        """
+        return (
+            self.flagged(df)
+            .where(F.size("_hits") > 0)
+            .select("clip_id", "part_id", F.explode("_hits").alias("h"))
+            .select("h.rule_id", "clip_id", "h.column_name", "h.message", "part_id")
+        )
+
+    def verdicts(self, df: DataFrame, extra_violations: DataFrame | None = None) -> DataFrame:
+        """Per-partition pass/fail (BASELINE.json: per-partition verdicts).
+
+        Partial aggregation is automatic (hash agg partial+final); the
+        shuffle moves one row per (input partition x part_id), not data.
+        """
+        base = self.flagged(df).groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("_hits")).alias("n_violations"),
+        )
+        if extra_violations is not None:
+            extra = extra_violations.groupBy("part_id").agg(
+                F.count(F.lit(1)).alias("_extra")
+            )
+            base = (
+                base.join(F.broadcast(extra), "part_id", "left")
+                .withColumn(
+                    "n_violations",
+                    F.col("n_violations") + F.coalesce(F.col("_extra"), F.lit(0)),
+                )
+                .drop("_extra")
+            )
+        return base.select(
+            "part_id",
+            F.when(F.col("n_violations") > 0, F.lit("fail"))
+            .otherwise(F.lit("pass"))
+            .alias("status"),
+            "n_rows",
+            "n_violations",
+        )
+
+
+def mds_clip_rules() -> RuleSet:
+    """The flagship rule set for the audio-clip table (BASELINE.json)."""
+    rs = RuleSet(key_col="clip_id", part_col="part_id")
+    rs.add(
+        not_null("clip_id"),
+        matches("clip_id", S.UUID_RE),
+        not_null("transcript"),
+        non_empty("transcript"),
+        is_in("sr_hz", S.SR_HZ_ENUM),
+        in_range("dur_ms", lo=0, lo_inclusive=False),
+        is_in("codec", S.CODEC_ENUM),
+        not_null("bytes"),
+        unique_key("clip_id"),
+    )
+    return rs
