@@ -1,0 +1,151 @@
+"""Orchestration: the full validation run, checkpointed and skew-aware.
+
+The 100 TB layout this encodes (and why resume is SOUND per group):
+both clips and transcripts are partitioned by ``part_id =
+hash(clip_id) % P`` (Iceberg ``bucket(P, clip_id)`` in production;
+computed by the fixture generator here). Consequences:
+
+  * duplicate clip_ids ALWAYS share a part_id            -> uniqueness is
+    group-local
+  * a clip and its transcript row ALWAYS share a part_id -> referential +
+    transcript-equality joins are group-local
+  * therefore validating part-groups independently and committing each
+    group atomically loses nothing — a resumed run skips committed groups
+    and every cross-row check still sees all the rows it needs.
+
+Per group the input filter is a partition-pruned scan (``part_id IN
+(...)`` prunes files/Iceberg manifests), the row-rule pass is one codegen
+projection, PCM runs in Arrow batches, and the two joins are co-partition
+joins within the group. Hot-codec skew never enters a shuffle key here
+(codec is only aggregated in stats, where partial agg + AQE handle it).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mds_provider_spark import schema as S
+from mds_provider_spark.functions import audio
+from mds_provider_spark.operators import referential as REF
+from mds_provider_spark.operators import uniqueness as U
+from mds_provider_spark.plans.checkpoint import CommitLog
+from mds_provider_spark.rules import RuleSet, mds_clip_rules
+
+
+@dataclass
+class ValidationRun:
+    spark: SparkSession
+    out_dir: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    ruleset: RuleSet = field(default_factory=mds_clip_rules)
+    ref_wave_fn: audio.RefWaveFn | None = None
+    min_snr_db: float = 30.0
+    n_parts: int = 16
+    group_size: int = 4  # part_ids per commit group
+
+    def groups(self) -> list[tuple[int, list[int]]]:
+        parts = list(range(self.n_parts))
+        return [
+            (g, parts[i : i + self.group_size])
+            for g, i in enumerate(range(0, len(parts), self.group_size))
+        ]
+
+    def _cross_row_violations(
+        self, clips: DataFrame, transcripts: DataFrame | None
+    ) -> DataFrame:
+        """Everything that is NOT the single-pass row-rule projection:
+        duplicates (shuffle), referential/equality (co-partition joins),
+        PCM (Arrow batches). Small output — cached by run()."""
+        v = U.duplicate_violations(clips, ["clip_id"])
+        if transcripts is not None:
+            v = v.unionByName(REF.referential_violations(clips, transcripts))
+            v = v.unionByName(REF.transcript_mismatch_violations(clips, transcripts))
+        if self.ref_wave_fn is not None:
+            v = v.unionByName(
+                audio.pcm_violations(clips, self.ref_wave_fn, self.min_snr_db)
+            )
+        return v
+
+    def run(
+        self,
+        clips: DataFrame,
+        transcripts: DataFrame | None = None,
+        stop_after_groups: int | None = None,
+    ) -> dict:
+        """Validate group by group; each group commits atomically.
+
+        ``stop_after_groups`` simulates a kill for the resume test.
+        Returns a summary dict (groups run/skipped, rows, violations).
+        """
+        log = CommitLog(self.out_dir)
+        done_parts = log.committed_parts()
+        summary = {"run_id": self.run_id, "groups_run": 0, "groups_skipped": 0,
+                   "rows": 0, "violations": 0}
+        ran = 0
+        for gid, parts in self.groups():
+            if set(parts) <= done_parts:
+                summary["groups_skipped"] += 1
+                continue
+            if stop_after_groups is not None and ran >= stop_after_groups:
+                break
+            t0 = time.monotonic()
+            sub = clips.where(F.col("part_id").isin(parts))
+            sub_t = (
+                transcripts.where(F.col("part_id").isin(parts))
+                if transcripts is not None
+                else None
+            )
+            extra = self._cross_row_violations(sub, sub_t).cache()
+            viol = self.ruleset.violations(sub).unionByName(extra)
+            # one write job for violations (dynamic overwrite = idempotent)
+            (viol.repartition("part_id")
+                 .write.mode("overwrite").partitionBy("part_id")
+                 .parquet(log.path("violations")))
+            verd = self.ruleset.verdicts(sub, extra_violations=extra)
+            (verd.repartition("part_id")
+                 .write.mode("overwrite").partitionBy("part_id")
+                 .parquet(log.path("verdicts")))
+            extra.unpersist()
+            stats = {
+                r["part_id"]: (r["n_rows"], r["n_violations"])
+                for r in self.spark.read.parquet(log.path("verdicts"))
+                .where(F.col("part_id").isin(parts))
+                .collect()
+            }
+            elapsed = max(time.monotonic() - t0, 1e-9)
+            g_rows = sum(n for n, _ in stats.values())
+            g_viol = sum(v for _, v in stats.values())
+            rate = g_rows / elapsed
+            metrics = self.spark.createDataFrame(
+                [
+                    (self.run_id, int(p), int(gid), float(rate), int(stats.get(p, (0, 0))[0]))
+                    for p in parts
+                ],
+                S.METRICS_SCHEMA,
+            ).withColumn("group_id", F.lit(int(gid)))
+            (metrics.coalesce(1)
+                    .write.mode("overwrite").partitionBy("group_id")
+                    .parquet(log.path("metrics")))
+            log.commit_group(gid, parts, self.run_id, batch=gid,
+                             extra={"rows": g_rows, "violations": g_viol,
+                                    "clips_per_sec": rate})
+            ran += 1
+            summary["groups_run"] += 1
+            summary["rows"] += g_rows
+            summary["violations"] += g_viol
+        return summary
+
+    # ------------------------------------------------------- read-backs
+
+    def violations(self) -> DataFrame:
+        return self.spark.read.parquet(CommitLog(self.out_dir).path("violations"))
+
+    def verdicts(self) -> DataFrame:
+        return self.spark.read.parquet(CommitLog(self.out_dir).path("verdicts"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(CommitLog(self.out_dir).path("metrics"))

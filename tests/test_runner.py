@@ -1,0 +1,110 @@
+"""End-to-end run + checkpoint/resume semantics (BASELINE.json: killed run
+resumes from last committed checkpoint without revalidating completed
+partitions)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mds_provider_spark.plans.runner import ValidationRun
+from mds_provider_spark.sources import fixtures as FX
+
+N = 1500
+PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    faults = FX.default_fault_plan(N)
+    clips = FX.generate_clips(spark, N, n_parts=PARTS, seed=42, faults=faults).cache()
+    ts = FX.generate_transcripts(
+        spark, N, n_parts=PARTS, seed=42, missing_idx={77}, orphan_count=1
+    ).cache()
+    clips.count(), ts.count()
+    return clips, ts
+
+
+def _mk_run(spark, tmp, **kw):
+    return ValidationRun(
+        spark,
+        out_dir=str(tmp),
+        ref_wave_fn=FX.ref_waveform,
+        n_parts=PARTS,
+        group_size=2,
+        **kw,
+    )
+
+
+def test_full_run_and_goldens(spark, tmp_path, data):
+    clips, ts = data
+    run = _mk_run(spark, tmp_path / "full")
+    summary = run.run(clips, ts)
+    assert summary["groups_run"] == 4 and summary["groups_skipped"] == 0
+    assert summary["rows"] == N
+
+    by_rule = {
+        r.rule_id: r["count"]
+        for r in run.violations().groupBy("rule_id").count().collect()
+    }
+    # golden counts for default_fault_plan + {77 missing, 1 orphan} transcripts
+    assert by_rule["missing_field:clip_id"] == 1
+    assert by_rule["bad_format:clip_id"] == 1
+    assert by_rule["duplicate_id:clip_id"] == 2   # both conflicting rows
+    assert by_rule["bad_enum:sr_hz"] == 1
+    assert by_rule["out_of_range:dur_ms"] == 2    # zero_dur + neg_dur
+    assert by_rule["bad_enum:codec"] == 1
+    assert by_rule["missing_field:transcript"] == 1
+    assert by_rule["empty_transcript:transcript"] == 1
+    assert by_rule["bad_pcm:bytes"] == 1
+    assert by_rule["missing_field:bytes"] == 1
+    # orphans: missing_idx(77) + null_clip_id + bad_uuid clips-side;
+    # orphan_count(1) + null/bad/dup original ids transcripts-side
+    assert by_rule["referential_orphan:clip_id"] == 7
+    # wrong_transcript + dup row (txt of i vs ref of i-1) + empty-space row
+    assert by_rule["transcript_mismatch:transcript"] == 3
+
+    verd = {r.part_id: r for r in run.verdicts().collect()}
+    assert len(verd) == PARTS
+    assert sum(r.n_rows for r in verd.values()) == N
+    assert {r.status for r in verd.values()} == {"pass", "fail"} or all(
+        r.status == "fail" for r in verd.values()
+    )
+    # verdict violation total == violation rows on clip-side parts
+    assert sum(r.n_violations for r in verd.values()) == run.violations().count()
+
+
+def test_resume_skips_committed_groups(spark, tmp_path, data):
+    clips, ts = data
+    out = tmp_path / "resumed"
+
+    # killed after 2 of 4 groups
+    first = _mk_run(spark, out, run_id="run-one")
+    s1 = first.run(clips, ts, stop_after_groups=2)
+    assert s1["groups_run"] == 2
+
+    # resume under a NEW run_id
+    second = _mk_run(spark, out, run_id="run-two")
+    s2 = second.run(clips, ts)
+    assert s2["groups_skipped"] == 2 and s2["groups_run"] == 2
+
+    # committed groups were NOT revalidated: their lineage keeps run-one
+    m = second.metrics().select("run_id", "part_id").distinct().collect()
+    by_part = {r.part_id: r.run_id for r in m}
+    assert sorted(by_part) == list(range(PARTS))
+    assert sum(1 for v in by_part.values() if v == "run-one") == 4  # 2 groups x 2 parts
+    assert sum(1 for v in by_part.values() if v == "run-two") == 4
+
+    # final output identical to an uninterrupted run
+    ref = _mk_run(spark, tmp_path / "uninterrupted")
+    ref.run(clips, ts)
+    key = lambda t: tuple("" if x is None else str(x) for x in t)
+    got = sorted(map(tuple, second.violations().collect()), key=key)
+    want = sorted(map(tuple, ref.violations().collect()), key=key)
+    assert got == want
+
+
+def test_rerun_is_noop(spark, tmp_path, data):
+    clips, ts = data
+    out = tmp_path / "noop"
+    _mk_run(spark, out).run(clips, ts)
+    s = _mk_run(spark, out).run(clips, ts)
+    assert s["groups_run"] == 0 and s["groups_skipped"] == 4
