@@ -1,38 +1,537 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation run over sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-pipeline ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per SQL-expressible query.
+
+Column names, rounding, and types are aligned on BOTH sides so the
+driver's order-insensitive value-hash matches: aggregates alias to the
+same names, money sums go through decimal(18,2) (exact, engine-portable),
+float outputs are rounded, timestamps are returned as date strings.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mds_provider_spark import rules as R
+from mds_provider_spark import schema as S
+from mds_provider_spark.operators import dedup as D
+from mds_provider_spark.operators import drift as DR
+from mds_provider_spark.operators import referential as REF
+from mds_provider_spark.operators import similarity as SIM
+from mds_provider_spark.operators import stats as ST
+from mds_provider_spark.operators import text as TX
+from mds_provider_spark.operators import uniqueness as U
+from mds_provider_spark.functions import audio
+from mds_provider_spark.sources import fixtures as FX
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- rulesets
+
+
+def _events_ruleset() -> R.RuleSet:
+    rs = R.RuleSet(key_col="event_id_str", part_col="part_id")
+    rs.add(
+        R.not_null("event_id"),
+        R.is_in("event_type", ["click", "view", "purchase", "signup", "error"]),
+        R.in_range("value", lo=0.0, hi=450.0),
+        R.not_null("user_id"),
+    )
+    return rs
+
+
+def _events_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "*",
+        F.col("event_id").cast("string").alias("event_id_str"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("part_id"),
+    )
+
+
+def _lineitem_ruleset() -> R.RuleSet:
+    rs = R.RuleSet(key_col="li_key", part_col="part_id")
+    rs.add(
+        R.not_null("l_orderkey"),
+        R.is_in("l_returnflag", ["A", "N", "R"]),
+        R.is_in("l_linestatus", ["O", "F"]),
+        R.in_range("l_quantity", lo=0.0, lo_inclusive=False, hi=50.0),
+        R.in_range("l_discount", lo=0.0, hi=0.1),
+    )
+    return rs
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation over sf0.001 lineitem/orders — row rules
+    in one projection + salted duplicate-PK detection + referential
+    anti-join, unioned into canonical violation rows."""
+    li = _t(spark, SF0001, "lineitem").select(
+        "*",
+        F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")).alias("li_key"),
+        F.pmod(F.col("l_orderkey"), F.lit(16)).cast("int").alias("part_id"),
+    )
+    orders = _t(spark, SF0001, "orders")
+    rs = _lineitem_ruleset()
+    row_v = rs.violations(li)
+    dup_v = U.duplicate_violations(li, ["l_orderkey", "l_linenumber"],
+                                   key_col="li_key", part_col="part_id")
+    orphan = REF.orphans(
+        li.select("li_key", "part_id", "l_orderkey"),
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        key="l_orderkey",
+    ).select(
+        F.lit("referential_orphan:l_orderkey").alias("rule_id"),
+        F.col("li_key").alias("clip_id"),
+        F.lit("lineitem").alias("column_name"),
+        F.lit("lineitem row has no order").alias("message"),
+        F.col("part_id").alias("part_id"),
+    )
+    return row_v.unionByName(dup_v).unionByName(orphan)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,2)")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+            "count_order",
+        )
+    )
+
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+
+
+def stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = ST.profile(
+        _t(spark, sf_dir, "lineitem"), _STATS_COLS, exact_distinct=True
+    )
+    return prof.select(
+        "column_name",
+        "n_rows",
+        "null_count",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.col("approx_distinct").alias("n_distinct"),
+    )
+
+
+def uniqueness_lineitem_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.duplicate_keys(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+
+
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = REF.orphans(
+        li.select(F.col("l_orderkey").alias("key")),
+        orders.select(F.col("o_orderkey").alias("key")),
+        key="key",
+    ).select(F.lit("lineitem_without_order").alias("direction"), "key")
+    b = REF.orphans(
+        orders.select(F.col("o_custkey").alias("key")),
+        cust.select(F.col("c_custkey").alias("key")),
+        key="key",
+    ).select(F.lit("order_without_customer").alias("direction"), "key")
+    return a.unionByName(b).groupBy("direction", "key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def events_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_prepared(spark, sf_dir)
+    return _events_ruleset().violations(ev).select(
+        "rule_id", F.col("clip_id").alias("event_id"), "column_name", "part_id"
+    )
+
+
+def events_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_prepared(spark, sf_dir)
+    return _events_ruleset().verdicts(ev)
+
+
+def drift_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    rows = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        q = F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        rows.append(
+            l.agg(
+                F.round(q[0], 6).alias("q25"),
+                F.round(q[1], 6).alias("q50"),
+                F.round(q[2], 6).alias("q75"),
+            ).select(F.lit(c).alias("column_name"), "q25", "q50", "q75")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "content_hash", "n_rows", "exemplar_id"
+    )
+
+
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars"),
+        F.round(TX.mean_word_len("text"), 6).alias("mean_word_len"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality_score"),
+    )
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+
+
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+def empty_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("part_id", F.lit(0))
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    rs = R.RuleSet(key_col="doc_id", part_col="part_id").add(
+        R.not_null("text"), R.non_empty("text", kind=S.EMPTY_TEXT)
+    )
+    return rs.violations(docs).select(
+        "rule_id", F.col("clip_id").alias("doc_id"), "column_name"
+    )
+
+
+def embedding_shape_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn("part_id", F.lit(0)).withColumn(
+        "vec_id_str", F.col("vec_id").cast("string")
+    )
+    rs = R.RuleSet(key_col="vec_id_str", part_col="part_id").add(
+        R.array_size("embedding", min_items=64, max_items=64)
+    )
+    return rs.violations(emb).select(
+        "rule_id", F.col("clip_id").alias("vec_id"), "column_name"
+    )
+
+
+# ------------------------------------------------ non-SQL-expressible ops
+
+
+def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+def tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DR.tdigest_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def hll_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = ST.hll_sketches(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+    return ST.merge_hll(sk).select("column_name", "estimate")
+
+
+def clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship audio pipeline on the synthetic clips table (rows-only)."""
+    n = 2000
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42,
+                              faults=FX.default_fault_plan(n))
+    ts = FX.generate_transcripts(spark, n, n_parts=8, seed=42)
+    rs = R.mds_clip_rules()
+    v = rs.violations(clips)
+    v = v.unionByName(U.duplicate_violations(clips, ["clip_id"]))
+    v = v.unionByName(REF.referential_violations(clips, ts))
+    v = v.unionByName(REF.transcript_mismatch_violations(clips, ts))
+    v = v.unionByName(audio.pcm_violations(clips, FX.ref_waveform))
+    return v
+
+
+def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = FX.generate_clips(spark, 500, n_parts=8, seed=42)
+    return audio.audio_features(clips)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # validation core (SURVEY.md §2.2/2.3/2.4)
+        "q1_pricing_summary": q1_pricing_summary,
+        "stats_profile_lineitem": stats_profile_lineitem,
+        "uniqueness_lineitem_pk": uniqueness_lineitem_pk,
+        "referential_orphans": referential_orphans,
+        "events_rule_violations": events_rule_violations,
+        "events_verdicts": events_verdicts,
+        "drift_quantiles_lineitem": drift_quantiles_lineitem,
+        "empty_text_documents": empty_text_documents,
+        "embedding_shape_violations": embedding_shape_violations,
+        # training-pipeline ops
+        "dedup_exact_documents": dedup_exact_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "ann_topk_embeddings": ann_topk_embeddings,
+        "text_stats_documents": text_stats_documents,
+        "lang_id_documents": lang_id_documents,
+        "fingerprint_documents": fingerprint_documents,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_dedup_documents": minhash_dedup_documents,
+        "simhash_dedup_documents": simhash_dedup_documents,
+        "lsh_ann_embeddings": lsh_ann_embeddings,
+        "embedding_near_dup": embedding_near_dup,
+        "tdigest_quantiles_lineitem": tdigest_quantiles_lineitem,
+        "hll_profile_lineitem": hll_profile_lineitem,
+        "clips_validation": clips_validation,
+        "audio_features_clips": audio_features_clips,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------- oracles
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+_TOKENS_D = f"list_distinct({_TOKENS})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stats_union = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+            sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+            round(min({c}::DOUBLE), 6) AS min_val,
+            round(max({c}::DOUBLE), 6) AS max_val,
+            count(DISTINCT {c}) AS n_distinct
+            FROM lineitem"""
+        for c in _STATS_COLS
+    )
+    drift_union = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+            round(quantile_cont({c}::DOUBLE, 0.25), 6) AS q25,
+            round(quantile_cont({c}::DOUBLE, 0.50), 6) AS q50,
+            round(quantile_cont({c}::DOUBLE, 0.75), 6) AS q75
+            FROM lineitem"""
+        for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    lang_hits = {
+        lang: f"len(list_filter({_TOKENS}, x -> list_contains({m!r}, x)))"
+        for lang, m in TX.LANG_MARKERS.items()
+    }
+    stop_hits = f"len(list_filter({_TOKENS}, x -> list_contains({TX.STOPWORDS_EN!r}, x)))"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+                   sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price,
+                   sum((l_extendedprice*(1-l_discount)*(1+l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
+                   round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "stats_profile_lineitem": stats_union,
+        "uniqueness_lineitem_pk": """
+            SELECT l_orderkey, l_linenumber, count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "referential_orphans": """
+            WITH a AS (
+              SELECT 'lineitem_without_order' AS direction, l.l_orderkey AS key
+              FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL
+            ), b AS (
+              SELECT 'order_without_customer' AS direction, o.o_custkey AS key
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL
+            )
+            SELECT direction, key, count(*) AS n_rows
+            FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1, 2
+        """,
+        "events_rule_violations": """
+            SELECT 'bad_enum:event_type' AS rule_id, event_id::VARCHAR AS event_id,
+                   'event_type' AS column_name, (user_id % 8)::INT AS part_id
+            FROM events WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click','view','purchase','signup','error')
+            UNION ALL
+            SELECT 'out_of_range:value', event_id::VARCHAR, 'value', (user_id % 8)::INT
+            FROM events WHERE value IS NOT NULL AND (value < 0.0 OR value > 450.0)
+            UNION ALL
+            SELECT 'missing_field:event_id', event_id::VARCHAR, 'event_id', (user_id % 8)::INT
+            FROM events WHERE event_id IS NULL
+            UNION ALL
+            SELECT 'missing_field:user_id', event_id::VARCHAR, 'user_id', (user_id % 8)::INT
+            FROM events WHERE user_id IS NULL
+        """,
+        "events_verdicts": """
+            SELECT (user_id % 8)::INT AS part_id,
+                   CASE WHEN sum(viol) > 0 THEN 'fail' ELSE 'pass' END AS status,
+                   count(*) AS n_rows,
+                   sum(viol) AS n_violations
+            FROM (
+              SELECT user_id,
+                (CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+               + CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END
+               + CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 450.0) THEN 1 ELSE 0 END
+               + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS viol
+              FROM events
+            ) GROUP BY 1
+        """,
+        "drift_quantiles_lineitem": drift_union,
+        "empty_text_documents": """
+            SELECT 'missing_field:text' AS rule_id, doc_id::VARCHAR AS doc_id,
+                   'text' AS column_name
+            FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT 'empty_transcript:text', doc_id::VARCHAR, 'text'
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) = 0
+        """,
+        "embedding_shape_violations": """
+            SELECT 'bad_shape:embedding' AS rule_id, vec_id::VARCHAR AS vec_id,
+                   'embedding' AS column_name
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND (len(embedding) < 64 OR len(embedding) > 64)
+        """,
+        "dedup_exact_documents": f"""
+            SELECT md5({_NORM}) AS content_hash, count(*) AS n_rows,
+                   min(doc_id) AS exemplar_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard_documents": f"""
+            WITH t AS (
+              SELECT doc_id AS id, {_TOKENS_D} AS toks
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+                     AS jaccard
+            FROM t a, t b
+            WHERE a.id < b.id
+              AND len(list_intersect(a.toks, b.toks))::DOUBLE /
+                  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        "ann_topk_embeddings": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.e, c.e) /
+                           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+                       AS cosine_sim
+              FROM v q, v c
+              WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_stats_documents": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   length(text) AS n_chars,
+                   round(CASE WHEN len({_TOKENS}) > 0 THEN
+                     list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE / len({_TOKENS})
+                     ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN len({_TOKENS}) > 0 THEN
+                     {stop_hits}::DOUBLE / len({_TOKENS}) ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(
+                     least(len({_TOKENS}) / 20.0, 1.0) * 0.4
+                   + (CASE WHEN len({_TOKENS}) > 0 AND
+                        list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE / len({_TOKENS})
+                          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                   + least((CASE WHEN len({_TOKENS}) > 0 THEN
+                       {stop_hits}::DOUBLE / len({_TOKENS}) ELSE 0.0 END) * 5.0, 1.0) * 0.2
+                   + (1.0 - least((CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text) ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+                   , 6) AS quality_score
+            FROM documents
+        """,
+        "lang_id_documents": f"""
+            SELECT doc_id, lang,
+              CASE WHEN greatest({lang_hits['en']}, {lang_hits['es']},
+                                 {lang_hits['de']}, {lang_hits['fr']}) = 0 THEN 'und'
+                   WHEN {lang_hits['en']} = greatest({lang_hits['en']}, {lang_hits['es']},
+                                 {lang_hits['de']}, {lang_hits['fr']}) THEN 'en'
+                   WHEN {lang_hits['es']} = greatest({lang_hits['en']}, {lang_hits['es']},
+                                 {lang_hits['de']}, {lang_hits['fr']}) THEN 'es'
+                   WHEN {lang_hits['de']} = greatest({lang_hits['en']}, {lang_hits['es']},
+                                 {lang_hits['de']}, {lang_hits['fr']}) THEN 'de'
+                   ELSE 'fr' END AS lang_pred
+            FROM documents
+        """,
+        "fingerprint_documents": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+    }

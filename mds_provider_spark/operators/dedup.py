@@ -1,0 +1,312 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is JVM-side (xxhash64 + higher-order array
+functions inside whole-stage codegen); Python never touches row data.
+Shapes:
+
+  exact        : hash-groupBy on a normalized-content digest. One shuffle
+                 of (digest, id) pairs only.
+  minhash LSH  : shingle -> k minhashes -> band buckets -> self-join on
+                 (band, bucket) -> exact-Jaccard verify. The self-join
+                 shuffles only (band_hash, id, signature) rows — never
+                 documents; at 100 TB the band table is ~bands x n rows of
+                 ~50 bytes. Candidate verification re-joins the (small)
+                 candidate set to the shingle-hash arrays.
+  simhash      : 64-bit signature; Hamming<=d candidates via the
+                 pigeonhole split into d+1 chunks (equal-chunk self-join),
+                 verified with bit_count(xor).
+  ngram Jaccard: exact all-pairs version for small candidate universes /
+                 oracle checking (quadratic — the LSH paths are the scale
+                 story; this one is the ground truth they are tested
+                 against).
+
+References: Broder, "On the resemblance and containment of documents"
+(1997); Charikar, "Similarity estimation techniques from rounding
+algorithms" (2002) — public papers; implementations from scratch.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime 2^31-1 for minhash permutations. Shingle hashes are
+# first folded into [0, 2^31) so a*h+b stays < 2^63 — ANSI mode (Spark 4
+# default) makes long overflow an ERROR, so the arithmetic must genuinely
+# fit rather than rely on wrap-around.
+_PRIME = (1 << 31) - 1
+
+
+# ------------------------------------------------------------- normalize
+
+
+def norm_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical content form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    return F.filter(F.split(norm_text(col), " "), lambda x: x != "")
+
+
+def shingles(col: Column | str, w: int = 3) -> Column:
+    """Word w-gram shingles; documents shorter than w words get one
+    whole-document shingle so they can still exact-duplicate-match."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, w)))
+    return F.when(n >= w, grams).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def shingle_hashes(col: Column | str, w: int = 3) -> Column:
+    """Distinct xxhash64 of shingles — the document's feature set."""
+    return F.array_distinct(F.transform(shingles(col, w), lambda s: F.xxhash64(s)))
+
+
+# ----------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (content_hash, n_rows, doc_ids array, exemplar_id) for groups
+    with n_rows > 1. Exemplar = min id (deterministic keep-one policy).
+    """
+    h = F.md5(norm_text(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("exemplar_id"),
+        )
+        .where(F.col("n_rows") > 1)
+    )
+
+
+# ------------------------------------------------------------ minhash/LSH
+
+
+def _perm_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _PRIME), rng.randrange(0, _PRIME)) for _ in range(n_hashes)]
+
+
+def minhash_signature(col: Column | str, n_hashes: int = 64, w: int = 3,
+                      seed: int = 1337) -> Column:
+    """array<bigint> of n minhashes over shingle hashes, fully JVM-side."""
+    hs = F.transform(
+        shingle_hashes(col, w), lambda h: F.pmod(h, F.lit(1 << 31))
+    )
+    coeffs = _perm_coeffs(n_hashes, seed)
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_PRIME))
+
+    return F.array(*[F.array_min(F.transform(hs, perm(a, b))) for a, b in coeffs])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    w: int = 3,
+    seed: int = 1337,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash (id_a < id_b)."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, w, seed).alias("_sig"),
+    )
+    band_rows = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("_sig", b * r + 1, r)), b).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    w: int = 3,
+    seed: int = 1337,
+) -> DataFrame:
+    """LSH candidates verified with EXACT Jaccard over shingle-hash sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    The verify join touches only candidate ids — broadcast when small.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, w, seed)
+    feats = df.select(
+        F.col(id_col).alias("_fid"), shingle_hashes(text_col, w).alias("_feat")
+    )
+    ja = (
+        cands.join(feats.withColumnRenamed("_fid", "id_a"), "id_a")
+        .withColumnRenamed("_feat", "_fa")
+        .join(
+            feats.withColumnRenamed("_fid", "id_b").withColumnRenamed("_feat", "_fb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_fa", "_fb"))
+            / F.size(F.array_union("_fa", "_fb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return ja
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Charikar 64-bit simhash over token xxhash64s, pure Catalyst.
+
+    Two projections (no shuffle): (1) one ``aggregate`` over the token
+    array accumulating a 64-long vote vector — per bit, the count of
+    tokens with that bit set; (2) pack ``2*ones > n`` majority bits into
+    one bigint. Bit positions are unrolled at plan-build time because
+    shift amounts must be literals.
+    Returns (_id, _sh).
+    """
+    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+    def bits_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b),
+    )
+    step = df.select(
+        F.col(id_col).alias("_id"), F.size(th).alias("_n"), votes.alias("_votes")
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col("_votes")[i] * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return step.select("_id", sig.alias("_sh"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
+    pair within distance d agrees on >=1 chunk, so an equal-chunk
+    self-join finds all true pairs; verify with bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = simhash_signatures(df, id_col, text_col)
+    chunk_rows = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("_sh"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_sh", "ck.chunk", "ck.key")
+    a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    distinct_tokens: bool = True,
+) -> DataFrame:
+    """ALL-pairs token-set Jaccard (quadratic; ground truth / oracle path).
+
+    Self cross-join pruned by id ordering. Use only on bounded inputs —
+    the LSH operators above are the 100 TB path; this one validates them.
+    """
+    feat = tokens(text_col)
+    if distinct_tokens:
+        feat = F.array_distinct(feat)
+    t = df.select(F.col(id_col).alias("_id"), feat.alias("_t"))
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a._id") < F.col("b._id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a._t", "b._t"))
+            / F.size(F.array_union("a._t", "b._t")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

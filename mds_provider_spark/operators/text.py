@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+Everything is built-in Catalyst expressions (split/filter/regexp/md5) —
+zero Python in the row path, so these run inside whole-stage codegen and
+cost one scan regardless of how many measures are selected. Each helper
+returns a Column so callers compose them into ONE projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mds_provider_spark.operators.dedup import norm_text, tokens
+
+# Marker stopwords per language — tiny n-gram-free heuristic. Real
+# pipelines plug in fastText/CLD3; the operator shape (argmax over
+# per-language evidence counts, computed in one projection) is the point.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+PUNCT_RE = r"[.,!?;:]"
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish count: splits on whitespace AND letter/digit/symbol
+    boundaries — a cheap regex proxy for BPE token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+def _marker_hits(col: Column | str, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(arr, x)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: _marker_hits(col, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by marker-hit count; deterministic tiebreak by the
+    fixed language order; 'und' (undetermined) when no marker hits."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    best_score = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        out = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(out)
+    return F.when(best_score > 0, out).otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, PUNCT_RE, ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    n = token_count(col)
+    hits = _marker_hits(col, stopwords or STOPWORDS_EN)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality: enough words, sane word lengths, some
+    stopwords, not punctuation soup. Deterministic double arithmetic."""
+    n_words = token_count(col).cast("double")
+    length_term = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    wl = mean_word_len(col)
+    wordlen_term = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_term = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
+    return F.round(
+        length_term * 0.4 + wordlen_term * 0.2 + stop_term * 0.2 + punct_term * 0.2, 6
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over the normalized form (engine-portable)."""
+    return F.md5(norm_text(col))
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    k-gram rolling hashes, min per sliding window, distinct. Pure
+    Catalyst: character k-grams via substring over a sequence."""
+    c = norm_text(col)
+    n = F.length(c)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    kgram_hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(c, i, k)))
+    m = F.size(kgram_hashes)
+    win_starts = F.sequence(F.lit(1), F.greatest(m - F.lit(window - 1), F.lit(1)))
+    mins = F.transform(win_starts, lambda i: F.array_min(F.slice(kgram_hashes, i, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One projection with every text measure — single scan."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars"),
+        bpe_ish_token_count(text_col).alias("n_subtokens"),
+        lang_id(text_col).alias("lang_pred"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
+        quality_score(text_col).alias("quality_score"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -99,17 +99,22 @@ class ValidationRun:
                 if transcripts is not None
                 else None
             )
-            extra = self._cross_row_violations(sub, sub_t).cache()
-            viol = self.ruleset.violations(sub).unionByName(extra)
+            viol = self.ruleset.violations(sub).unionByName(
+                self._cross_row_violations(sub, sub_t)
+            )
             # one write job for violations (dynamic overwrite = idempotent)
             (viol.repartition("part_id")
                  .write.mode("overwrite").partitionBy("part_id")
                  .parquet(log.path("violations")))
-            verd = self.ruleset.verdicts(sub, extra_violations=extra)
+            # verdicts from the materialized violations — no rule re-eval,
+            # n_rows via a count-only scan (metadata when bucketed).
+            written = self.spark.read.parquet(log.path("violations")).where(
+                F.col("part_id").isin(parts)
+            )
+            verd = self.ruleset.verdicts_from_violations(sub, written)
             (verd.repartition("part_id")
                  .write.mode("overwrite").partitionBy("part_id")
                  .parquet(log.path("verdicts")))
-            extra.unpersist()
             stats = {
                 r["part_id"]: (r["n_rows"], r["n_violations"])
                 for r in self.spark.read.parquet(log.path("verdicts"))

@@ -288,9 +288,44 @@ class RuleSet:
             "n_violations",
         )
 
+    def verdicts_from_violations(
+        self, df: DataFrame, all_violations: DataFrame
+    ) -> DataFrame:
+        """Per-partition verdicts WITHOUT re-evaluating rules.
+
+        Preferred at scale when the violation rows are already
+        materialized: n_rows comes from a count-only scan (with the table
+        partitioned by part_id this reads parquet metadata, zero data
+        pages), and the violation counts come from the tiny violations
+        set — no second pass over 100 TB.
+        """
+        rows = df.groupBy(F.col(self.part_col).alias("part_id")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        viol = all_violations.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        return (
+            rows.join(F.broadcast(viol), "part_id", "left")
+            .select(
+                "part_id",
+                F.when(F.coalesce(F.col("n_violations"), F.lit(0)) > 0, F.lit("fail"))
+                .otherwise(F.lit("pass"))
+                .alias("status"),
+                "n_rows",
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+            )
+        )
+
 
 def mds_clip_rules() -> RuleSet:
-    """The flagship rule set for the audio-clip table (BASELINE.json)."""
+    """The flagship rule set for the audio-clip table (BASELINE.json).
+
+    Deliberately does NOT include not_null("bytes"): the binary column is
+    checked inside the PCM stage (functions/audio.pcm_violations), the
+    only stage that scans it — keeping the rule projection's parquet read
+    byte-free (column pruning excludes the audio payload entirely).
+    """
     rs = RuleSet(key_col="clip_id", part_col="part_id")
     rs.add(
         not_null("clip_id"),
@@ -300,7 +335,6 @@ def mds_clip_rules() -> RuleSet:
         is_in("sr_hz", S.SR_HZ_ENUM),
         in_range("dur_ms", lo=0, lo_inclusive=False),
         is_in("codec", S.CODEC_ENUM),
-        not_null("bytes"),
         unique_key("clip_id"),
     )
     return rs

@@ -35,6 +35,14 @@ ENGINE_CONF: dict[str, str] = {
     # overwritePartitions(); gives idempotent per-partition re-commits
     # (plans/checkpoint.py).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # ParallelGC instead of the Java-17 default G1: measured on this
+    # host, G1's concurrent machinery made warm validation runs 2-4x
+    # slower and wildly variable at >=16 task threads (17-54s for a job
+    # ParallelGC finishes in a stable ~6s). Throughput-oriented batch
+    # jobs with short-lived humongous Arrow buffers are ParallelGC's
+    # sweet spot; pause times are irrelevant here.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
 }
 
 
@@ -57,12 +65,18 @@ def get_spark(
         # without tiny-partition overhead at test scale.
         shuffle_partitions = max(2 * parallelism, 8)
 
+    # Heap must scale with concurrent task slots: each Arrow-producing
+    # task holds multi-MB batch buffers (binary audio columns), and an
+    # undersized heap turns the Python-transfer stage into a GC storm
+    # (measured: binary-column mapInPandas at local[32] was 3x slower on
+    # 8g than on 32g). On a real cluster this is executor memory sizing.
+    default_mem = f"{min(max(8, parallelism), 64)}g"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{parallelism}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
     )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)

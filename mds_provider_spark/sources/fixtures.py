@@ -50,12 +50,14 @@ def part_id_of(clip_id: str | None, n_parts: int) -> int:
     return int(hashlib.md5(clip_id.encode()).hexdigest()[:8], 16) % n_parts
 
 
-def sr_hz_at(seed: int, i: int) -> int:
-    return S.SR_HZ_ENUM[_h(seed, i, "sr") % len(S.SR_HZ_ENUM)]
+def sr_hz_at(seed: int, i: int, choices: list[int] | None = None) -> int:
+    choices = choices or S.SR_HZ_ENUM
+    return choices[_h(seed, i, "sr") % len(choices)]
 
 
-def dur_ms_at(seed: int, i: int) -> int:
-    return _DUR_CHOICES[_h(seed, i, "dur") % len(_DUR_CHOICES)]
+def dur_ms_at(seed: int, i: int, choices: list[int] | None = None) -> int:
+    choices = choices or _DUR_CHOICES
+    return choices[_h(seed, i, "dur") % len(choices)]
 
 
 def codec_at(seed: int, i: int) -> str:
@@ -114,10 +116,17 @@ def default_fault_plan(n_rows: int) -> dict[int, str]:
 # ------------------------------------------------------------- generator
 
 
-def _make_row(seed: int, i: int, n_parts: int, fault: str | None):
+def _make_row(
+    seed: int,
+    i: int,
+    n_parts: int,
+    fault: str | None,
+    sr_choices: list[int] | None = None,
+    dur_choices: list[int] | None = None,
+):
     cid: str | None = clip_id_at(seed, i)
-    sr = sr_hz_at(seed, i)
-    dur = dur_ms_at(seed, i)
+    sr = sr_hz_at(seed, i, sr_choices)
+    dur = dur_ms_at(seed, i, dur_choices)
     codec = codec_at(seed, i)
     txt: str | None = transcript_at(seed, i)
 
@@ -170,13 +179,23 @@ def generate_clips(
     n_parts: int = 16,
     seed: int = 42,
     faults: dict[int, str] | None = None,
+    sr_choices: list[int] | None = None,
+    dur_choices: list[int] | None = None,
 ) -> DataFrame:
-    """Distributed deterministic clips table (CLIPS_SCHEMA)."""
+    """Distributed deterministic clips table (CLIPS_SCHEMA).
+
+    ``sr_choices``/``dur_choices`` select a size profile (e.g. telephony
+    8/16 kHz short clips for transfer-bound benchmarking environments).
+    """
     faults = dict(faults or {})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_make_row(seed, int(i), n_parts, faults.get(int(i))) for i in pdf["id"]]
+            rows = [
+                _make_row(seed, int(i), n_parts, faults.get(int(i)),
+                          sr_choices, dur_choices)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"],

@@ -1,0 +1,66 @@
+"""Streaming validation — the reference has NO streaming (its "paging" is
+synchronous HTTP, mds/api.py ≈L150–250); the north rule is batch over
+Iceberg. This module exists for the streaming-arrival case: the SAME rule
+compiler applied per micro-batch via foreachBatch, so batch and stream
+share one rule path (no semantic drift between modes), plus a native
+readStream aggregation for continuous verdict monitoring.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mds_provider_spark.rules import RuleSet
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """foreachBatch: compile-once rule set, violations per micro-batch.
+
+    ``sink(violations_df, batch_id)`` receives the canonical violation
+    rows for each batch; exactly-once delivery is Spark's foreachBatch +
+    checkpoint contract (transactional when the sink is idempotent, as
+    our dynamic-partition-overwrite writers are).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(ruleset.violations(batch_df), batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_verdicts(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    watermark_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Continuous per-partition verdict aggregation as a native streaming
+    agg (update mode): running n_rows / n_violations per part_id. With a
+    watermark the state store evicts old windows; without one this is a
+    complete-mode global aggregate suitable for monitoring dashboards."""
+    src = stream_df
+    if watermark_col is not None:
+        src = src.withWatermark(watermark_col, watermark_delay)
+    flagged = src.select(
+        F.col(ruleset.part_col).alias("part_id"),
+        F.size(ruleset.hits_column()).alias("_n_hits"),
+    )
+    return flagged.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_n_hits").alias("n_violations"),
+    )

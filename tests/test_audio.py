@@ -41,11 +41,16 @@ def test_pcm_violations_finds_only_bad_rows(spark):
     assert "SNR" in v[0].message
 
 
-def test_pcm_check_skips_null_and_unknown(spark):
+def test_pcm_check_owns_null_bytes_and_skips_unknown_codec(spark):
     clips = FX.generate_clips(
         spark, 30, n_parts=4, seed=7, faults={3: "null_bytes", 4: "bad_codec"}
     )
-    assert audio.pcm_violations(clips, FX.ref_waveform).count() == 0
+    v = audio.pcm_violations(clips, FX.ref_waveform).collect()
+    # null bytes reported HERE (the only stage that scans the binary col);
+    # unknown codec is the enum rule's finding -> skipped here
+    assert [(r.rule_id, r.clip_id) for r in v] == [
+        ("missing_field:bytes", FX.clip_id_at(7, 3))
+    ]
 
 
 def test_audio_features(spark):

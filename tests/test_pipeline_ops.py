@@ -1,0 +1,123 @@
+"""Dedup / similarity / text-analysis operators."""
+
+import pyspark.sql.functions as F
+
+from mds_provider_spark.operators import dedup as D
+from mds_provider_spark.operators import similarity as SIM
+from mds_provider_spark.operators import text as TX
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "THE  quick   Brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1 after norm
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different content about spark execution engines and shuffles"),
+    (5, "el gato y el perro en la casa de la abuela que vive en madrid"),
+    (6, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    got = D.exact_duplicates(_docs(spark), "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0].doc_ids == [1, 2] and got[0].exemplar_id == 1
+
+
+def test_ngram_jaccard_ground_truth(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", 0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.7 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_dedup(
+            _docs(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # must find the exact dup and the 1-word-changed near dup; never a
+    # false positive (verify step is exact Jaccard)
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(p not in got for p in [(1, 4), (4, 5)])
+
+
+def test_simhash_near_dups(spark):
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_dedup(_docs(spark), "doc_id", "text", max_hamming=6).collect()
+    }
+    assert got.get((1, 2)) == 0  # identical after normalization
+    assert (1, 3) in got        # tiny hamming distance
+    assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_simhash_is_pure_catalyst(spark):
+    df = D.simhash_signatures(_docs(spark), "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _emb(spark, n=40, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(dim).astype("float32")  # near-dup pair
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    e = _emb(spark)
+    q = e.where("vec_id < 3")
+    got = SIM.brute_force_topk(e, q, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+        assert all(r.neighbor_id != qid for r in rows)
+    # vectors 0 and 1 are near-identical -> each other's top neighbor
+    assert by_q[0][0].neighbor_id == 1 and by_q[0][0].cosine_sim > 0.99
+    assert by_q[1][0].neighbor_id == 0
+
+
+def test_lsh_topk_recall_on_near_dup(spark):
+    e = _emb(spark)
+    got = SIM.lsh_topk(e, e.where("vec_id = 0"), k=3, n_planes=6).collect()
+    assert any(r.neighbor_id == 1 for r in got)  # near-identical shares bucket
+
+
+def test_embedding_near_duplicates(spark):
+    got = SIM.embedding_near_duplicates(_emb(spark), threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+
+
+def test_text_profile(spark):
+    prof = {r.doc_id: r for r in TX.text_profile(_docs(spark), "doc_id", "text").collect()}
+    assert prof[1].n_tokens == 14
+    assert prof[2].n_tokens == 14          # whitespace collapsed
+    assert prof[1].fingerprint == prof[2].fingerprint
+    assert prof[1].lang_pred == "en"
+    assert prof[5].lang_pred == "es"
+    assert prof[6].n_tokens == 0 and prof[6].lang_pred == "und"
+    assert prof[1].quality_score > prof[6].quality_score
+
+
+def test_winnowing_fingerprints_overlap(spark):
+    df = _docs(spark).select(
+        "doc_id", D.norm_text("text").alias("t")
+    ).select("doc_id", TX.winnowing_fingerprints("t").alias("fp"))
+    fps = {r.doc_id: set(r.fp) for r in df.collect()}
+    inter_13 = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    inter_14 = len(fps[1] & fps[4]) / len(fps[1] | fps[4])
+    assert inter_13 > 0.5 > inter_14

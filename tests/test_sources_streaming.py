@@ -1,0 +1,103 @@
+"""Payload JSON round-trip (DataFile parity), registry lookup, streaming."""
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from mds_provider_spark import rules as R
+from mds_provider_spark.sources import payloads as P
+from mds_provider_spark.sources import registry as REG
+from mds_provider_spark.streaming import stream as STR
+
+TRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType()),
+        T.StructField("provider_id", T.StringType()),
+        T.StructField("trip_distance", T.DoubleType()),
+        T.StructField("start_time", T.LongType()),
+    ]
+)
+
+
+def _write_payload(tmp_path, version="0.4.0", n=5):
+    payload = {
+        "version": version,
+        "data": {
+            "trips": [
+                {
+                    "trip_id": f"t-{i}",
+                    "provider_id": "p-1",
+                    "trip_distance": 100.0 * i,
+                    "start_time": 1546300800000 + i,
+                }
+                for i in range(n)
+            ]
+        },
+    }
+    p = tmp_path / f"payload_{version}.json"
+    p.write_text(json.dumps(payload))
+    return str(p)
+
+
+def test_load_records_explodes_payload(spark, tmp_path):
+    path = _write_payload(tmp_path)
+    rec = P.load_records(spark, path, "trips", TRIP_SCHEMA)
+    assert rec.count() == 5
+    assert set(rec.columns) >= {"version", "trip_id", "trip_distance", "_version_supported"}
+    assert rec.where("_version_supported").count() == 5
+
+
+def test_unsupported_version_flagged(spark, tmp_path):
+    ok = _write_payload(tmp_path, "0.4.0")
+    bad = _write_payload(tmp_path, "1.2.0")
+    rec = P.load_records(spark, [ok, bad], "trips", TRIP_SCHEMA)
+    v = P.unsupported_version_violations(rec, "trip_id")
+    assert v.count() == 5
+    assert v.select("rule_id").distinct().collect()[0][0] == "unsupported_version:version"
+
+
+def test_payload_roundtrip(spark, tmp_path):
+    path = _write_payload(tmp_path)
+    rec = P.load_records(spark, path, "trips", TRIP_SCHEMA, enforce_version=False)
+    out = str(tmp_path / "dumped")
+    P.dump_payloads(rec, out, "trips", "0.4.0")
+    back = P.load_records(spark, out + "/*.json", "trips", TRIP_SCHEMA)
+    assert sorted(r.trip_id for r in back.collect()) == [f"t-{i}" for i in range(5)]
+
+
+def test_registry_find(spark, tmp_path):
+    csv = tmp_path / "providers.csv"
+    csv.write_text(
+        "provider_name,provider_id,url,mds_api_url,gbfs_api_url\n"
+        "Lime,63f13c48-34ff-49d2-aca7-cf6a5b6171c3,https://li.me,https://api.li.me,\n"
+        "Bird,2411d395-04f2-47c9-ab66-d09e9e3c3251,https://bird.co,https://api.bird.co,\n"
+    )
+    reg = REG.load_registry(spark, str(csv))
+    assert REG.find(reg, "  LIME ").count() == 1
+    assert REG.find(reg, "2411d395-04f2-47c9-ab66-d09e9e3c3251").count() == 1
+    assert REG.find(reg, "unknown").count() == 0
+
+
+def test_streaming_validation_foreachbatch(spark, tmp_path):
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    df = spark.createDataFrame(
+        [("a", 16000, 0), ("b", 11025, 0), ("c", 48000, 1)],
+        "clip_id string, sr_hz int, part_id int",
+    )
+    df.write.mode("overwrite").parquet(str(src_dir / "batch0"))
+
+    stream = (
+        spark.readStream.schema("clip_id string, sr_hz int, part_id int")
+        .parquet(str(src_dir / "batch0"))
+    )
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000, 22050, 44100, 48000]))
+    got = []
+
+    def sink(vdf, batch_id):
+        got.extend((r.rule_id, r.clip_id) for r in vdf.collect())
+
+    q = STR.validate_stream(stream, rs, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert got == [("bad_enum:sr_hz", "b")]
