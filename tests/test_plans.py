@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in the executed plan — column pruning, partition pruning, filter
+pushdown, broadcast joins, whole-stage codegen. These are the properties
+that decide whether the engine survives 100 TB, so they are tested like
+behavior, not left to hope."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mds_provider_spark import rules as R
+from mds_provider_spark.operators import uniqueness as U
+from mds_provider_spark.sources import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "clips")
+    (FX.generate_clips(spark, 400, n_parts=4, seed=5)
+        .write.mode("overwrite").partitionBy("part_id").parquet(p))
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rule_projection_prunes_bytes(spark, clips_path):
+    """The rule pass must never read the audio payload: ReadSchema in the
+    parquet scan excludes `bytes` (it would dominate I/O at scale)."""
+    df = spark.read.parquet(clips_path)
+    plan = _plan(R.mds_clip_rules().violations(df))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "bytes" not in read_schema[0], plan
+
+
+def test_partition_pruning_on_part_id(spark, clips_path):
+    """Resume filtering (part_id IN ...) must prune partitions at the
+    scan, not post-filter — this is what makes group resume O(group)."""
+    df = spark.read.parquet(clips_path).where(F.col("part_id").isin([1, 2]))
+    plan = _plan(df.select("clip_id"))
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "part_id" in pf, plan
+
+
+def test_filter_pushdown_to_parquet(spark, clips_path):
+    df = spark.read.parquet(clips_path).where(F.col("sr_hz") == 16000)
+    plan = _plan(df.select("clip_id"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "sr_hz" in pushed[0], plan
+
+
+def test_duplicate_violations_broadcasts_dup_set(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    plan = _plan(U.duplicate_violations(df, ["clip_id"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_rule_path_is_whole_stage_codegen(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    plan = _plan(R.mds_clip_rules().violations(df))
+    # codegen stages render as "*(n) Operator" in the plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+    assert "EvalPython" not in plan  # no Python in the rule path
+
+
+def test_verdicts_rowcount_scan_is_columnless(spark, clips_path):
+    """verdicts_from_violations' n_rows scan must read only the partition
+    column (metadata), never data columns."""
+    df = spark.read.parquet(clips_path)
+    rows = df.groupBy("part_id").agg(F.count(F.lit(1)))
+    plan = _plan(rows)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "struct<>" in read_schema, plan
