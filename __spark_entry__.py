@@ -268,6 +268,68 @@ def embedding_shape_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join + agg + deterministic top-10 — the
+    join/shuffle headline (broadcastable dims picked by AQE)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def duplicate_groups_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup groups with a deterministic exemplar summary (keep-one dedup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dups = U.duplicate_keys(li, ["l_orderkey", "l_linenumber"])
+    return (
+        li.join(F.broadcast(dups.select("l_orderkey", "l_linenumber")),
+                ["l_orderkey", "l_linenumber"], "left_semi")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("exemplar_partkey"),
+            F.max(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
+        )
+    )
+
+
+def user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: first 3 events per user (row_number over
+    a deterministic (ts, event_id) ordering)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= 3)
+        .select("user_id", "seq", "event_id", "event_type")
+    )
+
+
+def worst_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k worst partitions by violation count (reporting surface)."""
+    verd = events_verdicts(spark, sf_dir)
+    return verd.orderBy(F.desc("n_violations"), F.asc("part_id")).limit(3)
+
+
 # ------------------------------------------------ non-SQL-expressible ops
 
 
@@ -335,6 +397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_quantiles_lineitem": drift_quantiles_lineitem,
         "empty_text_documents": empty_text_documents,
         "embedding_shape_violations": embedding_shape_violations,
+        "q3_top_orders": q3_top_orders,
+        "duplicate_groups_lineitem": duplicate_groups_lineitem,
+        "user_event_sequence": user_event_sequence,
+        "worst_partitions_events": worst_partitions_events,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -447,6 +513,50 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1
         """,
         "drift_quantiles_lineitem": drift_union,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "duplicate_groups_lineitem": """
+            SELECT l_orderkey, l_linenumber, count(*) AS n_rows,
+                   min(l_partkey) AS exemplar_partkey,
+                   max(l_extendedprice::DECIMAL(18,2))::DOUBLE AS max_price
+            FROM lineitem
+            GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "user_event_sequence": """
+            SELECT user_id, seq, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC) AS seq
+              FROM events WHERE user_id < 50
+            ) WHERE seq <= 3
+        """,
+        "worst_partitions_events": """
+            SELECT part_id, status, n_rows, n_violations FROM (
+              SELECT (user_id % 8)::INT AS part_id,
+                     CASE WHEN sum(viol) > 0 THEN 'fail' ELSE 'pass' END AS status,
+                     count(*) AS n_rows, sum(viol) AS n_violations
+              FROM (
+                SELECT user_id,
+                  (CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                        ('click','view','purchase','signup','error') THEN 1 ELSE 0 END
+                 + CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 450.0) THEN 1 ELSE 0 END
+                 + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS viol
+                FROM events
+              ) GROUP BY 1
+            ) ORDER BY n_violations DESC, part_id ASC LIMIT 3
+        """,
         "empty_text_documents": """
             SELECT 'missing_field:text' AS rule_id, doc_id::VARCHAR AS doc_id,
                    'text' AS column_name

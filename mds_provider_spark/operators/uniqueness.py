@@ -43,6 +43,32 @@ def duplicate_keys(df: DataFrame, cols: Sequence[str], salt_partitions: int | No
     )
 
 
+def duplicate_exemplars(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    keep: str = "first",
+) -> DataFrame:
+    """Keep-one dedup picker (SURVEY.md §2.5): for each duplicated key,
+    rank conflicting rows deterministically and mark the exemplar.
+
+    Returns the conflicting rows with (dup_rank, is_exemplar). Uses
+    ``row_number() over (partition by key order by ...)`` — the window
+    only runs over the (tiny, broadcast-joined) duplicate subset, never
+    the full table, so no full-data window shuffle.
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    dup = duplicate_keys(df, cols).select(*cols)
+    subset = df.join(F.broadcast(dup), cols, "left_semi")
+    ordering = [F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_by]
+    w = Window.partitionBy(*cols).orderBy(*ordering)
+    return subset.withColumn("dup_rank", F.row_number().over(w)).withColumn(
+        "is_exemplar", F.col("dup_rank") == 1
+    )
+
+
 def duplicate_violations(
     df: DataFrame,
     cols: Sequence[str],
