@@ -330,6 +330,17 @@ def worst_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verd.orderBy(F.desc("n_violations"), F.asc("part_id")).limit(3)
 
 
+def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key groupBy (the skew shape of BASELINE's hot codecs): counts
+    per event_type; partial agg + AQE absorb the skew."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"))
+    )
+
+
 # ------------------------------------------------ non-SQL-expressible ops
 
 
@@ -401,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_groups_lineitem": duplicate_groups_lineitem,
         "user_event_sequence": user_event_sequence,
         "worst_partitions_events": worst_partitions_events,
+        "event_type_distribution": event_type_distribution,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -513,6 +525,11 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1
         """,
         "drift_quantiles_lineitem": drift_union,
+        "event_type_distribution": """
+            SELECT event_type, count(*) AS n_rows,
+                   round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
         "q3_top_orders": """
             SELECT l_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
