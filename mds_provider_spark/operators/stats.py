@@ -84,6 +84,38 @@ def profile(
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def salted_group_count(
+    df: DataFrame, keys: Sequence[str], agg_cols: dict[str, str] | None = None
+) -> DataFrame:
+    """Explicitly salted groupBy for pathologically hot keys (BASELINE:
+    "salted hash-aggregation", hot codecs).
+
+    Stage 1 groups by (input-partition-id, keys) — identical hot keys on
+    M input partitions produce M partial rows hashed to M reducers; stage
+    2 merges the partials per key. Spark's partial aggregation usually
+    does this implicitly for algebraic aggs; the explicit form guarantees
+    it for any agg expression and makes the two-stage shape visible in
+    the plan (and to the optimizer-skeptical reader).
+    """
+    keys = list(keys)
+    aggs1 = [F.count(F.lit(1)).alias("_cnt")]
+    aggs2 = [F.sum("_cnt").alias("n_rows")]
+    for col, how in (agg_cols or {}).items():
+        if how == "sum":
+            aggs1.append(F.sum(col).alias(f"_s_{col}"))
+            aggs2.append(F.sum(f"_s_{col}").alias(f"sum_{col}"))
+        elif how == "min":
+            aggs1.append(F.min(col).alias(f"_m_{col}"))
+            aggs2.append(F.min(f"_m_{col}").alias(f"min_{col}"))
+        elif how == "max":
+            aggs1.append(F.max(col).alias(f"_x_{col}"))
+            aggs2.append(F.max(f"_x_{col}").alias(f"max_{col}"))
+        else:
+            raise ValueError(f"unsupported agg {how!r}")
+    partial = df.groupBy(F.spark_partition_id().alias("_salt"), *keys).agg(*aggs1)
+    return partial.groupBy(*keys).agg(*aggs2)
+
+
 def hll_sketches(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Mergeable HLL sketch bytes per column (Spark >= 3.5 Datasketches).
 
