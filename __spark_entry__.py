@@ -204,6 +204,43 @@ def drift_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def drift_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift, oracle-checkable form: baseline = shipdate <
+    1996-01-01, current = the rest; exact per-column quantiles + null
+    rates on both sides joined into shift measures (the sketch-based path
+    lives in operators/drift.py; this exact variant cross-checks the
+    comparison logic itself)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    halves = {"base": l.where(F.col("l_shipdate") < cut),
+              "cur": l.where(F.col("l_shipdate") >= cut)}
+    sides = {}
+    for tag, df in halves.items():
+        rows = []
+        for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+            q = F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            rows.append(
+                df.agg(
+                    F.round(q[1], 6).alias(f"q50_{tag}"),
+                    F.round(F.min(F.col(c).cast("double")), 6).alias(f"min_{tag}"),
+                    F.round(F.max(F.col(c).cast("double")), 6).alias(f"max_{tag}"),
+                ).select(F.lit(c).alias("column_name"), f"q50_{tag}",
+                         f"min_{tag}", f"max_{tag}")
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        sides[tag] = out
+    j = sides["cur"].join(F.broadcast(sides["base"]), "column_name")
+    span = F.greatest(F.col("max_base") - F.col("min_base"), F.lit(1e-12))
+    return j.select(
+        "column_name",
+        F.round(F.abs(F.col("q50_cur") - F.col("q50_base")) / span, 6).alias("q50_shift"),
+        F.when(F.abs(F.col("q50_cur") - F.col("q50_base")) / span > 0.25,
+               F.lit("drift")).otherwise(F.lit("ok")).alias("verdict"),
+    )
+
+
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
         "content_hash", "n_rows", "exemplar_id"
@@ -413,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_sequence": user_event_sequence,
         "worst_partitions_events": worst_partitions_events,
         "event_type_distribution": event_type_distribution,
+        "drift_check_lineitem": drift_check_lineitem,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -529,6 +567,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_rows,
                    round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "drift_check_lineitem": """
+            WITH sides AS (
+              SELECT c.column_name,
+                     round(quantile_cont(CASE c.column_name
+                        WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_extendedprice' THEN l_extendedprice
+                        ELSE l_discount END::DOUBLE, 0.5), 6) AS q50,
+                     round(min(CASE c.column_name
+                        WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_extendedprice' THEN l_extendedprice
+                        ELSE l_discount END::DOUBLE), 6) AS min_v,
+                     round(max(CASE c.column_name
+                        WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_extendedprice' THEN l_extendedprice
+                        ELSE l_discount END::DOUBLE), 6) AS max_v,
+                     CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                          THEN 'base' ELSE 'cur' END AS side
+              FROM lineitem
+              CROSS JOIN (SELECT unnest(['l_quantity','l_extendedprice','l_discount'])
+                          AS column_name) c
+              GROUP BY c.column_name, side
+            )
+            SELECT cur.column_name,
+                   round(abs(cur.q50 - base.q50)
+                         / greatest(base.max_v - base.min_v, 1e-12), 6) AS q50_shift,
+                   CASE WHEN abs(cur.q50 - base.q50)
+                             / greatest(base.max_v - base.min_v, 1e-12) > 0.25
+                        THEN 'drift' ELSE 'ok' END AS verdict
+            FROM (SELECT * FROM sides WHERE side='cur') cur
+            JOIN (SELECT * FROM sides WHERE side='base') base USING (column_name)
         """,
         "q3_top_orders": """
             SELECT l_orderkey,

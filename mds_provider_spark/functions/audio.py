@@ -215,6 +215,7 @@ def pcm_violations_over_files(
     ref_wave_fn: RefWaveFn,
     min_snr_db: float = 30.0,
     batch_size: int = 8192,
+    parts: "list[int] | None" = None,
 ) -> DataFrame:
     """File-sliced PCM check: workers read parquet slices DIRECTLY.
 
@@ -236,10 +237,14 @@ def pcm_violations_over_files(
     import re
 
     files = sorted(glob.glob(f"{clips_dir}/part_id=*/*.parquet"))
+    keep = set(parts) if parts is not None else None
     rows = []
     for f in files:
         m = re.search(r"part_id=(\d+)", f)
-        rows.append((f, int(m.group(1)) if m else 0))
+        p = int(m.group(1)) if m else 0
+        if keep is not None and p not in keep:
+            continue  # manual partition pruning of the file list
+        rows.append((f, p))
     fdf = spark.createDataFrame(rows, "path string, part_id int").repartition(
         max(len(rows), 1)
     )

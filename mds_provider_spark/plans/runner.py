@@ -46,6 +46,12 @@ class ValidationRun:
     min_snr_db: float = 30.0
     n_parts: int = 16
     group_size: int = 4  # part_ids per commit group
+    # "rows": generic mapInPandas over the DataFrame (works on any input).
+    # "files": Petastorm-style — workers read column-pruned parquet slices
+    # directly (requires clips_path, a part_id-partitioned parquet dir);
+    # avoids shipping audio bytes over the JVM->Python pipe.
+    pcm_strategy: str = "rows"
+    clips_path: str | None = None
 
     def groups(self) -> list[tuple[int, list[int]]]:
         parts = list(range(self.n_parts))
@@ -55,7 +61,8 @@ class ValidationRun:
         ]
 
     def _cross_row_violations(
-        self, clips: DataFrame, transcripts: DataFrame | None
+        self, clips: DataFrame, transcripts: DataFrame | None,
+        parts: list[int] | None = None,
     ) -> DataFrame:
         """Everything that is NOT the single-pass row-rule projection:
         duplicates (shuffle), referential/equality (co-partition joins),
@@ -65,9 +72,16 @@ class ValidationRun:
             v = v.unionByName(REF.referential_violations(clips, transcripts))
             v = v.unionByName(REF.transcript_mismatch_violations(clips, transcripts))
         if self.ref_wave_fn is not None:
-            v = v.unionByName(
-                audio.pcm_violations(clips, self.ref_wave_fn, self.min_snr_db)
-            )
+            if self.pcm_strategy == "files":
+                if not self.clips_path:
+                    raise ValueError("pcm_strategy='files' requires clips_path")
+                pcm = audio.pcm_violations_over_files(
+                    self.spark, self.clips_path, self.ref_wave_fn,
+                    self.min_snr_db, parts=parts,
+                )
+            else:
+                pcm = audio.pcm_violations(clips, self.ref_wave_fn, self.min_snr_db)
+            v = v.unionByName(pcm)
         return v
 
     def run(
@@ -100,7 +114,7 @@ class ValidationRun:
                 else None
             )
             viol = self.ruleset.violations(sub).unionByName(
-                self._cross_row_violations(sub, sub_t)
+                self._cross_row_violations(sub, sub_t, parts)
             )
             # one write job for violations (dynamic overwrite = idempotent)
             (viol.repartition("part_id")
