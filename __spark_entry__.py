@@ -174,6 +174,35 @@ def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def referential_chain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts along the star-schema FK chain (FIXTURES.md §5:
+    referential chains) — one anti-join per hop, all column-pruned to the
+    key pair."""
+    hops = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, lt, lk, rt, rk in hops:
+        orphans = REF.orphans(
+            _t(spark, sf_dir, lt)
+            .select(F.col(lk).cast("long").alias("key"))
+            .where(F.col("key").isNotNull()),  # NULL FK = missing_field, not orphan
+            _t(spark, sf_dir, rt).select(F.col(rk).cast("long").alias("key")),
+            key="key",
+            broadcast_right=rt in ("nation", "region"),
+        )
+        row = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("hop"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def events_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_prepared(spark, sf_dir)
     return _events_ruleset().violations(ev).select(
@@ -440,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_lineitem": stats_profile_lineitem,
         "uniqueness_lineitem_pk": uniqueness_lineitem_pk,
         "referential_orphans": referential_orphans,
+        "referential_chain_counts": referential_chain_counts,
         "events_rule_violations": events_rule_violations,
         "events_verdicts": events_verdicts,
         "drift_quantiles_lineitem": drift_quantiles_lineitem,
@@ -531,6 +561,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT direction, key, count(*) AS n_rows
             FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1, 2
+        """,
+        "referential_chain_counts": """
+            SELECT 'lineitem->orders' AS hop, count(*) AS n_orphans
+              FROM lineitem l LEFT JOIN orders r ON l.l_orderkey = r.o_orderkey
+              WHERE r.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+            UNION ALL
+            SELECT 'lineitem->part', count(*)
+              FROM lineitem l LEFT JOIN part r ON l.l_partkey = r.p_partkey
+              WHERE r.p_partkey IS NULL AND l.l_partkey IS NOT NULL
+            UNION ALL
+            SELECT 'lineitem->supplier', count(*)
+              FROM lineitem l LEFT JOIN supplier r ON l.l_suppkey = r.s_suppkey
+              WHERE r.s_suppkey IS NULL AND l.l_suppkey IS NOT NULL
+            UNION ALL
+            SELECT 'orders->customer', count(*)
+              FROM orders l LEFT JOIN customer r ON l.o_custkey = r.c_custkey
+              WHERE r.c_custkey IS NULL AND l.o_custkey IS NOT NULL
+            UNION ALL
+            SELECT 'customer->nation', count(*)
+              FROM customer l LEFT JOIN nation r ON l.c_nationkey = r.n_nationkey
+              WHERE r.n_nationkey IS NULL AND l.c_nationkey IS NOT NULL
+            UNION ALL
+            SELECT 'nation->region', count(*)
+              FROM nation l LEFT JOIN region r ON l.n_regionkey = r.r_regionkey
+              WHERE r.r_regionkey IS NULL AND l.n_regionkey IS NOT NULL
         """,
         "events_rule_violations": """
             SELECT 'bad_enum:event_type' AS rule_id, event_id::VARCHAR AS event_id,

@@ -29,10 +29,19 @@ from mds_provider_spark import schema as S
 
 
 def duplicate_keys(df: DataFrame, cols: Sequence[str], salt_partitions: int | None = None) -> DataFrame:
-    """Return one row per duplicated key: (*cols, n_rows)."""
+    """Return one row per duplicated key: (*cols, n_rows).
+
+    Rows with a NULL key component are EXCLUDED: SQL groupBy would pool
+    all NULLs into one group and report them as "duplicates", but
+    null-ness is the missing_field rule's finding, not a uniqueness
+    violation (JSON-Schema keeps `required` and uniqueness independent).
+    """
     cols = list(cols)
+    present = df.select(*cols)
+    for c in cols:
+        present = present.where(F.col(c).isNotNull())
     partial = (
-        df.select(*cols)
+        present
         .groupBy(F.spark_partition_id().alias("_salt"), *cols)
         .agg(F.count(F.lit(1)).alias("_partial"))
     )

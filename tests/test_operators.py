@@ -65,6 +65,17 @@ def test_transcript_mismatch(spark):
     ]
 
 
+def test_null_keys_are_not_duplicates(spark):
+    """Two rows with NULL clip_id must NOT be a duplicate pair — NULL is
+    missing_field's finding (JSON-Schema: required ⊥ uniqueness)."""
+    df = spark.createDataFrame(
+        [(None, 0), (None, 1), ("x", 0), ("x", 1)],
+        "clip_id string, part_id int",
+    )
+    dups = U.duplicate_keys(df, ["clip_id"]).collect()
+    assert [(r.clip_id, r.n_rows) for r in dups] == [("x", 2)]
+
+
 def test_composite_unique_key(spark):
     df = spark.createDataFrame(
         [(1, 1, "x", 0), (1, 2, "y", 0), (1, 1, "z", 1)],
