@@ -180,6 +180,29 @@ def elements_in(col: str, allowed: Sequence) -> Rule:
     )
 
 
+def unique_items(col: str) -> Rule:
+    """JSON-Schema ``uniqueItems``: array contains duplicate elements."""
+    return Rule(
+        S.rule_id(S.BAD_SHAPE, col),
+        col,
+        f"{col} has duplicate array elements",
+        lambda: _nn(col, F.size(F.array_distinct(F.col(col))) < F.size(F.col(col))),
+    )
+
+
+def required_if(col: str, when_col: str, when_values: Sequence) -> Rule:
+    """Conditional requirement (JSON-Schema ``dependencies``/if-then; MDS
+    uses these — e.g. event_type_reason required for some event_types):
+    ``col`` must be non-null when ``when_col`` is in ``when_values``."""
+    vals = list(when_values)
+    return Rule(
+        S.rule_id(S.MISSING_FIELD, col),
+        col,
+        f"{col} required when {when_col} in {vals}",
+        lambda: F.col(when_col).isin(vals) & F.col(col).isNull(),
+    )
+
+
 def unique_key(cols: str | Sequence[str]) -> "UniqueKey":
     return UniqueKey(tuple([cols] if isinstance(cols, str) else cols))
 

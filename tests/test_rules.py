@@ -106,6 +106,27 @@ def test_single_projection_plan(spark, ruleset):
     assert "Exchange" not in plan, plan
 
 
+def test_unique_items_and_required_if(spark):
+    rs = R.RuleSet(key_col="k", part_col="part_id").add(
+        R.unique_items("tags"),
+        R.required_if("reason", "event_type", ["error", "blocked"]),
+    )
+    df = spark.createDataFrame(
+        [
+            ("ok", ["a", "b"], "error", "because"),
+            ("dupes", ["a", "a"], "click", None),       # bad_shape:tags
+            ("needs_reason", ["x"], "error", None),     # missing_field:reason
+            ("no_reason_ok", ["y"], "click", None),     # reason not required
+        ],
+        "k string, tags array<string>, event_type string, reason string",
+    ).withColumn("part_id", F.lit(0))
+    got = {(r.rule_id, r.clip_id) for r in rs.violations(df).collect()}
+    assert got == {
+        ("bad_shape:tags", "dupes"),
+        ("missing_field:reason", "needs_reason"),
+    }
+
+
 def test_array_and_cast_rules(spark):
     rs = R.RuleSet(key_col="k", part_col="part_id").add(
         R.array_size("arr", min_items=2),

@@ -1,0 +1,69 @@
+"""spark-submit job entry: the production validation run.
+
+    spark-submit --py-files dist/mds_provider_spark.zip \
+        tools/run_validation.py \
+        --clips /path/to/clips_parquet --transcripts /path/to/transcripts \
+        --out /path/to/run_output [--n-parts 32] [--group-size 8] \
+        [--pcm files|rows|off] [--run-id myrun]
+
+Resumable: re-running with the same --out skips committed groups
+(plans/checkpoint.py). On a cluster, --clips/--out are object-store
+paths and the commit markers ride the Iceberg snapshot instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--clips", required=True)
+    p.add_argument("--transcripts", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-parts", type=int, default=32)
+    p.add_argument("--group-size", type=int, default=8)
+    p.add_argument("--pcm", choices=["files", "rows", "off"], default="files")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--min-snr-db", type=float, default=30.0)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from mds_provider_spark.plans.runner import ValidationRun
+    from mds_provider_spark.sources import fixtures as FX
+
+    spark = SparkSession.builder.appName("mds-validation-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    clips = spark.read.parquet(args.clips)
+    ts = spark.read.parquet(args.transcripts) if args.transcripts else None
+
+    kwargs = dict(
+        spark=spark,
+        out_dir=args.out,
+        n_parts=args.n_parts,
+        group_size=args.group_size,
+        min_snr_db=args.min_snr_db,
+    )
+    if args.run_id:
+        kwargs["run_id"] = args.run_id
+    if args.pcm != "off":
+        # ref_waveform is the fixture reference; production swaps in the
+        # dataset's reference-waveform provider here.
+        kwargs["ref_wave_fn"] = FX.ref_waveform
+        kwargs["pcm_strategy"] = args.pcm
+        if args.pcm == "files":
+            kwargs["clips_path"] = args.clips
+
+    run = ValidationRun(**kwargs)
+    summary = run.run(clips, ts)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
