@@ -127,8 +127,21 @@ def matches(col: str, regex: str, kind: str = S.BAD_FORMAT) -> Rule:
     )
 
 
+def min_length(col: str, n: int) -> Rule:
+    """JSON-Schema ``minLength``: RAW character count (draft-06 does NOT
+    trim — whitespace-only strings satisfy minLength>=1). For the
+    stricter engine semantics use ``non_empty``."""
+    return Rule(
+        S.rule_id(S.BAD_SHAPE, col),
+        col,
+        f"{col} shorter than {n} characters",
+        lambda: _nn(col, F.length(F.col(col)) < n),
+    )
+
+
 def non_empty(col: str, kind: str = S.EMPTY_TEXT) -> Rule:
-    """Fires on whitespace-only / empty strings. NULL is not_null's job."""
+    """Fires on whitespace-only / empty strings (stricter than JSON-Schema
+    minLength — see min_length). NULL is not_null's job."""
     return Rule(
         S.rule_id(kind, col),
         col,

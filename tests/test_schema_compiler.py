@@ -1,0 +1,116 @@
+"""JSON-Schema -> RuleSet compiler, differentially tested against the
+REFERENCE MECHANISM itself: jsonschema's Draft6 validator walking each
+record (exactly what mds-provider does, mds/schemas.py ≈L170–220). For
+every record, the set of violated property paths must agree."""
+
+import jsonschema
+import pyspark.sql.functions as F
+import pytest
+
+from mds_provider_spark.schema_compiler import from_json_schema
+
+# An MDS-trips-flavored schema using every supported keyword.
+TRIPS_SCHEMA = {
+    "type": "object",
+    "required": ["trip_id", "vehicle_type"],
+    "properties": {
+        "trip_id": {"type": "string", "format": "uuid"},
+        "vehicle_type": {"type": "string", "enum": ["bicycle", "scooter", "car"]},
+        "trip_distance": {"type": "number", "minimum": 0},
+        "trip_duration": {"type": "integer", "exclusiveMinimum": 0, "maximum": 86400},
+        "propulsion_type": {
+            "type": "array",
+            "items": {"type": "string", "enum": ["human", "electric", "combustion"]},
+            "minItems": 1,
+            "uniqueItems": True,
+        },
+        "note": {"type": "string", "pattern": "^[a-z A-Z!]*$", "minLength": 1},
+    },
+}
+
+ROWS = [
+    # (trip_id, vehicle_type, distance, duration, propulsion, note)
+    ("11111111-1111-4111-8111-111111111111", "scooter", 1200.0, 300, ["electric"], "ok ride"),
+    (None, "scooter", 1.0, 10, ["human"], "x"),                       # missing trip_id
+    ("not-a-uuid", "scooter", 1.0, 10, ["human"], "x"),               # bad uuid
+    ("22222222-2222-4222-8222-222222222222", "rocket", 1.0, 10, ["human"], "x"),  # bad enum
+    ("33333333-3333-4333-8333-333333333333", "car", -5.0, 10, ["human"], "x"),    # distance < 0
+    ("44444444-4444-4444-8444-444444444444", "car", 1.0, 0, ["human"], "x"),      # duration = 0 (exclusive)
+    ("55555555-5555-4555-8555-555555555555", "car", 1.0, 90000, ["human"], "x"),  # duration > max
+    ("66666666-6666-4666-8666-666666666666", "car", 1.0, 10, [], "x"),            # minItems
+    ("77777777-7777-4777-8777-777777777777", "car", 1.0, 10, ["human", "human"], "x"),  # uniqueItems
+    ("88888888-8888-4888-8888-888888888888", "car", 1.0, 10, ["warp"], "x"),      # items.enum
+    ("99999999-9999-4999-8999-999999999999", "car", 1.0, 10, ["human"], "digits 123"),  # pattern
+    ("aaaaaaaa-aaaa-4aaa-8aaa-aaaaaaaaaaaa", "car", 1.0, 10, ["human"], "   "),  # whitespace: minLength OK (draft-06 does not trim)
+    ("bbbbbbbb-bbbb-4bbb-8bbb-bbbbbbbbbbbb", "car", 1.0, 10, ["human"], ""),     # minLength violation
+]
+
+COLS = ["trip_id", "vehicle_type", "trip_distance", "trip_duration",
+        "propulsion_type", "note"]
+
+
+def _reference_violated_props(record: dict) -> set:
+    """The reference's exact mechanism: draft-6 iter_errors per record.
+    'format' needs the checker enabled (as mds-provider relies on)."""
+    validator = jsonschema.Draft6Validator(
+        TRIPS_SCHEMA, format_checker=jsonschema.FormatChecker()
+    )
+    out = set()
+    for err in validator.iter_errors(record):
+        path = list(err.absolute_path)
+        out.add(str(path[0]) if path else err.validator_value[0]
+                if err.validator == "required" and isinstance(err.validator_value, list)
+                else str(path[0]) if path else None)
+        if not path and err.validator == "required":
+            # jsonschema reports missing keys with empty path; recover name
+            out.discard(None)
+            missing = [p for p in TRIPS_SCHEMA["required"] if p not in record]
+            out.update(missing)
+    out.discard(None)
+    return out
+
+
+def test_compiles_and_matches_reference_validator(spark):
+    rs, unsupported = from_json_schema(TRIPS_SCHEMA, key_col="trip_id")
+    assert unsupported == []
+
+    df = spark.createDataFrame(
+        ROWS,
+        "trip_id string, vehicle_type string, trip_distance double, "
+        "trip_duration long, propulsion_type array<string>, note string",
+    ).withColumn("part_id", F.lit(0))
+
+    mine = {}
+    for r in rs.violations(df).collect():
+        mine.setdefault(r.clip_id, set()).add(r.column_name)
+
+    for row in ROWS:
+        record = {c: v for c, v in zip(COLS, row) if v is not None}
+        want = _reference_violated_props(record)
+        got = mine.get(row[0], set())
+        assert got == want, (row[0], got, want)
+
+
+def test_clean_records_have_no_violations(spark):
+    rs, _ = from_json_schema(TRIPS_SCHEMA, key_col="trip_id")
+    df = spark.createDataFrame(
+        [ROWS[0]],
+        "trip_id string, vehicle_type string, trip_distance double, "
+        "trip_duration long, propulsion_type array<string>, note string",
+    ).withColumn("part_id", F.lit(0))
+    assert rs.violations(df).count() == 0
+
+
+def test_unsupported_keywords_strict():
+    bad = {"type": "object", "properties": {"x": {"multipleOf": 3}}}
+    with pytest.raises(ValueError, match="multipleOf"):
+        from_json_schema(bad, key_col="x")
+    rs, unsup = from_json_schema(bad, key_col="x", strict=False)
+    assert unsup == ["x.multipleOf"]
+
+
+def test_unique_passthrough():
+    rs, _ = from_json_schema(
+        TRIPS_SCHEMA, key_col="trip_id", unique=["trip_id"]
+    )
+    assert [uk.cols for uk in rs.unique_keys] == [("trip_id",)]
