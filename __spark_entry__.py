@@ -425,6 +425,12 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
 
 
+def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                        n_lists=16, nprobe=4)
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.9
@@ -492,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": minhash_dedup_documents,
         "simhash_dedup_documents": simhash_dedup_documents,
         "lsh_ann_embeddings": lsh_ann_embeddings,
+        "ivf_ann_embeddings": ivf_ann_embeddings,
         "embedding_near_dup": embedding_near_dup,
         "tdigest_quantiles_lineitem": tdigest_quantiles_lineitem,
         "hll_profile_lineitem": hll_profile_lineitem,

@@ -132,6 +132,23 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(band_rows: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Web-scale guard: drop degenerate buckets before the self-join.
+
+    A bucket of size s contributes s^2 candidate pairs — one
+    boilerplate-heavy bucket of 10^6 docs is 10^12 pairs. Buckets larger
+    than the cap are almost always shingle-degenerate (empty docs,
+    templates); their members still pair up through their OTHER bands,
+    so recall loss is confined to pathological content. The cap count is
+    computed with a partial-agg groupBy (skew-safe) and broadcast back.
+    """
+    if max_bucket_size is None:
+        return band_rows
+    sizes = band_rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    ok = sizes.where(F.col("_bsz") <= max_bucket_size).select(*keys)
+    return band_rows.join(F.broadcast(ok), keys, "left_semi")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -140,8 +157,13 @@ def minhash_lsh_candidates(
     bands: int = 16,
     w: int = 3,
     seed: int = 1337,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded minhash (id_a < id_b)."""
+    """Candidate near-duplicate pairs via banded minhash (id_a < id_b).
+
+    ``max_bucket_size`` bounds the per-bucket quadratic blowup (see
+    _cap_buckets); None disables the guard.
+    """
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, w, seed)
@@ -159,6 +181,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -178,13 +201,16 @@ def minhash_lsh_dedup(
     bands: int = 16,
     w: int = 3,
     seed: int = 1337,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidates verified with EXACT Jaccard over shingle-hash sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     The verify join touches only candidate ids — broadcast when small.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, w, seed)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes, bands, w, seed, max_bucket_size
+    )
     feats = df.select(
         F.col(id_col).alias("_fid"), shingle_hashes(text_col, w).alias("_feat")
     )
@@ -253,12 +279,14 @@ def simhash_dedup(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
     pair within distance d agrees on >=1 chunk, so an equal-chunk
     self-join finds all true pairs; verify with bit_count(xor).
+    ``max_bucket_size`` caps degenerate chunk buckets (see _cap_buckets).
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
@@ -280,6 +308,7 @@ def simhash_dedup(
             )
         ).alias("ck"),
     ).select("_id", "_sh", "ck.chunk", "ck.key")
+    chunk_rows = _cap_buckets(chunk_rows, ["chunk", "key"], max_bucket_size)
     a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
     return (
         a.join(b, ["chunk", "key"])

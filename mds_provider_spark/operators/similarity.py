@@ -151,6 +151,94 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the IVF
+    coarse quantizer is always trained on a sample in practice)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            m = sample[assign == j]
+            if len(m):
+                cent[j] = m.mean(0)
+    return cent
+
+
+def _nearest_centroids_expr(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
+    """array of the nprobe nearest centroid ids (squared-L2), pure
+    Catalyst: distances as an array of expressions, ranked via sort of
+    (dist, id) structs."""
+    dists = []
+    for i, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("cid")))
+    ranked = F.array_sort(F.array(*dists))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Train a coarse quantizer (k-means on a driver sample — deterministic
+    seed), assign each corpus vector to its nearest list (one Catalyst
+    projection; centroids are plan literals, no shuffle), probe the
+    ``nprobe`` nearest lists per query, score only same-list pairs.
+    Candidate set per query ≈ nprobe/n_lists of the corpus — at 10^9
+    vectors with 4096 lists and nprobe=8 that's a 512x scan reduction
+    with the recall knob explicit (nprobe).
+    """
+    sample_rows = corpus.select(vec_col).limit(train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
+    )
+    c = c.withColumn("_list", _nearest_centroids_expr(F.col("_cv"), cents, 1)[0])
+    c = c.withColumn("_cn", l2norm(F.col("_cv")))
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv"))
+    q = q.withColumn(
+        "_list", F.explode(_nearest_centroids_expr(F.col("_qv"), cents, nprobe))
+    ).withColumn("_qn", l2norm(F.col("_qv")))
+
+    scored = (
+        q.join(c, "_list")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                    round_digits).alias("cosine_sim"),
+        )
+        .distinct()  # a neighbor can appear via several probed lists
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -43,6 +43,42 @@ def validate_stream(
     return writer.start()
 
 
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window violation rates — the late-data-safe
+    monitoring aggregation (append mode): per (window, part_id), rows and
+    rule hits. The watermark bounds state: windows older than the delay
+    are finalized and evicted, so state size is O(partitions x windows
+    within the watermark), independent of stream length."""
+    flagged = (
+        stream_df.withWatermark(time_col, watermark_delay)
+        .select(
+            F.col(time_col),
+            F.col(ruleset.part_col).alias("part_id"),
+            F.size(ruleset.hits_column()).alias("_n_hits"),
+        )
+    )
+    return (
+        flagged.groupBy(F.window(time_col, window_duration), "part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_n_hits").alias("n_violations"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "part_id",
+            "n_rows",
+            "n_violations",
+        )
+    )
+
+
 def streaming_verdicts(
     stream_df: DataFrame,
     ruleset: RuleSet,

@@ -1,0 +1,108 @@
+"""IVF ANN, LSH bucket caps, watermarked window aggregation."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mds_provider_spark import rules as R
+from mds_provider_spark import schema as S
+from mds_provider_spark.operators import dedup as D
+from mds_provider_spark.operators import similarity as SIM
+from mds_provider_spark.streaming import stream as STR
+
+
+def _emb(spark, n=120, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(dim).astype("float32")
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    e = _emb(spark)
+    q = e.where("vec_id < 5")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.brute_force_topk(e, q, k=3).collect()
+    }
+    ivf = {}
+    for r in SIM.ivf_topk(e, q, k=3, n_lists=8, nprobe=4).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # rank-1 exact neighbor must be recalled for the near-dup pair at least
+    assert exact[(0, 1)] == 1 and 1 in ivf[0]
+    # with nprobe=half the lists, expect decent overlap on top-3
+    hits = sum(
+        1 for (qid, rk), nid in exact.items() if nid in ivf.get(qid, set())
+    )
+    assert hits >= 0.6 * len(exact), (hits, len(exact))
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_lists probes every list -> must equal exact top-k."""
+    e = _emb(spark, n=60)
+    q = e.where("vec_id < 4")
+    exact = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in SIM.brute_force_topk(e, q, k=3).collect()
+    )
+    full = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in SIM.ivf_topk(e, q, k=3, n_lists=6, nprobe=6).collect()
+    )
+    assert full == exact
+
+
+def test_lsh_bucket_cap_bounds_degenerate_content(spark):
+    # 200 identical docs -> one giant bucket in every band; cap must kill
+    # the quadratic pair set entirely (they're still exact-dup territory,
+    # which exact_duplicates handles at groupBy cost, not join cost)
+    rows = [(i, "same words every time here") for i in range(200)]
+    rows += [(1000, "completely different text one"), (1001, "completely different text one x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.minhash_lsh_candidates(df, "doc_id", "text", max_bucket_size=50)
+    got = capped.collect()
+    # the 200-doc clique (19900 pairs) is suppressed; small pairs survive
+    assert len(got) <= 10
+    uncapped = D.minhash_lsh_candidates(df, "doc_id", "text", max_bucket_size=None)
+    assert uncapped.count() >= 19900
+
+
+def test_simhash_cap(spark):
+    rows = [(i, "same words every time here") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.simhash_dedup(df, "doc_id", "text", max_bucket_size=50).count() == 0
+    assert D.simhash_dedup(df, "doc_id", "text", max_bucket_size=None).count() > 10_000
+
+
+def test_windowed_violation_counts(spark, tmp_path):
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    rows = [
+        ("a", 16000, 0, "2024-01-01 00:00:10"),
+        ("b", 11025, 0, "2024-01-01 00:00:20"),   # violation, window 0
+        ("c", 11025, 1, "2024-01-01 00:01:30"),   # violation, window 1
+        ("d", 48000, 1, "2024-01-01 00:01:40"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, sr_hz int, part_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("clip_id string, sr_hz int, part_id int, ts timestamp")
+        .parquet(str(src / "b0"))
+    )
+    rs = R.RuleSet().add(R.is_in("sr_hz", S.SR_HZ_ENUM))
+    out = STR.windowed_violation_counts(stream, rs, "ts", "1 minute", "2 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("wv")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r.window_start), r.part_id): (r.n_rows, r.n_violations)
+        for r in spark.sql("select * from wv").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): (2, 1),
+        ("2024-01-01 00:01:00", 1): (2, 1),
+    }
