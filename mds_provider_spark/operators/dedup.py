@@ -323,6 +323,80 @@ def simhash_dedup(
     )
 
 
+# --------------------------------------------- duplicate-group resolution
+
+
+def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, group_id).
+
+    group_id = min id reachable through the pair graph (so a chain
+    a~b, b~c collapses to group a even if (a,c) was never emitted).
+    Iterative min-label propagation: each round joins current labels
+    across the edge list and keeps the smaller label; labels travel one
+    hop per round, so it converges in O(graph diameter) rounds —
+    near-dup clusters are shallow in practice (most are cliques,
+    diameter 1-2), and ``max_iters`` bounds the pathological chain. Edge
+    and label
+    tables are O(pairs), never O(corpus): only ids that appear in a pair
+    get a row; everything else is its own group by definition.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "group_id", F.col("id")
+    )
+    for _ in range(max_iters):
+        # candidate: the smallest neighbor label per node
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("group_id").alias("_nbr"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("group_id"), F.coalesce("_nbr", F.col("group_id"))).alias(
+                    "group_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.group_id") != F.col("l.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "group_id")
+
+
+def deduplicate(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """Keep-one materializer: drop every near-duplicate except the
+    minimum-id exemplar of its connected group. Rows never seen in a
+    pair pass through untouched (anti-join against the small drop set)."""
+    groups = resolve_duplicate_groups(pairs, max_iters)
+    drop = groups.where(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 # ------------------------------------------------- exact n-gram Jaccard
 
 

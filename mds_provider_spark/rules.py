@@ -139,6 +139,36 @@ def min_length(col: str, n: int) -> Rule:
     )
 
 
+def max_length(col: str, n: int) -> Rule:
+    """JSON-Schema ``maxLength`` (raw character count)."""
+    return Rule(
+        S.rule_id(S.BAD_SHAPE, col),
+        col,
+        f"{col} longer than {n} characters",
+        lambda: _nn(col, F.length(F.col(col)) > n),
+    )
+
+
+def const_value(col: str, value) -> Rule:
+    """JSON-Schema ``const``: value present but not the required constant."""
+    return Rule(
+        S.rule_id(S.BAD_ENUM, col),
+        col,
+        f"{col} must equal {value!r}",
+        lambda: _nn(col, F.col(col) != F.lit(value)),
+    )
+
+
+def multiple_of(col: str, divisor: int) -> Rule:
+    """JSON-Schema ``multipleOf`` (integer divisors)."""
+    return Rule(
+        S.rule_id(S.OUT_OF_RANGE, col),
+        col,
+        f"{col} not a multiple of {divisor}",
+        lambda: _nn(col, F.pmod(F.col(col), F.lit(divisor)) != 0),
+    )
+
+
 def non_empty(col: str, kind: str = S.EMPTY_TEXT) -> Rule:
     """Fires on whitespace-only / empty strings (stricter than JSON-Schema
     minLength — see min_length). NULL is not_null's job."""

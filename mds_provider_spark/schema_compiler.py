@@ -73,6 +73,15 @@ def from_json_schema(
             elif kw == "minLength":
                 # faithful draft-06 semantics: raw length, no trimming
                 rs.add(R.min_length(name, int(val)))
+            elif kw == "maxLength":
+                rs.add(R.max_length(name, int(val)))
+            elif kw == "const":
+                rs.add(R.const_value(name, val))
+            elif kw == "multipleOf":
+                if isinstance(val, int) and val > 0:
+                    rs.add(R.multiple_of(name, val))
+                else:
+                    unsupported.append(f"{name}.multipleOf:{val}")
             elif kw in ("minItems", "maxItems"):
                 pass  # handled together below
             elif kw == "uniqueItems":

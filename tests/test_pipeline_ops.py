@@ -102,6 +102,25 @@ def test_embedding_near_duplicates(spark):
     assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
 
 
+def test_resolve_duplicate_groups_transitive(spark):
+    # chain 1~2, 2~3 plus isolated pair 10~11: groups must close transitively
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in D.resolve_duplicate_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_deduplicate_keeps_exemplars_and_untouched_rows(spark):
+    df = _docs(spark)
+    pairs = D.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    kept = sorted(r.doc_id for r in D.deduplicate(df, pairs, "doc_id").collect())
+    # docs 1,2,3 are one near-dup group -> keep 1; 4,5,6 untouched
+    assert kept == [1, 4, 5, 6]
+
+
 def test_text_profile(spark):
     prof = {r.doc_id: r for r in TX.text_profile(_docs(spark), "doc_id", "text").collect()}
     assert prof[1].n_tokens == 14

@@ -102,11 +102,45 @@ def test_clean_records_have_no_violations(spark):
 
 
 def test_unsupported_keywords_strict():
-    bad = {"type": "object", "properties": {"x": {"multipleOf": 3}}}
-    with pytest.raises(ValueError, match="multipleOf"):
+    bad = {"type": "object", "properties": {"x": {"contains": {"enum": [1]}}}}
+    with pytest.raises(ValueError, match="contains"):
         from_json_schema(bad, key_col="x")
     rs, unsup = from_json_schema(bad, key_col="x", strict=False)
-    assert unsup == ["x.multipleOf"]
+    assert unsup == ["x.contains"]
+
+
+def test_maxlength_const_multipleof(spark):
+    schema = {
+        "type": "object",
+        "properties": {
+            "k": {"type": "string"},
+            "code": {"type": "string", "maxLength": 3},
+            "kind": {"const": "clip"},
+            "step": {"type": "integer", "multipleOf": 5},
+        },
+    }
+    rs, unsup = from_json_schema(schema, key_col="k")
+    assert unsup == []
+    df = spark.createDataFrame(
+        [
+            ("ok", "abc", "clip", 10),
+            ("long", "abcd", "clip", 10),   # maxLength
+            ("kind", "ab", "song", 10),     # const
+            ("mult", "ab", "clip", 7),      # multipleOf
+        ],
+        "k string, code string, kind string, step long",
+    ).withColumn("part_id", F.lit(0))
+    got = {(r.rule_id, r.clip_id) for r in rs.violations(df).collect()}
+    assert got == {
+        ("bad_shape:code", "long"),
+        ("bad_enum:kind", "kind"),
+        ("out_of_range:step", "mult"),
+    }
+    # cross-check vs the reference mechanism
+    for row in [("long", "abcd", "clip", 10), ("ok", "abc", "clip", 10)]:
+        rec = dict(zip(["k", "code", "kind", "step"], row))
+        errs = list(jsonschema.Draft6Validator(schema).iter_errors(rec))
+        assert bool(errs) == (row[0] != "ok")
 
 
 def test_unique_passthrough():
