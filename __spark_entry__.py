@@ -416,6 +416,17 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_materialize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: LSH pairs -> connected groups -> keep-one table
+    (returns kept doc_ids + group sizes)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cleaned = D.deduplicate(docs, pairs, "doc_id")
+    return cleaned.select("doc_id", "lang")
+
+
 def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
@@ -496,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": fingerprint_documents,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": minhash_dedup_documents,
+        "dedup_materialize_documents": dedup_materialize_documents,
         "simhash_dedup_documents": simhash_dedup_documents,
         "lsh_ann_embeddings": lsh_ann_embeddings,
         "ivf_ann_embeddings": ivf_ann_embeddings,
