@@ -303,6 +303,18 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.length_histogram(_t(spark, sf_dir, "documents"), "text", 100)
+
+
+def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample by md5-bucket of doc_id (engine-portable;
+    the oracle runs the IDENTICAL expression in DuckDB)."""
+    return TX.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", percent=10
+    ).select("doc_id", "lang")
+
+
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
@@ -505,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": text_stats_documents,
         "lang_id_documents": lang_id_documents,
         "fingerprint_documents": fingerprint_documents,
+        "doc_length_histogram": doc_length_histogram,
+        "deterministic_sample_documents": deterministic_sample_documents,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": minhash_dedup_documents,
         "dedup_materialize_documents": dedup_materialize_documents,
@@ -803,5 +817,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "doc_length_histogram": """
+            SELECT (floor(length(text) / 100) * 100)::BIGINT AS min_chars,
+                   count(*) AS n_docs
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """,
+        "deterministic_sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 10
         """,
     }

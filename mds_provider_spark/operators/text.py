@@ -116,6 +116,38 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Co
     return F.array_sort(F.array_distinct(mins))
 
 
+def length_histogram(
+    df: DataFrame, text_col: str, bucket_chars: int = 100
+) -> DataFrame:
+    """Document-length distribution: rows per fixed-width char bucket.
+    The curation dashboard staple; one partial+final hash agg."""
+    bucket = F.floor(F.length(F.col(text_col)) / bucket_chars).cast("long")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select((F.col("bucket") * bucket_chars).alias("min_chars"), "n_docs")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, percent: int, salt: str = ""
+) -> DataFrame:
+    """Reproducible, engine-portable sampling: keep rows whose
+    md5(id||salt) bucket (mod 100) falls below ``percent``.
+
+    Unlike ``df.sample()`` (partition-count-dependent RNG), membership is
+    a pure function of the id — the same subset everywhere, forever:
+    resumable pipelines, cross-system comparisons, A/B splits (use
+    disjoint percent ranges via salt). md5 keeps it reproducible in any
+    engine (same expression runs in DuckDB/Trino for audits).
+    """
+    bucket = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                               F.lit(salt))), 1, 4), 16, 10
+                    ).cast("long") % 100
+    return df.where(bucket < percent)
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One projection with every text measure — single scan."""
     return df.select(

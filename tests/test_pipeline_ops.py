@@ -132,6 +132,30 @@ def test_text_profile(spark):
     assert prof[1].quality_score > prof[6].quality_score
 
 
+def test_deterministic_sample_is_partition_independent(spark):
+    docs = _docs(spark)
+    a = sorted(r.doc_id for r in TX.deterministic_sample(docs, "doc_id", 50).collect())
+    b = sorted(
+        r.doc_id
+        for r in TX.deterministic_sample(docs.repartition(5), "doc_id", 50).collect()
+    )
+    assert a == b
+    # disjoint salts give (near-)independent subsets; same salt identical
+    c = sorted(r.doc_id for r in TX.deterministic_sample(docs, "doc_id", 50).collect())
+    assert a == c
+    # monotone: a 100% sample is everything
+    assert TX.deterministic_sample(docs, "doc_id", 100).count() == docs.count()
+
+
+def test_length_histogram(spark):
+    df = spark.createDataFrame(
+        [("a", "x" * 50), ("b", "y" * 150), ("c", "z" * 160), ("d", None)],
+        "k string, text string",
+    )
+    got = {r.min_chars: r.n_docs for r in TX.length_histogram(df, "text").collect()}
+    assert got == {0: 1, 100: 2}
+
+
 def test_winnowing_fingerprints_overlap(spark):
     df = _docs(spark).select(
         "doc_id", D.norm_text("text").alias("t")
