@@ -203,7 +203,15 @@ def ivf_topk(
     vectors with 4096 lists and nprobe=8 that's a 512x scan reduction
     with the recall knob explicit (nprobe).
     """
-    sample_rows = corpus.select(vec_col).limit(train_sample).collect()
+    # deterministic training sample: ordered by id so centroids (and thus
+    # results) are identical across runs and partitionings
+    sample_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
 
