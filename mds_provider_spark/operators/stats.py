@@ -51,7 +51,9 @@ def profile(
     cols = list(cols or df.columns)
     aggs: list = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(f"_null_{c}")
+        )
         if exact_distinct:
             aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
         else:
@@ -74,7 +76,7 @@ def profile(
                 F.lit(c).alias("column_name"),
                 F.col("_n").alias("n_rows"),
                 F.col(f"_null_{c}").alias("null_count"),
-                (F.col(f"_null_{c}") / F.col("_n")).alias("null_rate"),
+                F.try_divide(F.col(f"_null_{c}"), F.col("_n")).alias("null_rate"),
                 (F.col(f"_min_{c}") if numeric else F.lit(None).cast("double")).alias("min_val"),
                 (F.col(f"_max_{c}") if numeric else F.lit(None).cast("double")).alias("max_val"),
                 F.col(f"_dist_{c}").cast("long").alias("approx_distinct"),

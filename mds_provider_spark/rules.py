@@ -293,8 +293,13 @@ class RuleSet:
 
     # -- compilation -------------------------------------------------
 
+    _HIT_TYPE = "array<struct<rule_id:string,column_name:string,message:string>>"
+
     def hits_column(self) -> Column:
         """array<struct<rule_id,column_name,message>> of fired rules."""
+        if not self.rules:
+            # F.array() with no children is array<void>; keep the shape typed
+            return F.expr(f"cast(array() as {self._HIT_TYPE})")
         arr = F.array(*[r.hit() for r in self.rules])
         return F.filter(arr, lambda x: x.isNotNull())
 

@@ -91,6 +91,17 @@ def test_clean_table_passes(spark, ruleset):
     assert verd.status == "pass" and verd.n_violations == 0
 
 
+def test_zero_rule_ruleset_is_typed_and_passes(spark):
+    """An empty RuleSet must yield a typed empty hit array (F.array() is
+    array<void> and used to crash the explode), zero violations, and
+    pass verdicts."""
+    rs = R.RuleSet()
+    df = spark.createDataFrame([("a", 0)], "clip_id string, part_id int")
+    assert rs.violations(df).count() == 0
+    v = rs.verdicts(df).collect()[0]
+    assert (v.status, v.n_rows, v.n_violations) == ("pass", 1, 0)
+
+
 def test_enum_rule_does_not_fire_on_null(spark):
     rs = R.RuleSet().add(R.is_in("codec", S.CODEC_ENUM))
     df = spark.createDataFrame(

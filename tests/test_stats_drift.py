@@ -23,6 +23,16 @@ def test_profile_single_pass(spark, num_df):
     assert len(prof["a"].quantiles) == len(ST.DEFAULT_PROBS)
 
 
+def test_profile_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "x double")
+    r = ST.profile(empty, ["x"]).collect()[0]
+    assert (r.n_rows, r.null_count, r.null_rate) == (0, 0, None)
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    r = ST.profile(allnull, ["x"]).collect()[0]
+    assert (r.n_rows, r.null_count, r.null_rate) == (2, 2, 1.0)
+    assert r.min_val is None and r.approx_distinct == 0
+
+
 def test_profile_is_one_aggregate(spark, num_df):
     plan = ST.profile(num_df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     # exactly one shuffle: partial agg -> final agg
