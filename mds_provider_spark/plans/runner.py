@@ -52,6 +52,19 @@ class ValidationRun:
     # avoids shipping audio bytes over the JVM->Python pipe.
     pcm_strategy: str = "rows"
     clips_path: str | None = None
+    # drift detection: a baseline snapshot DataFrame (SNAPSHOT_SCHEMA /
+    # operators.drift.snapshot output). When set, run() computes the
+    # current snapshot over the listed columns after the per-group loop
+    # and writes drift findings to <out>/drift (one tiny broadcast join).
+    baseline_snapshot: "DataFrame | None" = None
+    drift_cols: tuple[str, ...] = ("sr_hz", "dur_ms")
+
+    def _read(self, path: str, schema) -> DataFrame:
+        """Read-back with an EXPLICIT schema: a group with zero violations
+        writes an empty parquet dir (no footers), and schema inference
+        would fail — with the declared schema an empty dir is just an
+        empty DataFrame."""
+        return self.spark.read.schema(schema).parquet(path)
 
     def groups(self) -> list[tuple[int, list[int]]]:
         parts = list(range(self.n_parts))
@@ -122,7 +135,7 @@ class ValidationRun:
                  .parquet(log.path("violations")))
             # verdicts from the materialized violations — no rule re-eval,
             # n_rows via a count-only scan (metadata when bucketed).
-            written = self.spark.read.parquet(log.path("violations")).where(
+            written = self._read(log.path("violations"), S.VIOLATIONS_SCHEMA).where(
                 F.col("part_id").isin(parts)
             )
             verd = self.ruleset.verdicts_from_violations(sub, written)
@@ -131,7 +144,7 @@ class ValidationRun:
                  .parquet(log.path("verdicts")))
             stats = {
                 r["part_id"]: (r["n_rows"], r["n_violations"])
-                for r in self.spark.read.parquet(log.path("verdicts"))
+                for r in self._read(log.path("verdicts"), S.VERDICTS_SCHEMA)
                 .where(F.col("part_id").isin(parts))
                 .collect()
             }
@@ -156,15 +169,28 @@ class ValidationRun:
             summary["groups_run"] += 1
             summary["rows"] += g_rows
             summary["violations"] += g_viol
+
+        if self.baseline_snapshot is not None and summary["groups_run"] > 0:
+            # drift pass: one single-pass profile over the table + a
+            # broadcast join of two one-row-per-column snapshots; written
+            # once per run (not per group — sketches need the full table)
+            from mds_provider_spark.operators import drift as DR
+
+            cur = DR.snapshot(clips, list(self.drift_cols), self.run_id)
+            findings = DR.drift_violations(cur, self.baseline_snapshot).cache()
+            summary["drift_findings"] = findings.count()
+            findings.write.mode("overwrite").parquet(log.path("drift"))
+            cur.write.mode("overwrite").parquet(log.path("snapshot"))
+            findings.unpersist()
         return summary
 
     # ------------------------------------------------------- read-backs
 
     def violations(self) -> DataFrame:
-        return self.spark.read.parquet(CommitLog(self.out_dir).path("violations"))
+        return self._read(CommitLog(self.out_dir).path("violations"), S.VIOLATIONS_SCHEMA)
 
     def verdicts(self) -> DataFrame:
-        return self.spark.read.parquet(CommitLog(self.out_dir).path("verdicts"))
+        return self._read(CommitLog(self.out_dir).path("verdicts"), S.VERDICTS_SCHEMA)
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(CommitLog(self.out_dir).path("metrics"))
+        return self._read(CommitLog(self.out_dir).path("metrics"), S.METRICS_SCHEMA)

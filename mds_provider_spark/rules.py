@@ -389,6 +389,52 @@ class RuleSet:
         )
 
 
+_RULE_FACTORIES = {
+    "not_null": lambda c, p: not_null(c),
+    "is_in": lambda c, p: is_in(c, p["values"]),
+    "in_range": lambda c, p: in_range(
+        c, lo=p.get("lo"), hi=p.get("hi"),
+        lo_inclusive=p.get("lo_inclusive", True),
+        hi_inclusive=p.get("hi_inclusive", True),
+    ),
+    "matches": lambda c, p: matches(c, p["regex"]),
+    "non_empty": lambda c, p: non_empty(c),
+    "min_length": lambda c, p: min_length(c, p["n"]),
+    "max_length": lambda c, p: max_length(c, p["n"]),
+    "castable": lambda c, p: castable(c, p["type"]),
+    "array_size": lambda c, p: array_size(c, p.get("min_items"), p.get("max_items")),
+    "elements_in": lambda c, p: elements_in(c, p["values"]),
+    "unique_items": lambda c, p: unique_items(c),
+    "const": lambda c, p: const_value(c, p["value"]),
+    "multiple_of": lambda c, p: multiple_of(c, p["divisor"]),
+    "required_if": lambda c, p: required_if(c, p["when_col"], p["when_values"]),
+}
+
+
+def from_config(
+    spec: list[dict], key_col: str, part_col: str = "part_id"
+) -> RuleSet:
+    """Config-driven rule sets: ``[{"kind": ..., "column": ..., ...}]``.
+
+    The deployment-side analog of the reference's registry/config pattern
+    (mds/providers.py + ConfigFile): rule sets live in version-controlled
+    JSON next to the pipeline config, loaded per run — no code change to
+    add a constraint. ``{"kind": "unique_key", "columns": [...]}`` adds a
+    cross-row uniqueness check.
+    """
+    rs = RuleSet(key_col=key_col, part_col=part_col)
+    for item in spec:
+        kind = item["kind"]
+        if kind == "unique_key":
+            rs.add(unique_key(item["columns"]))
+            continue
+        factory = _RULE_FACTORIES.get(kind)
+        if factory is None:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        rs.add(factory(item["column"], item))
+    return rs
+
+
 def mds_clip_rules() -> RuleSet:
     """The flagship rule set for the audio-clip table (BASELINE.json).
 
