@@ -69,6 +69,30 @@ def test_staging_roundtrip_into_spark(spark, tmp_path):
     assert sorted(r.trip_id for r in rec.collect()) == ["t1", "t2", "t3"]
 
 
+def test_fetch_many_distributed(spark, tmp_path):
+    """Distributed fan-out: independent (provider x window) page loops
+    run inside executors, each writing its own staging dir."""
+    staging = str(tmp_path / "multi")
+    tasks = [
+        {"name": "p1", "base_url": "https://api.example", "record_type": "trips"},
+        {"name": "p2", "base_url": "https://api.example", "record_type": "trips"},
+    ]
+
+    # the factory must be self-contained: it is pickled into executors,
+    # where this test module is not importable
+    pages_data = {k: v for k, v in PAGES.items() if "trips" in k}
+
+    def factory(data=pages_data):
+        return lambda url, params, headers: data[url]
+
+    pages = AC.fetch_many(spark, tasks, factory, staging)
+    assert pages == 4  # 2 providers x 2 pages each
+    import glob
+
+    assert len(glob.glob(staging + "/p1/*.json")) == 2
+    assert len(glob.glob(staging + "/p2/*.json")) == 2
+
+
 def test_duplicate_exemplars(spark):
     df = spark.createDataFrame(
         [("k1", 5, "a"), ("k1", 3, "b"), ("k2", 1, "c"), ("k1", 9, "d")],
