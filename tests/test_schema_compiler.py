@@ -91,6 +91,60 @@ def test_compiles_and_matches_reference_validator(spark):
         assert got == want, (row[0], got, want)
 
 
+def test_randomized_differential_vs_jsonschema(spark):
+    """300 seeded random records (valid and broken in every dimension):
+    the compiled ruleset must agree with jsonschema per record."""
+    import random
+
+    rng = random.Random(20240816)
+    uuids = [f"{i:08x}-0000-4000-8000-{i:012x}" for i in range(400)]
+
+    def rand_record(i):
+        rec = {"k": f"r{i}"}
+        rec["trip_id"] = rng.choice([uuids[i], "bad-uuid", None])
+        rec["vehicle_type"] = rng.choice(["bicycle", "scooter", "car", "rocket", None])
+        rec["trip_distance"] = rng.choice([0.0, 10.5, -3.0, None])
+        rec["trip_duration"] = rng.choice([1, 3600, 0, 90000, None])
+        rec["propulsion_type"] = rng.choice(
+            [["human"], ["electric", "human"], [], ["human", "human"], ["warp"], None]
+        )
+        rec["note"] = rng.choice(["ok note", "", "   ", "With Caps!", None])
+        return rec
+
+    records = [rand_record(i) for i in range(300)]
+    rows = [
+        (
+            r["k"], r["trip_id"], r["vehicle_type"], r["trip_distance"],
+            r["trip_duration"], r["propulsion_type"], r["note"],
+        )
+        for r in records
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, trip_id string, vehicle_type string, trip_distance double, "
+        "trip_duration long, propulsion_type array<string>, note string",
+    ).withColumn("part_id", F.lit(0))
+
+    rs, _ = from_json_schema(TRIPS_SCHEMA, key_col="k")
+    mine = {}
+    for v in rs.violations(df).collect():
+        mine.setdefault(v.clip_id, set()).add(v.column_name)
+
+    validator = jsonschema.Draft6Validator(
+        TRIPS_SCHEMA, format_checker=jsonschema.FormatChecker()
+    )
+    for r in records:
+        rec = {k: v for k, v in r.items() if k != "k" and v is not None}
+        want = set()
+        for err in validator.iter_errors(rec):
+            if err.absolute_path:
+                want.add(str(err.absolute_path[0]))
+            elif err.validator == "required":
+                want.update(p for p in TRIPS_SCHEMA["required"] if p not in rec)
+        got = mine.get(r["k"], set())
+        assert got == want, (r, got, want)
+
+
 def test_clean_records_have_no_violations(spark):
     rs, _ = from_json_schema(TRIPS_SCHEMA, key_col="trip_id")
     df = spark.createDataFrame(
