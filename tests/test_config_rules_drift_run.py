@@ -44,6 +44,23 @@ def test_from_config_unknown_kind():
         R.from_config([{"kind": "nope", "column": "x"}], key_col="x")
 
 
+def test_drift_on_resumed_and_noop_runs(spark, tmp_path):
+    base = FX.generate_clips(spark, 800, n_parts=8, seed=42, dur_choices=[80, 120])
+    baseline = DR.snapshot(base, ["dur_ms"], "baseline")
+    shifted = FX.generate_clips(spark, 800, n_parts=8, seed=42, dur_choices=[800, 1200])
+    out = str(tmp_path / "resume_drift")
+
+    kw = dict(n_parts=8, group_size=4, baseline_snapshot=baseline,
+              drift_cols=("dur_ms",))
+    ValidationRun(spark, out, **kw).run(shifted, stop_after_groups=1)
+    # resume completes the remaining group -> drift computed on resume
+    s2 = ValidationRun(spark, out, **kw).run(shifted)
+    assert s2["groups_run"] == 1 and s2["drift_findings"] == 1
+    # full no-op rerun: nothing ran -> drift not recomputed
+    s3 = ValidationRun(spark, out, **kw).run(shifted)
+    assert s3["groups_run"] == 0 and "drift_findings" not in s3
+
+
 def test_run_with_drift_detection(spark, tmp_path):
     # baseline from the healthy generator; current with shifted dur_ms
     base = FX.generate_clips(spark, 1200, n_parts=8, seed=42,
