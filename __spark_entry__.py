@@ -543,7 +543,7 @@ _TOKENS_D = f"list_distinct({_TOKENS})"
 def oracle_sql() -> dict[str, str]:
     stats_union = "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
-            sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+            sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
             round(min({c}::DOUBLE), 6) AS min_val,
             round(max({c}::DOUBLE), 6) AS max_val,
             count(DISTINCT {c}) AS n_distinct
@@ -639,7 +639,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT (user_id % 8)::INT AS part_id,
                    CASE WHEN sum(viol) > 0 THEN 'fail' ELSE 'pass' END AS status,
                    count(*) AS n_rows,
-                   sum(viol) AS n_violations
+                   sum(viol)::BIGINT AS n_violations
             FROM (
               SELECT user_id,
                 (CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
@@ -719,7 +719,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT part_id, status, n_rows, n_violations FROM (
               SELECT (user_id % 8)::INT AS part_id,
                      CASE WHEN sum(viol) > 0 THEN 'fail' ELSE 'pass' END AS status,
-                     count(*) AS n_rows, sum(viol) AS n_violations
+                     count(*) AS n_rows, sum(viol)::BIGINT AS n_violations
               FROM (
                 SELECT user_id,
                   (CASE WHEN event_id IS NULL THEN 1 ELSE 0 END

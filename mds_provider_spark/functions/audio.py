@@ -131,6 +131,17 @@ RefWaveFn = Callable[[str, int, int], np.ndarray]
 """(clip_id, sr_hz, dur_ms) -> reference float32 waveform."""
 
 
+def _structurally_invalid(cid, sr, dur, codec) -> bool:
+    """Shared skip predicate for BOTH pcm paths ('Same results' contract):
+    rows already caught by not_null/enum/range rules (NULL key, unknown
+    codec, NULL/NaN/non-positive sr or dur) are not content-checked."""
+    if cid is None or codec not in DECODERS:
+        return True
+    if sr is None or dur is None or pd.isna(sr) or pd.isna(dur):
+        return True
+    return int(sr) <= 0 or int(dur) <= 0
+
+
 def pcm_violations(
     clips: DataFrame,
     ref_wave_fn: RefWaveFn,
@@ -168,14 +179,7 @@ def pcm_violations(
                     bad_parts.append(part)
                     msgs.append("required field bytes is missing")
                     continue
-                if (
-                    cid is None
-                    or codec not in DECODERS
-                    or pd.isna(sr)
-                    or pd.isna(dur)
-                    or int(sr) <= 0
-                    or int(dur) <= 0
-                ):
+                if _structurally_invalid(cid, sr, dur, codec):
                     continue
                 try:
                     dec = decode(codec, bytes(buf))
@@ -269,8 +273,7 @@ def pcm_violations_over_files(
                             rids.append(rid_null); ids.append(cid); parts.append(part)
                             msgs.append("required field bytes is missing")
                             continue
-                        if (cid is None or codec not in DECODERS or not sr
-                                or dur is None or dur <= 0):
+                        if _structurally_invalid(cid, sr, dur, codec):
                             continue
                         try:
                             dec = decode(codec, buf)

@@ -62,6 +62,25 @@ class CommitLog:
             parts.update(meta["part_ids"])
         return parts
 
+    def clear_parts(self, sub: str, part_ids: list[int]) -> None:
+        """Drop the part_id partition dirs of an UNCOMMITTED attempt.
+
+        Dynamic partition overwrite only replaces partitions present in
+        the new result — if a crashed attempt wrote violations for a part
+        whose retry yields zero violations, the stale rows would survive
+        and flip that part's verdict to fail. The runner therefore clears
+        every part in the group before rewriting (the Iceberg analog is
+        ``overwrite(part_id IN (...))`` — overwrite-by-filter, which
+        replaces the listed partitions whether or not the new data
+        touches them; Spark's dynamic mode alone does not)."""
+        import shutil
+
+        base = self.path(sub)
+        for p in part_ids:
+            d = os.path.join(base, f"part_id={int(p)}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
     def commit_group(self, group_id: int, part_ids: list[int], run_id: str,
                      batch: int, extra: dict | None = None) -> None:
         os.makedirs(self.commits_dir, exist_ok=True)

@@ -129,6 +129,11 @@ class ValidationRun:
             viol = self.ruleset.violations(sub).unionByName(
                 self._cross_row_violations(sub, sub_t, parts)
             )
+            # clear the group's partitions first: a crashed attempt may
+            # have left rows in a part whose retry writes nothing, and
+            # dynamic overwrite would keep them (checkpoint.clear_parts)
+            log.clear_parts("violations", parts)
+            log.clear_parts("verdicts", parts)
             # one write job for violations (dynamic overwrite = idempotent)
             (viol.repartition("part_id")
                  .write.mode("overwrite").partitionBy("part_id")

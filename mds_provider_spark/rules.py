@@ -336,7 +336,9 @@ class RuleSet:
         """
         base = self.flagged(df).groupBy("part_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.size("_hits")).alias("n_violations"),
+            # cast("long") pins BIGINT on both engines (DuckDB sums to
+            # HUGEINT; the driver's hash is type-sensitive through pandas)
+            F.sum(F.size("_hits")).cast("long").alias("n_violations"),
         )
         if extra_violations is not None:
             extra = extra_violations.groupBy("part_id").agg(

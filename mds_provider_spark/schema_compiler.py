@@ -100,16 +100,32 @@ def from_json_schema(
             else:
                 unsupported.append(f"{name}.{kw}")
 
-        lo = spec.get("minimum", spec.get("exclusiveMinimum"))
-        hi = spec.get("maximum", spec.get("exclusiveMaximum"))
+        # minimum and exclusiveMinimum may BOTH appear (legal draft-06);
+        # compile the stricter of the two, deriving inclusivity from
+        # whichever keyword supplied the winning bound. x<m (inclusive
+        # min m) is implied by x<=e (exclusive min e) whenever e >= m.
+        lo, lo_inc = None, True
+        if "exclusiveMinimum" in spec and (
+            "minimum" not in spec or spec["exclusiveMinimum"] >= spec["minimum"]
+        ):
+            lo, lo_inc = spec["exclusiveMinimum"], False
+        elif "minimum" in spec:
+            lo, lo_inc = spec["minimum"], True
+        hi, hi_inc = None, True
+        if "exclusiveMaximum" in spec and (
+            "maximum" not in spec or spec["exclusiveMaximum"] <= spec["maximum"]
+        ):
+            hi, hi_inc = spec["exclusiveMaximum"], False
+        elif "maximum" in spec:
+            hi, hi_inc = spec["maximum"], True
         if lo is not None or hi is not None:
             rs.add(
                 R.in_range(
                     name,
                     lo=lo,
                     hi=hi,
-                    lo_inclusive="exclusiveMinimum" not in spec,
-                    hi_inclusive="exclusiveMaximum" not in spec,
+                    lo_inclusive=lo_inc,
+                    hi_inclusive=hi_inc,
                 )
             )
         if "minItems" in spec or "maxItems" in spec:

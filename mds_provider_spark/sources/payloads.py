@@ -36,7 +36,11 @@ def payload_schema(record_schema: T.StructType, record_type: str) -> T.StructTyp
 
 
 def _version_key(v):
-    return F.transform(F.split(v, r"\."), lambda p: F.lpad(p, 5, "0"))
+    # pad to exactly 3 components so '0.2' keys equal to '0.2.0' —
+    # mirrors functions/versions.Version's `int(m.group(3) or 0)`
+    parts = F.transform(F.split(v, r"\."), lambda p: F.lpad(p, 5, "0"))
+    pad = F.array(F.lit("00000"), F.lit("00000"))
+    return F.slice(F.concat(parts, pad), 1, 3)
 
 
 def load_records(

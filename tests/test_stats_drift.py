@@ -52,7 +52,8 @@ def test_hll_sketch_merge_matches_union(spark, num_df):
 def test_tdigest_close_to_exact(spark, num_df):
     got = DR.tdigest_quantiles(num_df, "a", probs=[0.5]).collect()[0]
     exact = num_df.agg(F.expr("percentile(a, 0.5)")).collect()[0][0]
-    assert got.quantiles[0] == pytest.approx(exact, abs=2.0)
+    assert got.prob == 0.5
+    assert got.quantile == pytest.approx(exact, abs=2.0)
 
 
 def test_drift_detects_shift(spark):
