@@ -429,12 +429,18 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_materialize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup: LSH pairs -> connected groups -> keep-one table
-    (returns kept doc_ids + group sizes)."""
+    """End-to-end dedup: near-dup pairs -> connected groups -> keep-one.
+
+    Driver-oracled variant: pairs come from the EXACT Jaccard path over a
+    bounded id range (engine-portable; DuckDB recomputes them and the
+    connected components with a recursive CTE), exercising the same
+    resolve-groups + anti-join materializer the LSH pipeline uses. The
+    LSH-pairs variant stays covered by minhash_dedup_documents +
+    differential pytest."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    pairs = D.ngram_jaccard_pairs(
+        docs.where(F.col("doc_id") < 200), "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b")
     cleaned = D.deduplicate(docs, pairs, "doc_id")
     return cleaned.select("doc_id", "lang")
 
@@ -444,46 +450,144 @@ def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-k demo sized for the small test corpora: 8 planes x
+    4 tables = 256 buckets/table (the production default of 16 planes
+    yields 65536 buckets — correct at 10^8+ vectors, empty candidate
+    sets at sf<=0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64,
+                        n_planes=8, n_tables=4)
 
 
 def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe=n_lists: every list is probed, so the result equals
+    exact brute force and the brute-force SQL oracles the whole IVF
+    machinery (assignment, list join, rank). The scale configuration
+    (nprobe << n_lists) is covered by a recall pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
-                        n_lists=16, nprobe=4)
+                        n_lists=16, nprobe=16)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
-    )
+    """LSH near-dup over the embeddings table UNIONED with exact copies
+    (vec_id + 100000). Identical vectors produce identical sign bits in
+    every LSH table, so recall on the planted pairs is exactly 1 and
+    the result is deterministic and oracle-able: the natural max
+    pairwise cosine in the synthetic table is ~0.51, so the output is
+    precisely the planted (i, i+100000, 1.0) pairs — false positives
+    from bucket collisions are eliminated by the exact-cosine verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    return SIM.embedding_near_duplicates(emb.unionByName(dup), threshold=0.9)
 
 
 def tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DR.tdigest_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    """t-digest with a BOUND-CHECK oracle (sketch values are
+    engine-specific): the query returns the EXACT quantile alongside
+    whether the two-stage t-digest landed within 5% of the column span
+    of it; the oracle recomputes the exact quantiles and expects
+    within_bound=true for every probability."""
+    li = _t(spark, sf_dir, "lineitem")
+    td = DR.tdigest_quantiles(li, "l_extendedprice")  # (column_name, prob, quantile)
+    probs = list(ST.DEFAULT_PROBS)
+    q = F.percentile(F.col("l_extendedprice").cast("double"),
+                     F.array(*[F.lit(p) for p in probs]))
+    wide = li.agg(
+        q.alias("_qs"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("_min"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("_max"),
+    )
+    exact = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("prob"),
+                    F.round(F.col("_qs")[i], 6).alias("exact_q"),
+                    (F.col("_max") - F.col("_min")).alias("_span"),
+                )
+                for i, p in enumerate(probs)
+            ])
+        ).alias("s")
+    ).select("s.*")
+    return exact.join(F.broadcast(td), "prob").select(
+        "column_name",
+        "prob",
+        "exact_q",
+        (F.abs(F.col("quantile") - F.col("exact_q")) <= 0.05 * F.col("_span")).alias(
+            "within_bound"
+        ),
+    )
 
 
 def hll_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sk = ST.hll_sketches(
-        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey", "l_suppkey"]
+    """HLL sketch-merge path with a BOUND-CHECK oracle: the estimate is
+    engine-specific, so the query returns the exact distinct count plus
+    whether the merged-sketch estimate landed within 3x the sketch's
+    relative standard deviation of it (lgConfigK=12 -> rsd~1.6%); the
+    oracle recomputes the exact count and expects within_bound=true."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    est = ST.merge_hll(ST.hll_sketches(li, cols)).select("column_name", "estimate")
+    exact_wide = li.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols])
+    exact = exact_wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("column_name"),
+                         F.col(c).cast("long").alias("exact_distinct"))
+                for c in cols
+            ])
+        ).alias("s")
+    ).select("s.*")
+    margin = 3 * 1.04 / (2 ** 6)  # 3 * rsd(lgConfigK=12) = 3*1.04/sqrt(4096)
+    return exact.join(F.broadcast(est), "column_name").select(
+        "column_name",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.lit(margin) * F.col("exact_distinct")
+        ).alias("within_bound"),
     )
-    return ST.merge_hll(sk).select("column_name", "estimate")
+
+
+_ORACLE_DIR = "/root/repo/.oracle"
 
 
 def clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship audio pipeline on the synthetic clips table (rows-only)."""
+    """Flagship audio pipeline on the synthetic clips table — ORACLED.
+
+    The seeded clips/transcripts (minus audio bytes; plus a bytes-null
+    flag) are materialized to parquet so DuckDB can recompute every
+    SQL-expressible rule family. The PCM/SNR family is checked
+    differentially against the fault-INJECTION ledger: the engine must
+    DETECT bad_pcm by actually decoding and comparing waveforms, while
+    the oracle reads which rows were corrupted at generation time — a
+    detection-vs-injection cross-check (false positives and misses both
+    hash-mismatch). Violation messages are dropped from the output (SNR
+    text is float-formatting-sensitive across engines)."""
     n = 2000
-    clips = FX.generate_clips(spark, n, n_parts=8, seed=42,
-                              faults=FX.default_fault_plan(n))
+    faults = FX.default_fault_plan(n)
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     ts = FX.generate_transcripts(spark, n, n_parts=8, seed=42)
+    clips.select(
+        "clip_id", "sr_hz", "dur_ms", "codec", "transcript", "part_id",
+        F.col("bytes").isNull().alias("bytes_is_null"),
+    ).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/clips_input")
+    ts.write.mode("overwrite").parquet(f"{_ORACLE_DIR}/transcripts_input")
+    pcm_rows = [
+        (FX.clip_id_at(42, i), FX.part_id_of(FX.clip_id_at(42, i), 8))
+        for i, kind in sorted(faults.items()) if kind == "bad_pcm"
+    ]
+    spark.createDataFrame(pcm_rows, "clip_id string, part_id int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/pcm_fault_ledger")
     rs = R.mds_clip_rules()
     v = rs.violations(clips)
     v = v.unionByName(U.duplicate_violations(clips, ["clip_id"]))
     v = v.unionByName(REF.referential_violations(clips, ts))
     v = v.unionByName(REF.transcript_mismatch_violations(clips, ts))
     v = v.unionByName(audio.pcm_violations(clips, FX.ref_waveform))
-    return v
+    return v.select("rule_id", "clip_id", "column_name", "part_id")
 
 
 def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,5 +930,138 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample_documents": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 10
+        """,
+        # IVF at nprobe=n_lists probes every list -> exact == brute force.
+        "ivf_ann_embeddings": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.e, c.e) /
+                           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+                       AS cosine_sim
+              FROM v q, v c
+              WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # Bound-check oracle: exact distinct must match; the HLL estimate
+        # must land within 3*rsd of it (within_bound TRUE on both sides).
+        "hll_profile_lineitem": """
+            SELECT 'l_orderkey' AS column_name,
+                   count(DISTINCT l_orderkey)::BIGINT AS exact_distinct,
+                   TRUE AS within_bound FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', count(DISTINCT l_partkey)::BIGINT, TRUE FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', count(DISTINCT l_suppkey)::BIGINT, TRUE FROM lineitem
+        """,
+        # Connected components over the exact-Jaccard pair graph via a
+        # recursive CTE (min reachable id = group id), then keep-one.
+        "dedup_materialize_documents": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id AS id, {_TOKENS_D} AS toks
+              FROM documents WHERE doc_id < 200
+            ),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b FROM t a, t b
+              WHERE a.id < b.id
+                AND len(list_intersect(a.toks, b.toks))::DOUBLE /
+                    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ),
+            reach(id, grp) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e2.src, r.grp FROM e e2 JOIN reach r ON e2.dst = r.id
+            ),
+            comp AS (SELECT id, min(grp) AS group_id FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != group_id)
+        """,
+        # Planted exact copies: recall 1 by construction (identical sign
+        # bits in every LSH table), natural pairs all below threshold.
+        "embedding_near_dup": """
+            SELECT vec_id AS id_a, (vec_id + 100000)::BIGINT AS id_b,
+                   1.0::DOUBLE AS cosine_sim
+            FROM embeddings
+        """,
+        # Exact quantiles must match; the t-digest estimate must land
+        # within 5% of the column span (within_bound TRUE on both sides).
+        "tdigest_quantiles_lineitem": "\nUNION ALL\n".join(
+            f"""SELECT 'l_extendedprice' AS column_name, {p}::DOUBLE AS prob,
+                round(quantile_cont(l_extendedprice::DOUBLE, {p}), 6) AS exact_q,
+                TRUE AS within_bound
+                FROM lineitem"""
+            for p in [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+        ),
+        # SQL-expressible rule families recomputed from the materialized
+        # seeded inputs; PCM/SNR rows cross-checked against the
+        # fault-injection ledger (detection vs injection).
+        "clips_validation": f"""
+            WITH clips AS (
+              SELECT * FROM read_parquet('{_ORACLE_DIR}/clips_input/*.parquet')
+            ),
+            ts AS (
+              SELECT * FROM read_parquet('{_ORACLE_DIR}/transcripts_input/*.parquet')
+            ),
+            pcm AS (
+              SELECT * FROM read_parquet('{_ORACLE_DIR}/pcm_fault_ledger/*.parquet')
+            )
+            SELECT 'missing_field:clip_id' AS rule_id, clip_id,
+                   'clip_id' AS column_name, part_id
+            FROM clips WHERE clip_id IS NULL
+            UNION ALL
+            SELECT 'bad_format:clip_id', clip_id, 'clip_id', part_id
+            FROM clips WHERE clip_id IS NOT NULL AND NOT regexp_matches(
+              clip_id, '^[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{12}}$')
+            UNION ALL
+            SELECT 'missing_field:transcript', clip_id, 'transcript', part_id
+            FROM clips WHERE transcript IS NULL
+            UNION ALL
+            SELECT 'empty_transcript:transcript', clip_id, 'transcript', part_id
+            FROM clips WHERE transcript IS NOT NULL AND length(trim(transcript)) = 0
+            UNION ALL
+            SELECT 'bad_enum:sr_hz', clip_id, 'sr_hz', part_id
+            FROM clips WHERE sr_hz IS NOT NULL
+              AND sr_hz NOT IN (8000, 16000, 22050, 44100, 48000)
+            UNION ALL
+            SELECT 'out_of_range:dur_ms', clip_id, 'dur_ms', part_id
+            FROM clips WHERE dur_ms IS NOT NULL AND dur_ms <= 0
+            UNION ALL
+            SELECT 'bad_enum:codec', clip_id, 'codec', part_id
+            FROM clips WHERE codec IS NOT NULL
+              AND codec NOT IN ('pcm_s16le', 'flac', 'opus', 'mp3')
+            UNION ALL
+            SELECT 'duplicate_id:clip_id', clip_id, 'clip_id', part_id
+            FROM clips WHERE clip_id IN (
+              SELECT clip_id FROM clips WHERE clip_id IS NOT NULL
+              GROUP BY 1 HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'referential_orphan:clip_id', c.clip_id, 'clips', c.part_id
+            FROM clips c LEFT JOIN ts t ON c.clip_id = t.clip_id
+            WHERE t.clip_id IS NULL
+            UNION ALL
+            SELECT 'referential_orphan:clip_id', t.clip_id, 'transcripts', t.part_id
+            FROM ts t LEFT JOIN (
+              SELECT DISTINCT clip_id FROM clips WHERE clip_id IS NOT NULL
+            ) c ON t.clip_id = c.clip_id
+            WHERE c.clip_id IS NULL
+            UNION ALL
+            SELECT 'transcript_mismatch:transcript', c.clip_id, 'transcript', c.part_id
+            FROM clips c JOIN ts t ON c.clip_id = t.clip_id
+            WHERE c.transcript IS NOT NULL AND c.transcript != t.transcript_ref
+            UNION ALL
+            SELECT 'missing_field:bytes', clip_id, 'bytes', part_id
+            FROM clips WHERE bytes_is_null
+            UNION ALL
+            SELECT 'bad_pcm:bytes', clip_id, 'bytes', part_id FROM pcm
         """,
     }

@@ -240,20 +240,25 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Two projections (no shuffle): (1) one ``aggregate`` over the token
     array accumulating a 64-long vote vector — per bit, the count of
-    tokens with that bit set; (2) pack ``2*ones > n`` majority bits into
-    one bigint. Bit positions are unrolled at plan-build time because
-    shift amounts must be literals.
-    Returns (_id, _sh).
+    tokens with that bit set (``getbit`` over a sequence: one codegen
+    loop, measured ~1.5x faster than 64 unrolled shiftrights); (2) pack
+    ``2*ones > n`` majority bits into one bigint with 64 chained
+    ``when``s over the BOUND ``_votes`` column.
+
+    The pack is DELIBERATELY lambda-free: higher-order functions are
+    excluded from Spark's subexpression elimination, so a lambda-based
+    pack lets CollapseProject inline the whole votes aggregate into
+    every downstream reference of ``_sh`` — measured 10x slower
+    (101s vs 6.8s at sf0.1) inside simhash_dedup's self-join, where
+    ``_sh`` is referenced once per chunk key.
+    Returns (_id, _sh) — bit-identical across both formulations.
     """
     th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
 
     def bits_of(h: Column) -> Column:
-        return F.array(
-            *[
-                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
-                for i in range(64)
-            ]
-        )
+        # getbit(h, i) == (h >> i) & 1 on the two's-complement value
+        return F.transform(bit_idx, lambda i: F.getbit(h, i).cast("long"))
 
     votes = F.aggregate(
         th,

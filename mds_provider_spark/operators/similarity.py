@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from mds_provider_spark.operators.dedup import _cap_buckets
+
 
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -98,41 +100,92 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _sign_bits(vec: Column, planes_2d: list[list[float]]) -> Column:
+    """array<long> of 0/1 signs for ALL planes in one loop expression —
+    the planes live in a single 2-D literal, so codegen emits one tight
+    loop instead of one chained expression per plane."""
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes_2d])
+    return F.transform(
+        planes_lit,
+        lambda p: F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def _bucketed(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """Explode into one row per (table, bucket) — the multi-table recall
+    lever: a true neighbor missed by one table's split collides in
+    another with prob 1-(1-p^b)^L, tunable without coarsening buckets.
+
+    The sign bits of all n_tables*n_planes hyperplanes are computed in
+    ONE array expression and MATERIALIZED as a column; the per-table
+    packing over it is deliberately LAMBDA-FREE (plain array indexing +
+    shifts) — higher-order functions are excluded from subexpression
+    elimination, so a lambda-based pack lets CollapseProject inline the
+    full sign computation into every reference (measured 10x on the
+    simhash twin of this code path, operators/dedup.py)."""
+    planes: list[list[float]] = []
+    for t in range(n_tables):
+        planes.extend(_hyperplanes(dim, n_planes, seed + 7919 * t))
+    step = df.withColumn("_signs", _sign_bits(F.col(vec_col), planes))
+
+    def bucket_expr(t: int) -> Column:
+        e = F.lit(0).cast("long")
+        for j in range(n_planes):
+            e = e + F.col("_signs")[t * n_planes + j] * F.lit(
+                1 << (n_planes - 1 - j)
+            ).cast("long")
+        return e
+
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table"), bucket_expr(t).alias("bucket")
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return step.select("*", F.explode(tb).alias("_tb")).select(
+        *df.columns, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_tables: int = 4,
     dim: int | None = None,
     seed: int = 2024,
     round_digits: int = 6,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket pairs.
+    """Approximate top-k: score only pairs sharing a bucket in >=1 table.
 
-    With 8 planes the corpus splits into 256 buckets — at 10^9 vectors
-    each bucket holds ~4M rows and the per-query candidate set drops by
-    ~256x vs brute force. Recall is approximate by design; increase
-    planes for smaller buckets or union several plane seeds for probes.
+    16 planes split the corpus into 65536 buckets per table — at 10^9
+    vectors ~15k rows/bucket; 4 independent tables recover the recall
+    the finer split costs. ``max_bucket_size`` drops degenerate hot
+    buckets (e.g. the all-zeros region) before the join — a hot bucket
+    is quadratic in candidates, and its members still meet in the other
+    tables (dedup._cap_buckets rationale).
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    )
-    c = c.withColumn("_bucket", lsh_signature(F.col("_cv"), planes)).withColumn(
-        "_cn", l2norm(F.col("_cv"))
-    )
+    ).withColumn("_cn", l2norm(F.col("_cv")))
+    c = _bucketed(c, "_cv", dim, n_planes, n_tables, seed)
+    c = _cap_buckets(c, ["table", "bucket"], max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    )
-    q = q.withColumn("_bucket", lsh_signature(F.col("_qv"), planes)).withColumn(
-        "_qn", l2norm(F.col("_qv"))
-    )
+    ).withColumn("_qn", l2norm(F.col("_qv")))
+    q = _bucketed(q, "_qv", dim, n_planes, n_tables, seed)
     scored = (
-        q.join(c, "_bucket")
+        q.join(c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -140,6 +193,7 @@ def lsh_topk(
             F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
                     round_digits).alias("cosine_sim"),
         )
+        .distinct()  # a pair can collide in several tables
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -203,16 +257,30 @@ def ivf_topk(
     vectors with 4096 lists and nprobe=8 that's a 512x scan reduction
     with the recall knob explicit (nprobe).
     """
-    # deterministic training sample: ordered by id so centroids (and thus
-    # results) are identical across runs and partitionings
-    sample_rows = (
+    # deterministic training sample WITHOUT a full-corpus TakeOrdered: a
+    # hash-membership prefilter (pushable, scan-proportional, partition-
+    # independent) shrinks the corpus ~sample_mod x, then the tiny
+    # survivor set is ordered for exact reproducibility. Small corpora
+    # that can't fill the sample fall back to the direct ordered take —
+    # same centroids as before at test scale, cheap path at 10^12 rows.
+    sample_mod = 64
+    filtered = (
         corpus.select(F.col(id_col), F.col(vec_col))
+        .where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0)
         .orderBy(id_col)
         .limit(train_sample)
         .select(vec_col)
         .collect()
     )
-    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    if len(filtered) < min(train_sample, n_lists * 4):
+        filtered = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        )
+    sample = np.asarray([list(r[0]) for r in filtered], dtype=np.float64)
     cents = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
 
     c = corpus.select(
@@ -252,23 +320,32 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 12,
+    n_tables: int = 12,
     seed: int = 2024,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
 
-    LSH-bucketed: near-identical vectors collide in sign buckets with
-    high probability, so the quadratic blowup stays within buckets.
+    Banded SRP-LSH: 12 planes x 12 independent plane sets (4096 buckets
+    per table). A pair at cosine s collides in one table with prob
+    p(s)^12 where p = 1 - acos(s)/pi, so recall = 1-(1-p^12)^12:
+    ~0.87 at s=0.90, ~0.95 at 0.93, ~0.98 at 0.95, ~1.0 for true
+    copies — the b/L knobs trade bucket granularity against recall
+    explicitly. ``max_bucket_size`` caps
+    degenerate buckets BEFORE the self-join (a 4M-row hot bucket is
+    ~10^13 pairs; capped members still meet in their other tables), so
+    the worst-case join size is bounded by n_tables * cap * |bucket
+    count| rather than quadratic in the hottest bucket.
     """
     dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
-    v = v.withColumn("_bucket", lsh_signature(F.col("_v"), planes)).withColumn(
-        "_n", l2norm(F.col("_v"))
-    )
-    a, b = v.alias("a"), v.alias("b")
+    v = v.withColumn("_n", l2norm(F.col("_v")))
+    rows = _bucketed(v, "_v", dim, n_planes, n_tables, seed)
+    rows = _cap_buckets(rows, ["table", "bucket"], max_bucket_size)
+    a, b = rows.alias("a"), rows.alias("b")
     return (
-        a.join(b, "_bucket")
+        a.join(b, ["table", "bucket"])
         .where(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
