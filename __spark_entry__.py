@@ -595,6 +595,46 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.audio_features(clips)
 
 
+def image_features_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path over REAL (pure-stdlib) PNG decode — ORACLED
+    detection-vs-injection: seeded uint8 arrays are PNG-encoded into an
+    items table (every 16th buffer truncated -> decode must fail); the
+    expected features are computed from the ORIGINAL arrays driver-side
+    and written as a ledger the oracle reads. PNG is lossless, so the
+    engine's decode->mean must reproduce the array mean bit-exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from mds_provider_spark.functions import multimodal as MM
+    from mds_provider_spark.functions.png import encode_png
+
+    shapes = [(8, 8, 1), (16, 12, 3), (9, 7, 4)]
+    rows, expected = [], []
+    for i in range(48):
+        h, w, ch = shapes[i % 3]
+        need = h * w * ch
+        seed_bytes = b"".join(
+            hashlib.sha256(f"img:{i}:{k}".encode()).digest()
+            for k in range(need // 32 + 1)
+        )
+        arr = np.frombuffer(seed_bytes[:need], dtype=np.uint8).reshape(h, w, ch)
+        buf = encode_png(arr)
+        if i % 16 == 5:
+            buf = buf[:20]  # truncated -> fault-isolated decode failure
+            expected.append((str(i), None, None, None, None, False))
+        else:
+            expected.append((str(i), h, w, ch, float(arr.mean()), True))
+        rows.append((str(i), buf, "png"))
+    spark.createDataFrame(
+        expected,
+        "item_id string, height int, width int, channels int, "
+        "mean_intensity double, decode_ok boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/image_ledger")
+    items = spark.createDataFrame(rows, "item_id string, bytes binary, format string")
+    return MM.image_features(items)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -634,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_profile_lineitem": hll_profile_lineitem,
         "clips_validation": clips_validation,
         "audio_features_clips": audio_features_clips,
+        "image_features_items": image_features_items,
     }
 
 
@@ -1063,5 +1104,11 @@ def oracle_sql() -> dict[str, str]:
             FROM clips WHERE bytes_is_null
             UNION ALL
             SELECT 'bad_pcm:bytes', clip_id, 'bytes', part_id FROM pcm
+        """,
+        # Detection vs injection: the ledger holds features computed from
+        # the ORIGINAL arrays; the engine must recover them by decoding.
+        "image_features_items": f"""
+            SELECT item_id, height, width, channels, mean_intensity, decode_ok
+            FROM read_parquet('{_ORACLE_DIR}/image_ledger/*.parquet')
         """,
     }

@@ -3,11 +3,12 @@
 
 The Spark-side contract is REAL and tested — column-pruned selects, a
 codec/modality registry, ``mapInPandas`` with fixed output schemas, batch
-shapes that hold at 10^12 rows. The actual image/video decoders are NOT
-available in this container (no PIL/opencv/ffmpeg), so those registry
-entries raise ``NotImplementedError`` at decode time with a
-deterministic-fake alternative for tests; audio decoding is real
-(functions/audio.py). A production deployment swaps one dict entry.
+shapes that hold at 10^12 rows. PNG decoding is real (pure-stdlib,
+functions/png.py) and audio decoding is real (functions/audio.py);
+jpeg/video decoders need libraries absent from this container
+(PIL/opencv/ffmpeg), so those registry entries raise
+``NotImplementedError`` at decode time — a production deployment swaps
+one dict entry.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ ImageDecoder = Callable[[bytes], np.ndarray]
 def _decode_image_stub(buf: bytes) -> np.ndarray:
     raise NotImplementedError(
         "no image codec library in this container; register a real decoder "
-        "(e.g. PIL.Image.open) in IMAGE_DECODERS['png'|'jpeg']"
+        "(e.g. PIL.Image.open) in IMAGE_DECODERS['jpeg']"
     )
 
 
@@ -35,8 +36,10 @@ def _decode_image_fake(buf: bytes) -> np.ndarray:
     return arr.reshape(8, 8, 1)
 
 
+from mds_provider_spark.functions.png import decode_png  # noqa: E402
+
 IMAGE_DECODERS: dict[str, ImageDecoder] = {
-    "png": _decode_image_stub,
+    "png": decode_png,  # real pure-stdlib decoder (functions/png.py)
     "jpeg": _decode_image_stub,
     "fake8x8": _decode_image_fake,  # test-only deterministic modality
 }
