@@ -21,6 +21,7 @@ engine-reproducible (float accumulation order would not be).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mds_provider_spark.operators.dedup import _cap_buckets
@@ -111,8 +112,38 @@ def _sign_bits(vec: Column, planes_2d: list[list[float]]) -> Column:
     )
 
 
+def _sign_bits_pandas(vec: Column, planes_2d: list[list[float]]) -> Column:
+    """BLAS fast path for wide plane sets: ONE matrix multiply per Arrow
+    batch instead of L*b higher-order dot products per row (~100x at
+    128+ planes; the HOF path allocates a zip_with array per plane per
+    row). Sign boundaries (dot exactly 0.0) could differ from the
+    Catalyst fold order in the last ulp, but bucket assignment only has
+    to be impl-CONSISTENT — both sides of every LSH join are hashed by
+    the same implementation — so this is safe for candidate generation
+    (the exact-cosine verify still decides membership)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes_2d, dtype=np.float64).T  # (dim, L*b)
+
+    @pandas_udf("array<long>")
+    def signs(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        s = (m @ P >= 0).astype(np.int64)
+        return pd.Series(list(s))
+
+    return signs(vec)
+
+
+# plane count at or above which the pandas/BLAS sign path wins over the
+# Catalyst HOF path (measured crossover is well below this; conservative)
+_PANDAS_SIGNS_MIN_PLANES = 64
+
+
 def _bucketed(
-    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int,
+    sign_impl: str = "auto",
 ) -> DataFrame:
     """Explode into one row per (table, bucket) — the multi-table recall
     lever: a true neighbor missed by one table's split collides in
@@ -128,7 +159,10 @@ def _bucketed(
     planes: list[list[float]] = []
     for t in range(n_tables):
         planes.extend(_hyperplanes(dim, n_planes, seed + 7919 * t))
-    step = df.withColumn("_signs", _sign_bits(F.col(vec_col), planes))
+    if sign_impl == "auto":
+        sign_impl = "pandas" if len(planes) >= _PANDAS_SIGNS_MIN_PLANES else "catalyst"
+    sign_fn = _sign_bits_pandas if sign_impl == "pandas" else _sign_bits
+    step = df.withColumn("_signs", sign_fn(F.col(vec_col), planes))
 
     def bucket_expr(t: int) -> Column:
         e = F.lit(0).cast("long")
@@ -163,6 +197,7 @@ def lsh_topk(
     seed: int = 2024,
     round_digits: int = 6,
     max_bucket_size: int | None = 100_000,
+    sign_impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a bucket in >=1 table.
 
@@ -178,12 +213,12 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
     ).withColumn("_cn", l2norm(F.col("_cv")))
-    c = _bucketed(c, "_cv", dim, n_planes, n_tables, seed)
+    c = _bucketed(c, "_cv", dim, n_planes, n_tables, seed, sign_impl)
     c = _cap_buckets(c, ["table", "bucket"], max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
     ).withColumn("_qn", l2norm(F.col("_qv")))
-    q = _bucketed(q, "_qv", dim, n_planes, n_tables, seed)
+    q = _bucketed(q, "_qv", dim, n_planes, n_tables, seed, sign_impl)
     scored = (
         q.join(c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -324,6 +359,7 @@ def embedding_near_duplicates(
     n_tables: int = 12,
     seed: int = 2024,
     max_bucket_size: int | None = 10_000,
+    sign_impl: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
 
@@ -341,7 +377,7 @@ def embedding_near_duplicates(
     dim = len(df.select(vec_col).first()[0])
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
     v = v.withColumn("_n", l2norm(F.col("_v")))
-    rows = _bucketed(v, "_v", dim, n_planes, n_tables, seed)
+    rows = _bucketed(v, "_v", dim, n_planes, n_tables, seed, sign_impl)
     rows = _cap_buckets(rows, ["table", "bucket"], max_bucket_size)
     a, b = rows.alias("a"), rows.alias("b")
     return (
