@@ -320,6 +320,25 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
 
 
+def winnowing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03)
+    in the engine-portable md5-fold form, exploded to scalar rows so the
+    DuckDB oracle reconstructs the identical fingerprint sets."""
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
+    return TX.winnowing_fingerprint_rows(docs, "doc_id", "text", portable=True)
+
+
+def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every text measure in ONE projection / one scan (the curation
+    dashboard shape); includes the BPE-ish sub-token count."""
+    return TX.text_profile(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200),
+        "doc_id", "text",
+    )
+
+
 def empty_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
@@ -663,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": fingerprint_documents,
         "doc_length_histogram": doc_length_histogram,
         "deterministic_sample_documents": deterministic_sample_documents,
+        "winnowing_documents": winnowing_documents,
+        "text_profile_documents": text_profile_documents,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": minhash_dedup_documents,
         "dedup_materialize_documents": dedup_materialize_documents,
@@ -971,6 +992,64 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample_documents": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 10
+        """,
+        # Winnowing with the portable md5-fold hash: identical k-gram
+        # hashes, windows, and min-selection reconstructed in DuckDB.
+        "winnowing_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_NORM} AS c FROM documents
+              WHERE doc_id < 50 AND text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, list_transform(
+                       range(1, greatest(length(c) - 4, 1) + 1),
+                       i -> ('0x' || substr(md5(substr(c, i::INT, 5)), 1, 8))::BIGINT
+                     ) AS hs
+              FROM t
+            ),
+            w AS (
+              SELECT doc_id, list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_min(hs[j::INT : j::INT + 3])))) AS fps
+              FROM g
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM w
+        """,
+        "text_profile_documents": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '{TX.BPE_ISH_RE}')) AS n_subtokens,
+                   CASE WHEN greatest({lang_hits['en']}, {lang_hits['es']},
+                                      {lang_hits['de']}, {lang_hits['fr']}) = 0 THEN 'und'
+                        WHEN {lang_hits['en']} = greatest({lang_hits['en']}, {lang_hits['es']},
+                                      {lang_hits['de']}, {lang_hits['fr']}) THEN 'en'
+                        WHEN {lang_hits['es']} = greatest({lang_hits['en']}, {lang_hits['es']},
+                                      {lang_hits['de']}, {lang_hits['fr']}) THEN 'es'
+                        WHEN {lang_hits['de']} = greatest({lang_hits['en']}, {lang_hits['es']},
+                                      {lang_hits['de']}, {lang_hits['fr']}) THEN 'de'
+                        ELSE 'fr' END AS lang_pred,
+                   round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                     / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len({_TOKENS}) > 0 THEN
+                     {stop_hits}::DOUBLE / len({_TOKENS}) ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN len({_TOKENS}) > 0 THEN
+                     list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE / len({_TOKENS})
+                     ELSE 0.0 END, 6) AS mean_word_len,
+                   round(
+                     least(len({_TOKENS}) / 20.0, 1.0) * 0.4
+                   + (CASE WHEN len({_TOKENS}) > 0 AND
+                        list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE / len({_TOKENS})
+                          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                   + least((CASE WHEN len({_TOKENS}) > 0 THEN
+                       {stop_hits}::DOUBLE / len({_TOKENS}) ELSE 0.0 END) * 5.0, 1.0) * 0.2
+                   + (1.0 - least((CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text) ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+                   , 6) AS quality_score,
+                   md5({_NORM}) AS fingerprint
+            FROM documents WHERE doc_id < 200
         """,
         # IVF at nprobe=n_lists probes every list -> exact == brute force.
         "ivf_ann_embeddings": """

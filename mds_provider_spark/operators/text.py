@@ -35,12 +35,17 @@ def char_count(col: Column | str) -> Column:
     return F.length(c)
 
 
+# GPT-2-style pre-tokenization shape: letter runs | digit runs | single
+# symbols. Pure alternation — no lookaround — so the SAME pattern runs
+# identically under Java regex (Spark) and RE2 (DuckDB/Trino audits).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish count: splits on whitespace AND letter/digit/symbol
-    boundaries — a cheap regex proxy for BPE token counts."""
+    """Sub-word-ish count: letter runs, digit runs, and individual
+    symbols — a cheap engine-portable regex proxy for BPE token counts."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")
-    return F.size(F.filter(pieces, lambda x: x != ""))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), F.lit(0)))
 
 
 def _marker_hits(col: Column | str, markers: list[str]) -> Column:
@@ -102,18 +107,68 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(norm_text(col))
 
 
-def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+def winnowing_fingerprints(
+    col: Column | str, k: int = 5, window: int = 4, portable: bool = False
+) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     k-gram rolling hashes, min per sliding window, distinct. Pure
-    Catalyst: character k-grams via substring over a sequence."""
+    Catalyst: character k-grams via substring over a sequence.
+
+    ``portable=True`` hashes k-grams with an md5 fold (first 8 hex chars
+    as bigint) instead of xxhash64 — byte-identical in DuckDB/Trino, so
+    the fingerprint sets can be audited cross-engine (the oracle path);
+    the default xxhash64 stays for speed inside Spark-only pipelines."""
     c = norm_text(col)
     n = F.length(c)
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    kgram_hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(c, i, k)))
+    if portable:
+        hash_of = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    else:
+        hash_of = F.xxhash64
+    kgram_hashes = F.transform(starts, lambda i: hash_of(F.substring(c, i, k)))
     m = F.size(kgram_hashes)
     win_starts = F.sequence(F.lit(1), F.greatest(m - F.lit(window - 1), F.lit(1)))
     mins = F.transform(win_starts, lambda i: F.array_min(F.slice(kgram_hashes, i, window)))
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnowing_fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, fingerprint) rows — the SCALABLE winnowing form.
+
+    The single-Column ``winnowing_fingerprints`` embeds the k-gram hash
+    array inside the window expression; higher-order functions are
+    excluded from subexpression elimination, so every window re-derives
+    the whole array — O(len^2) hashes per document (measured 48 s for
+    50 docs with md5). This form MATERIALIZES the hash array as a
+    column between two projections, making windowing reference a bound
+    attribute: O(len) hashes, one scan, no shuffle."""
+    c = norm_text(text_col)
+    n = F.length(c)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    if portable:
+        hash_of = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    else:
+        hash_of = F.xxhash64
+    step = df.select(
+        F.col(id_col),
+        F.transform(starts, lambda i: hash_of(F.substring(c, i, k))).alias("_hs"),
+    )
+    m = F.size(F.col("_hs"))
+    win_starts = F.sequence(F.lit(1), F.greatest(m - F.lit(window - 1), F.lit(1)))
+    mins = F.transform(
+        win_starts, lambda j: F.array_min(F.slice(F.col("_hs"), j, window))
+    )
+    return step.select(
+        F.col(id_col),
+        F.explode(F.array_sort(F.array_distinct(mins))).alias("fingerprint"),
+    )
 
 
 def length_histogram(

@@ -164,3 +164,28 @@ def test_winnowing_fingerprints_overlap(spark):
     inter_13 = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
     inter_14 = len(fps[1] & fps[4]) / len(fps[1] | fps[4])
     assert inter_13 > 0.5 > inter_14
+
+
+def test_winnowing_rows_equals_column_form(spark):
+    docs = _docs(spark)
+    col_form = {
+        (r.doc_id, fp)
+        for r in docs.select(
+            "doc_id", TX.winnowing_fingerprints("text", portable=True).alias("fp")
+        ).collect()
+        for fp in r.fp
+    }
+    rows_form = {
+        (r.doc_id, r.fingerprint)
+        for r in TX.winnowing_fingerprint_rows(
+            docs, "doc_id", "text", portable=True
+        ).collect()
+    }
+    assert rows_form == col_form
+
+
+def test_bpe_ish_token_count_portable_shape(spark):
+    df = spark.createDataFrame([("ab12,cd! x",), ("",), ("hello world",)], "t string")
+    got = [r.n for r in df.select(TX.bpe_ish_token_count("t").alias("n")).collect()]
+    # 'ab','12',',','cd','!','x' / none / 'hello','world'
+    assert got == [6, 0, 2]
