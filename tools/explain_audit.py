@@ -88,6 +88,41 @@ def main() -> None:
         formatted(entry.q3_top_orders(spark, SF_DIR)),
     ))
 
+    from mds_provider_spark.operators import similarity as SIM
+    from mds_provider_spark.operators import text as TX
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sections.append((
+        "Capped multi-table LSH near-dup (similarity)",
+        "the self-join keys on (table, bucket) — an equi hash join, never "
+        "a cartesian; the bucket-size cap applies as a broadcast LeftSemi "
+        "BEFORE the join, so the worst case is bounded by tables x cap. "
+        "Sign bits for 144 hyperplanes come from a pandas_udf matmul "
+        "(ArrowEvalPython); packing is plain projection arithmetic. The "
+        "signature subtree recurs once per join side (deterministic "
+        "recompute) — at cluster scale you persist the tiny (id, signs) "
+        "table instead, a cost/memory knob, not a plan defect.",
+        formatted(SIM.embedding_near_duplicates(emb, threshold=0.9)),
+    ))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sections.append((
+        "Winnowing fingerprints, rows form (text)",
+        "two projections, one scan, no Exchange: the k-gram hash array is "
+        "materialized as a column between them, so windowing references a "
+        "bound attribute instead of re-deriving the array per window "
+        "(higher-order functions are excluded from subexpression "
+        "elimination — the O(len^2) trap documented in text.py).",
+        formatted(TX.winnowing_fingerprint_rows(docs, "doc_id", "text")),
+    ))
+    sections.append((
+        "IVF list assignment (similarity)",
+        "centroids are PLAN LITERALS: corpus->list assignment is a "
+        "projection on the scan (no shuffle, no join); only the "
+        "probe-side explode and the final per-list equi-join move data.",
+        formatted(SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5),
+                               k=3, n_lists=8, nprobe=2)),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         out.append(f"## {title}\n\n{why}\n\n```\n{plan}```\n")
