@@ -36,6 +36,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table read for compute-heavy operators: the test parquet is a
+    SINGLE file, so without a repartition every downstream expression
+    runs in one task. Production tables are bucketed/multi-file and
+    skip this (spark.sql.files.maxPartitionBytes splits the scan)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------- rulesets
 
 
@@ -443,7 +452,7 @@ def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        _t_wide(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
     )
 
 
@@ -465,7 +474,7 @@ def dedup_materialize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    return D.simhash_dedup(_t_wide(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

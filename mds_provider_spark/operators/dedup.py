@@ -211,8 +211,19 @@ def minhash_lsh_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes, bands, w, seed, max_bucket_size
     )
-    feats = df.select(
-        F.col(id_col).alias("_fid"), shingle_hashes(text_col, w).alias("_feat")
+    # Compute shingle features ONLY for rows that appear in a candidate
+    # pair (broadcast semi-join first): feature cost is proportional to
+    # the candidate set, not the corpus — without this, each side of the
+    # verify join re-shingled the full table (measured 2 extra full
+    # passes at sf0.1; at 100 TB it would dominate the whole job).
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    feats = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col).alias("_fid"), shingle_hashes(text_col, w).alias("_feat"))
     )
     ja = (
         cands.join(feats.withColumnRenamed("_fid", "id_a"), "id_a")
