@@ -158,8 +158,21 @@ def tdigest_quantiles(
     col: str,
     probs: Sequence[float] = DEFAULT_PROBS,
     delta: float = 200.0,
+    fanin: int = 64,
 ) -> DataFrame:
-    """Two-stage t-digest: mapInPandas partials -> one merge per column.
+    """THREE-stage t-digest: mapInPandas partials -> bounded intermediate
+    merges -> one final merge per column.
+
+    The intermediate level is the 10^12-row necessity: without it the
+    final merge receives one ~delta-centroid row group per INPUT
+    PARTITION — at 10^6 partitions that funnels ~2*10^8 centroid rows
+    into a single task. With ``fanin`` merge groups (keyed by
+    pmod(spark_partition_id, fanin)), the final task sees at most
+    fanin * ~delta rows regardless of input size, and each intermediate
+    task merges ~n_partitions/fanin digests. Compression is
+    deterministic given its input multiset (stable sort by mean, fixed
+    k1 scale function); the grouping only affects intermediate rounding
+    within the sketch's accuracy envelope.
 
     Returns SCALAR rows (column_name, prob, quantile) — one per requested
     probability. Scalar (not array<double>) on purpose: driver/oracle
@@ -184,7 +197,20 @@ def tdigest_quantiles(
 
     partials = df.select(col).mapInPandas(partial, "mean double, weight double")
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_centroids(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress(
+            pdf["mean"].to_numpy(np.float64), pdf["weight"].to_numpy(np.float64), delta
+        )
+        return pd.DataFrame({"mean": m, "weight": w})
+
+    # stage 2: bounded fan-in merge — shuffle key is the PARTIAL's
+    # partition id mod fanin, so group sizes are balanced by construction
+    # (no data-dependent skew; hot VALUES don't exist at centroid level).
+    mid = partials.groupBy(
+        F.pmod(F.spark_partition_id(), F.lit(fanin)).alias("_g")
+    ).applyInPandas(merge_centroids, "mean double, weight double")
+
+    def finalize(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _compress(
             pdf["mean"].to_numpy(np.float64), pdf["weight"].to_numpy(np.float64), delta
         )
@@ -193,7 +219,7 @@ def tdigest_quantiles(
             {"column_name": [col] * len(probs), "prob": probs, "quantile": qs}
         )
 
-    # stage 2: single tiny group — shuffle moves only centroid rows.
-    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
-        merge, "column_name string, prob double, quantile double"
+    # stage 3: single tiny group — at most fanin * ~delta centroid rows.
+    return mid.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        finalize, "column_name string, prob double, quantile double"
     )

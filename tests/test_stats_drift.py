@@ -77,3 +77,18 @@ def test_drift_detects_null_rate_change(spark):
     f = DR.drift_violations(DR.snapshot(b, ["x"], "cur"), DR.snapshot(a, ["x"], "base"))
     rows = f.collect()
     assert len(rows) == 1 and rows[0].nr_shift > 0.3
+
+
+def test_tdigest_two_level_merge_accuracy(spark):
+    """Many input partitions + small fanin exercises the bounded
+    intermediate merge; the result must stay within the sketch envelope
+    of the exact quantiles."""
+    df = spark.range(20000).select(
+        (F.col("id") % 1000).cast("double").alias("a")
+    ).repartition(50)
+    got = {r.prob: r.quantile
+           for r in DR.tdigest_quantiles(df, "a", probs=[0.25, 0.5, 0.75],
+                                         fanin=4).collect()}
+    exact = df.agg(F.expr("percentile(a, array(0.25, 0.5, 0.75))")).collect()[0][0]
+    for p, e in zip([0.25, 0.5, 0.75], exact):
+        assert abs(got[p] - e) <= 0.02 * 1000, (p, got[p], e)
