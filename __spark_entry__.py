@@ -333,7 +333,7 @@ def winnowing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03)
     in the engine-portable md5-fold form, exploded to scalar rows so the
     DuckDB oracle reconstructs the identical fingerprint sets."""
-    docs = _t(spark, sf_dir, "documents").where(
+    docs = _t_wide(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 50) & F.col("text").isNotNull()
     )
     return TX.winnowing_fingerprint_rows(docs, "doc_id", "text", portable=True)
@@ -465,7 +465,7 @@ def dedup_materialize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve-groups + anti-join materializer the LSH pipeline uses. The
     LSH-pairs variant stays covered by minhash_dedup_documents +
     differential pytest."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
         docs.where(F.col("doc_id") < 200), "doc_id", "text", threshold=0.5
     ).select("id_a", "id_b")
@@ -505,7 +505,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise cosine in the synthetic table is ~0.51, so the output is
     precisely the planted (i, i+100000, 1.0) pairs — false positives
     from bucket collisions are eliminated by the exact-cosine verify."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
     return SIM.embedding_near_duplicates(emb.unionByName(dup), threshold=0.9)
 
