@@ -27,7 +27,14 @@ from mds_provider_spark.operators import stats as ST
 from mds_provider_spark.operators import text as TX
 from mds_provider_spark.operators import uniqueness as U
 from mds_provider_spark.functions import audio
+from mds_provider_spark.functions import geometry as GEO
 from mds_provider_spark.sources import fixtures as FX
+
+# Irregular pentagon around the origin, sized to the embedding component
+# range (unit-normalized vectors: components within ~±0.4) so points
+# land on BOTH sides. No closing duplicate vertex — point_in_polygon
+# closes the ring itself.
+_BOUNDARY = [(-0.15, -0.12), (0.18, -0.1), (0.2, 0.14), (0.0, 0.21), (-0.17, 0.11)]
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -362,6 +369,23 @@ def empty_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boundary_check_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 boundary filter, oracled: ray-casting point-in-polygon as a
+    pure Catalyst fold, with the IDENTICAL crossing formula replayed in
+    DuckDB SQL (same operation order, so the doubles agree bit-exactly).
+    Points are the first two embedding components."""
+    pts = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    poly = GEO.polygon_literal(_BOUNDARY)
+    return pts.select(
+        "vec_id",
+        GEO.point_in_polygon(F.col("x"), F.col("y"), poly).alias("inside"),
+    )
+
+
 def embedding_shape_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn("part_id", F.lit(0)).withColumn(
         "vec_id_str", F.col("vec_id").cast("string")
@@ -676,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_quantiles_lineitem": drift_quantiles_lineitem,
         "empty_text_documents": empty_text_documents,
         "embedding_shape_violations": embedding_shape_violations,
+        "boundary_check_embeddings": boundary_check_embeddings,
         "q3_top_orders": q3_top_orders,
         "duplicate_groups_lineitem": duplicate_groups_lineitem,
         "user_event_sequence": user_event_sequence,
@@ -706,6 +731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_clips": audio_features_clips,
         "image_features_items": image_features_items,
     }
+
+
+
+
+def _boundary_edges_sql() -> str:
+    ring = _BOUNDARY
+    edges = [(ring[i], ring[(i + 1) % len(ring)]) for i in range(len(ring))]
+    return ", ".join(
+        f"({p[0]!r}::DOUBLE, {p[1]!r}::DOUBLE, {q[0]!r}::DOUBLE, {q[1]!r}::DOUBLE)"
+        for p, q in edges
+    )
 
 
 # -------------------------------------------------------------- oracles
@@ -913,6 +949,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'empty_transcript:text', doc_id::VARCHAR, 'text'
             FROM documents WHERE text IS NOT NULL AND length(trim(text)) = 0
+        """,
+
+        # P9 ray casting replayed with the identical operation order.
+        "boundary_check_embeddings": f"""
+            WITH pts AS (
+              SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+              FROM embeddings
+            ),
+            poly(x1, y1, x2, y2) AS (VALUES {_boundary_edges_sql()})
+            SELECT p.vec_id,
+                   (sum(CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+                              AND (p.x < e.x1 + (p.y - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1))
+                         THEN 1 ELSE 0 END) % 2 = 1) AS inside
+            FROM pts p CROSS JOIN poly e
+            GROUP BY p.vec_id
         """,
         "embedding_shape_violations": """
             SELECT 'bad_shape:embedding' AS rule_id, vec_id::VARCHAR AS vec_id,
