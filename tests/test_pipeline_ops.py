@@ -189,3 +189,20 @@ def test_bpe_ish_token_count_portable_shape(spark):
     got = [r.n for r in df.select(TX.bpe_ish_token_count("t").alias("n")).collect()]
     # 'ab','12',',','cd','!','x' / none / 'hello','world'
     assert got == [6, 0, 2]
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared substring
+    of length >= w + k - 1 forces at least one shared fingerprint."""
+    shared = "the quick brown fox jumps over the lazy dog near the wall"
+    rows = [
+        (1, "AAAA xx " + shared + " yy BBBB"),
+        (2, "completely different prefix " + shared + " different suffix"),
+        (3, "nothing in common with either of the other documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in TX.winnowing_fingerprint_rows(df, "doc_id", "text").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2]          # shared run -> shared fingerprint
+    assert not (fps[1] & fps[3]) or len(fps[1] & fps[3]) < len(fps[1] & fps[2])
