@@ -131,6 +131,69 @@ RefWaveFn = Callable[[str, int, int], np.ndarray]
 """(clip_id, sr_hz, dur_ms) -> reference float32 waveform."""
 
 
+RefWaveBatchFn = Callable[[list, int, int], np.ndarray]
+"""(clip_ids, sr_hz, dur_ms) -> (k, n) float32 reference waveforms for a
+group of same-(sr,dur) clips. Optional fast path for SHORT clips: with
+~80-sample rows, per-row numpy overhead dominates and one matrix of
+sines + one vectorized SNR is ~2.5x faster; with 1000+-sample rows each
+row already saturates numpy's vector units and the big matrices only
+add memory traffic (measured SLOWER on this bandwidth-capped host), so
+the checker uses the matrix path only below _BATCH_MAX_SAMPLES."""
+
+_SNR_GROUP_CHUNK = 2048  # rows per vectorized group; bounds matrix memory
+_BATCH_MAX_SAMPLES = 256  # above this, per-row numpy is already saturated
+
+
+def _content_violations(
+    rows: list,
+    ref_wave_fn: RefWaveFn,
+    ref_wave_batch_fn: "RefWaveBatchFn | None",
+    min_snr_db: float,
+    rid: str,
+    emit,
+) -> None:
+    """SNR-check decodable rows [(cid, dec, sr, dur, part)], emitting
+    violations via ``emit(rule_id, cid, part, msg)``. With a batch ref
+    generator, rows are grouped by (sr, dur) — same waveform length —
+    and checked as one (k, n) matrix per chunk; otherwise scalar path."""
+    def scalar(subset) -> None:
+        for cid, dec, sr, dur, part in subset:
+            got = snr_db(ref_wave_fn(cid, sr, dur), dec)
+            if not (got >= min_snr_db):
+                emit(rid, cid, part, f"SNR {got:.1f} dB < {min_snr_db:.1f} dB")
+
+    if ref_wave_batch_fn is None:
+        scalar(rows)
+        return
+    groups: dict[tuple[int, int], list] = {}
+    for r in rows:
+        groups.setdefault((r[2], r[3]), []).append(r)
+    for (sr, dur), grp in groups.items():
+        n = max(1, sr * dur // 1000)
+        if n > _BATCH_MAX_SAMPLES:
+            scalar(grp)
+            continue
+        for lo in range(0, len(grp), _SNR_GROUP_CHUNK):
+            chunk = grp[lo : lo + _SNR_GROUP_CHUNK]
+            ok = [r for r in chunk if r[1].size == n]
+            for cid, dec, _, _, part in (r for r in chunk if r[1].size != n):
+                emit(rid, cid, part, f"SNR -inf dB < {min_snr_db:.1f} dB")
+            if not ok:
+                continue
+            ref = ref_wave_batch_fn([r[0] for r in ok], sr, dur).astype(np.float64)
+            dec = np.stack([r[1] for r in ok]).astype(np.float64)
+            err = ref - dec
+            p_sig = np.einsum("ij,ij->i", ref, ref)
+            p_err = np.einsum("ij,ij->i", err, err)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                snr = 10.0 * np.log10(p_sig / p_err)
+            snr = np.where(p_err == 0.0, np.inf, snr)
+            snr = np.where((p_sig == 0.0) & (p_err > 0.0), -np.inf, snr)
+            for i in np.nonzero(~(snr >= min_snr_db))[0]:
+                cid, _, _, _, part = ok[int(i)]
+                emit(rid, cid, part, f"SNR {snr[i]:.1f} dB < {min_snr_db:.1f} dB")
+
+
 def _structurally_invalid(cid, sr, dur, codec) -> bool:
     """Shared skip predicate for BOTH pcm paths ('Same results' contract):
     rows already caught by not_null/enum/range rules (NULL key, unknown
@@ -148,6 +211,7 @@ def pcm_violations(
     min_snr_db: float = 30.0,
     key_col: str = "clip_id",
     part_col: str = "part_id",
+    ref_wave_batch_fn: "RefWaveBatchFn | None" = None,
 ) -> DataFrame:
     """bad_pcm violations via mapInPandas (Arrow batches, BASELINE.json).
 
@@ -169,33 +233,28 @@ def pcm_violations(
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rids, bad_ids, bad_parts, msgs = [], [], [], []
+
+            def emit(r, c, p, m):
+                rids.append(r); bad_ids.append(c); bad_parts.append(p); msgs.append(m)
+
+            decodable = []
             for cid, buf, sr, dur, codec, part in zip(
                 pdf[key_col], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"],
                 pdf["codec"], pdf[part_col],
             ):
                 if buf is None:
-                    rids.append(rid_null)
-                    bad_ids.append(cid)
-                    bad_parts.append(part)
-                    msgs.append("required field bytes is missing")
+                    emit(rid_null, cid, part, "required field bytes is missing")
                     continue
                 if _structurally_invalid(cid, sr, dur, codec):
                     continue
                 try:
                     dec = decode(codec, bytes(buf))
                 except Exception as exc:  # undecodable bytes ARE a violation
-                    rids.append(rid)
-                    bad_ids.append(cid)
-                    bad_parts.append(part)
-                    msgs.append(f"decode failed: {type(exc).__name__}")
+                    emit(rid, cid, part, f"decode failed: {type(exc).__name__}")
                     continue
-                ref = ref_wave_fn(cid, int(sr), int(dur))
-                got = snr_db(ref, dec)
-                if not (got >= min_snr_db):
-                    rids.append(rid)
-                    bad_ids.append(cid)
-                    bad_parts.append(part)
-                    msgs.append(f"SNR {got:.1f} dB < {min_snr_db:.1f} dB")
+                decodable.append((cid, dec, int(sr), int(dur), part))
+            _content_violations(decodable, ref_wave_fn, ref_wave_batch_fn,
+                                min_snr_db, rid, emit)
             yield pd.DataFrame(
                 {
                     "rule_id": pd.array(rids, dtype="string"),
@@ -220,6 +279,7 @@ def pcm_violations_over_files(
     min_snr_db: float = 30.0,
     batch_size: int = 8192,
     parts: "list[int] | None" = None,
+    ref_wave_batch_fn: "RefWaveBatchFn | None" = None,
 ) -> DataFrame:
     """File-sliced PCM check: workers read parquet slices DIRECTLY.
 
@@ -261,30 +321,34 @@ def pcm_violations_over_files(
         cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
         for pdf in batches:
             rids, ids, parts, msgs = [], [], [], []
+
+            def emit(r, c, p, m):
+                rids.append(r); ids.append(c); parts.append(p); msgs.append(m)
+
             for path, part in zip(pdf["path"], pdf["part_id"]):
                 pf = pq.ParquetFile(path)
                 for rb in pf.iter_batches(batch_size=batch_size, columns=cols):
+                    decodable = []
                     for cid, buf, sr, dur, codec in zip(
                         rb.column(0).to_pylist(), rb.column(1).to_pylist(),
                         rb.column(2).to_pylist(), rb.column(3).to_pylist(),
                         rb.column(4).to_pylist(),
                     ):
                         if buf is None:
-                            rids.append(rid_null); ids.append(cid); parts.append(part)
-                            msgs.append("required field bytes is missing")
+                            emit(rid_null, cid, part,
+                                 "required field bytes is missing")
                             continue
                         if _structurally_invalid(cid, sr, dur, codec):
                             continue
                         try:
                             dec = decode(codec, buf)
                         except Exception as exc:
-                            rids.append(rid); ids.append(cid); parts.append(part)
-                            msgs.append(f"decode failed: {type(exc).__name__}")
+                            emit(rid, cid, part,
+                                 f"decode failed: {type(exc).__name__}")
                             continue
-                        got = snr_db(ref_wave_fn(cid, int(sr), int(dur)), dec)
-                        if not (got >= min_snr_db):
-                            rids.append(rid); ids.append(cid); parts.append(part)
-                            msgs.append(f"SNR {got:.1f} dB < {min_snr_db:.1f} dB")
+                        decodable.append((cid, dec, int(sr), int(dur), part))
+                    _content_violations(decodable, ref_wave_fn,
+                                        ref_wave_batch_fn, min_snr_db, rid, emit)
             yield pd.DataFrame(
                 {
                     "rule_id": pd.array(rids, dtype="string"),

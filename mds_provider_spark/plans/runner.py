@@ -43,6 +43,11 @@ class ValidationRun:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     ruleset: RuleSet = field(default_factory=mds_clip_rules)
     ref_wave_fn: audio.RefWaveFn | None = None
+    # optional vectorized reference generator (audio.RefWaveBatchFn):
+    # short-clip groups get one matrix synthesis + one vectorized SNR
+    # (~2.5x below ~256 samples; longer rows stay on the scalar path,
+    # which already saturates numpy). Same violations either way.
+    ref_wave_batch_fn: "audio.RefWaveBatchFn | None" = None
     min_snr_db: float = 30.0
     n_parts: int = 16
     group_size: int = 4  # part_ids per commit group
@@ -91,9 +96,13 @@ class ValidationRun:
                 pcm = audio.pcm_violations_over_files(
                     self.spark, self.clips_path, self.ref_wave_fn,
                     self.min_snr_db, parts=parts,
+                    ref_wave_batch_fn=self.ref_wave_batch_fn,
                 )
             else:
-                pcm = audio.pcm_violations(clips, self.ref_wave_fn, self.min_snr_db)
+                pcm = audio.pcm_violations(
+                    clips, self.ref_wave_fn, self.min_snr_db,
+                    ref_wave_batch_fn=self.ref_wave_batch_fn,
+                )
             v = v.unionByName(pcm)
         return v
 

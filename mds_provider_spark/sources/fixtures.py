@@ -77,13 +77,31 @@ def ref_waveform(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     hash. This is the waveform the PCM invariant compares against
     (BASELINE.json: decoded-PCM allclose at SNR>=30dB vs the reference).
     """
-    h = int(hashlib.md5(f"wave:{clip_id}".encode()).hexdigest()[:12], 16)
-    freq = 80.0 + (h % 1000) / 1000.0 * 600.0
-    phase = ((h >> 12) % 6283) / 1000.0
+    freq, phase = _wave_params(clip_id)
     n = max(1, int(sr_hz) * int(dur_ms) // 1000)
     t = np.arange(n, dtype=np.float64) / float(sr_hz)
     w = 0.42 * np.sin(2 * np.pi * freq * t + phase)
     w += 0.11 * np.sin(2 * np.pi * 2.17 * freq * t)
+    return w.astype(np.float32)
+
+
+def _wave_params(clip_id: str) -> tuple[float, float]:
+    h = int(hashlib.md5(f"wave:{clip_id}".encode()).hexdigest()[:12], 16)
+    return 80.0 + (h % 1000) / 1000.0 * 600.0, ((h >> 12) % 6283) / 1000.0
+
+
+def ref_waveform_batch(clip_ids: list, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Vectorized twin of ``ref_waveform`` for a group of SAME-(sr,dur)
+    clips: one (k, n) matrix of sines instead of k separate syntheses.
+    Identical operation order per element, so every row is bit-identical
+    to the scalar function (the SNR checker may use either)."""
+    n = max(1, int(sr_hz) * int(dur_ms) // 1000)
+    t = np.arange(n, dtype=np.float64) / float(sr_hz)
+    params = np.asarray([_wave_params(c) for c in clip_ids], dtype=np.float64)
+    freqs = params[:, 0:1]   # (k, 1)
+    phases = params[:, 1:2]
+    w = 0.42 * np.sin(2 * np.pi * freqs * t + phases)
+    w += 0.11 * np.sin(2 * np.pi * 2.17 * freqs * t)
     return w.astype(np.float32)
 
 

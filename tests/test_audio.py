@@ -61,3 +61,36 @@ def test_audio_features(spark):
         assert r.n_samples > 0
         assert 0.1 < r.rms < 0.6
         assert r.zero_crossings > 0
+
+
+def test_batch_snr_path_equals_row_path(spark):
+    """Vectorized (grouped matrix) SNR checking must emit the IDENTICAL
+    violation set as the scalar path, faults included."""
+    from mds_provider_spark.sources import fixtures as FX
+
+    n = 400
+    # short durations so some (sr,dur) groups fall under _BATCH_MAX_SAMPLES
+    # (matrix path) while others stay scalar — both paths exercised
+    clips = FX.generate_clips(spark, n, n_parts=4, seed=42,
+                              faults=FX.default_fault_plan(n),
+                              sr_choices=[8000], dur_choices=[10, 20, 60]).cache()
+    row = sorted(
+        (r.rule_id, r.clip_id) for r in
+        audio.pcm_violations(clips, FX.ref_waveform).collect()
+    )
+    batch = sorted(
+        (r.rule_id, r.clip_id) for r in
+        audio.pcm_violations(clips, FX.ref_waveform,
+                             ref_wave_batch_fn=FX.ref_waveform_batch).collect()
+    )
+    assert row == batch and len(row) >= 2  # bad_pcm + null_bytes present
+    clips.unpersist()
+
+
+def test_ref_waveform_batch_bit_identical(spark):
+    from mds_provider_spark.sources import fixtures as FX
+
+    ids = [FX.clip_id_at(7, i) for i in range(5)]
+    batch = FX.ref_waveform_batch(ids, 8000, 120)
+    for i, cid in enumerate(ids):
+        assert np.array_equal(batch[i], FX.ref_waveform(cid, 8000, 120))
