@@ -336,6 +336,16 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
 
 
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling mix (keep all de, half es,
+    10% en) — reproducible data mixing via md5-bucket membership; the
+    oracle replays the identical expression."""
+    return TX.stratified_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang",
+        {"de": 100, "es": 50, "en": 10}, default_percent=25,
+    ).select("doc_id", "lang")
+
+
 def winnowing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03)
     in the engine-portable md5-fold form, exploded to scalar rows so the
@@ -718,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample_documents": deterministic_sample_documents,
         "winnowing_documents": winnowing_documents,
         "text_profile_documents": text_profile_documents,
+        "stratified_sample_documents": stratified_sample_documents,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": minhash_dedup_documents,
         "dedup_materialize_documents": dedup_materialize_documents,
@@ -1052,6 +1063,12 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample_documents": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 10
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
+                  CASE lang WHEN 'de' THEN 100 WHEN 'es' THEN 50
+                            WHEN 'en' THEN 10 ELSE 25 END
         """,
         # Winnowing with the portable md5-fold hash: identical k-gram
         # hashes, windows, and min-selection reconstructed in DuckDB.

@@ -203,6 +203,30 @@ def deterministic_sample(
     return df.where(bucket < percent)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_percent: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing staple
+    (e.g. keep 100% of rare languages, 10% of English). Same md5-bucket
+    membership as ``deterministic_sample``: a pure function of the id,
+    so the mix is reproducible across engines, partitionings, and
+    resumed runs; per-stratum rates come from ONE case expression, no
+    per-stratum scans or unions."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    pct = F.lit(default_percent)
+    for value, percent in sorted(fractions.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(percent)).otherwise(pct)
+    return df.where(bucket < pct)
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One projection with every text measure — single scan."""
     return df.select(

@@ -206,3 +206,18 @@ def test_winnowing_guarantee_shared_substring(spark):
         fps.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert fps[1] & fps[2]          # shared run -> shared fingerprint
     assert not (fps[1] & fps[3]) or len(fps[1] & fps[3]) < len(fps[1] & fps[2])
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, ["en", "es", "de"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = TX.stratified_sample(df, "doc_id", "lang", {"de": 100, "es": 50, "en": 0})
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("de") == 1000          # keep-all stratum is exact
+    assert got.get("en") is None          # drop-all stratum is exact
+    assert 400 <= got.get("es", 0) <= 600  # ~50%
+    # partition-independent membership
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in TX.stratified_sample(
+        df.repartition(7), "doc_id", "lang", {"de": 100, "es": 50, "en": 0}).collect())
+    assert a == b
