@@ -182,16 +182,20 @@ def mp_calibration(widths=(1, 4, 8, 32), iters: int = 3_000_000,
 
     out = {}
     for w in widths:
+        cpu_best, bw_best = 0.0, 0.0
         with mp.Pool(w) as pool:
-            t0 = time.monotonic()
-            pool.map(_burn, [iters] * (w * 2))
-            wall = time.monotonic() - t0
-            out[f"cpu_procs_{w}"] = round(w * 2 * iters / wall / 1e6, 2)  # Miter/s
-            t0 = time.monotonic()
-            pool.map(_burn_bandwidth, [bw_passes] * (w * 2))
-            wall = time.monotonic() - t0
-            # GB streamed (read+write) per second across the pool
-            out[f"bw_procs_{w}"] = round(w * 2 * bw_passes * 2 * 0.064 / wall, 2)
+            for _ in range(2):  # best-of-2: noise only ever slows a leg
+                t0 = time.monotonic()
+                pool.map(_burn, [iters] * (w * 2))
+                cpu_best = max(cpu_best, w * 2 * iters / (time.monotonic() - t0) / 1e6)
+                t0 = time.monotonic()
+                pool.map(_burn_bandwidth, [bw_passes] * (w * 2))
+                # GB streamed (read+write) per second across the pool
+                bw_best = max(
+                    bw_best, w * 2 * bw_passes * 2 * 0.064 / (time.monotonic() - t0)
+                )
+        out[f"cpu_procs_{w}"] = round(cpu_best, 2)
+        out[f"bw_procs_{w}"] = round(bw_best, 2)
     out["cpu_efficiency_1_to_4"] = round(out["cpu_procs_4"] / (4 * out["cpu_procs_1"]), 3)
     out["cpu_efficiency_8_to_32"] = round(out["cpu_procs_32"] / (4 * out["cpu_procs_8"]), 3)
     out["bw_efficiency_1_to_4"] = round(out["bw_procs_4"] / (4 * out["bw_procs_1"]), 3)
@@ -225,7 +229,7 @@ def main() -> None:
     # noise-free time; the high/peak legs are cheap, so they get more
     # repeats (host-load windows last ~minutes and would otherwise poison
     # a whole leg). Raw per-run arrays are included in the output.
-    low = validate_clips(LOW_PAR, repeats=3)
+    low = validate_clips(LOW_PAR, repeats=5)
     high = validate_clips(HIGH_PAR, repeats=5)
     peak = validate_clips(PEAK_PAR, repeats=4)
     wide = validate_clips(WIDE_HIGH, repeats=4)
