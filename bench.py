@@ -157,15 +157,20 @@ def _burn(iters: int) -> int:
 
 
 def _burn_bandwidth(passes: int) -> float:
-    """Memory-bandwidth-bound task: stream a 64 MB float64 array (the
-    decode workload's profile — PCM bytes -> float arrays -> reductions
-    is bandwidth-heavy, unlike the cache-resident integer _burn)."""
+    """Memory-bandwidth-bound task: stream a 64 MB float64 array IN
+    PLACE (the decode workload's profile — PCM bytes -> float arrays ->
+    reductions is bandwidth-heavy, unlike the cache-resident integer
+    _burn). In-place matters: the naive `a = a*k + c` form allocates a
+    fresh 64 MB array per pass per task, and at width 32 the kernel's
+    page-zeroing serializes — measured 2.9 "GB/s" that was really mmap
+    churn, not memory streaming."""
     import numpy as np
 
-    a = np.arange(8_388_608, dtype=np.float64)  # 64 MB
+    a = np.arange(8_388_608, dtype=np.float64)  # 64 MB, pre-touched
     s = 0.0
     for _ in range(passes):
-        a = a * 1.0000001 + 0.5
+        np.multiply(a, 1.0000001, out=a)
+        np.add(a, 0.5, out=a)
         s += float(a[::65536].sum())
     return s
 
@@ -190,9 +195,10 @@ def mp_calibration(widths=(1, 4, 8, 32), iters: int = 3_000_000,
                 cpu_best = max(cpu_best, w * 2 * iters / (time.monotonic() - t0) / 1e6)
                 t0 = time.monotonic()
                 pool.map(_burn_bandwidth, [bw_passes] * (w * 2))
-                # GB streamed (read+write) per second across the pool
+                # GB streamed (2 read+write passes x 64 MB) per second
                 bw_best = max(
-                    bw_best, w * 2 * bw_passes * 2 * 0.064 / (time.monotonic() - t0)
+                    bw_best,
+                    w * 2 * bw_passes * 4 * 0.064 / (time.monotonic() - t0),
                 )
         out[f"cpu_procs_{w}"] = round(cpu_best, 2)
         out[f"bw_procs_{w}"] = round(bw_best, 2)
