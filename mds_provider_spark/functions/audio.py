@@ -115,8 +115,13 @@ def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
     n = min(ref.size, dec.size)
     if n == 0 or ref.size != dec.size:
         return float("-inf")
-    err = ref[:n].astype(np.float64) - dec[:n].astype(np.float64)
-    p_sig = float(np.dot(ref[:n], ref[:n]))
+    # float64 throughout, INCLUDING the signal-power dot: the vectorized
+    # batch path casts to float64 before its einsum, and the two paths
+    # must be bit-identical so a clip within an ulp of the threshold
+    # can't flip violation status by (sr,dur)-group routing.
+    ref64 = ref[:n].astype(np.float64)
+    err = ref64 - dec[:n].astype(np.float64)
+    p_sig = float(np.dot(ref64, ref64))
     p_err = float(np.dot(err, err))
     if p_err == 0.0:
         return float("inf")

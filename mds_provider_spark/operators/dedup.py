@@ -139,14 +139,20 @@ def _cap_buckets(band_rows: DataFrame, keys: list[str], max_bucket_size: int | N
     boilerplate-heavy bucket of 10^6 docs is 10^12 pairs. Buckets larger
     than the cap are almost always shingle-degenerate (empty docs,
     templates); their members still pair up through their OTHER bands,
-    so recall loss is confined to pathological content. The cap count is
-    computed with a partial-agg groupBy (skew-safe) and broadcast back.
+    so recall loss is confined to pathological content.
+
+    Scale note: we broadcast the HOT set (buckets > cap) and anti-join.
+    The hot set is tiny BY CONSTRUCTION (each hot key accounts for >cap
+    rows, so there are at most corpus*bands/cap of them), whereas the
+    keep set is O(#distinct buckets) ~ O(corpus x bands) — broadcasting
+    the keep side was the one guaranteed OOM at the 10^12-row design
+    point (round-2 verdict item 1).
     """
     if max_bucket_size is None:
         return band_rows
     sizes = band_rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
-    ok = sizes.where(F.col("_bsz") <= max_bucket_size).select(*keys)
-    return band_rows.join(F.broadcast(ok), keys, "left_semi")
+    hot = sizes.where(F.col("_bsz") > max_bucket_size).select(*keys)
+    return band_rows.join(F.broadcast(hot), keys, "left_anti")
 
 
 def minhash_lsh_candidates(
@@ -212,17 +218,19 @@ def minhash_lsh_dedup(
         df, id_col, text_col, n_hashes, bands, w, seed, max_bucket_size
     )
     # Compute shingle features ONLY for rows that appear in a candidate
-    # pair (broadcast semi-join first): feature cost is proportional to
-    # the candidate set, not the corpus — without this, each side of the
+    # pair (semi-join first): feature cost is proportional to the
+    # candidate set, not the corpus — without this, each side of the
     # verify join re-shingled the full table (measured 2 extra full
     # passes at sf0.1; at 100 TB it would dominate the whole job).
+    # No forced broadcast: on dup-heavy corpora the candidate-id set is
+    # unbounded; AQE/autoBroadcastJoinThreshold picks the strategy.
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     feats = (
-        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col).alias("_fid"), shingle_hashes(text_col, w).alias("_feat"))
     )
     ja = (
@@ -405,12 +413,18 @@ def deduplicate(
 ) -> DataFrame:
     """Keep-one materializer: drop every near-duplicate except the
     minimum-id exemplar of its connected group. Rows never seen in a
-    pair pass through untouched (anti-join against the small drop set)."""
+    pair pass through untouched (anti-join against the drop set).
+
+    The drop set is NOT broadcast-hinted: on dedup-heavy corpora (the
+    whole point of the operator) it is a constant fraction of the
+    corpus — tens of billions of ids at 10^12 rows. AQE's size-based
+    planning picks broadcast when it genuinely fits and a shuffled
+    anti-join otherwise (see SCALE.md §Dedup)."""
     groups = resolve_duplicate_groups(pairs, max_iters)
     drop = groups.where(F.col("doc_id") != F.col("group_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
 
 
 # ------------------------------------------------- exact n-gram Jaccard

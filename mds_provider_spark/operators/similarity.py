@@ -258,7 +258,10 @@ def _kmeans_centroids(sample: np.ndarray, k: int, iters: int, seed: int) -> np.n
 def _nearest_centroids_expr(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
     """array of the nprobe nearest centroid ids (squared-L2), pure
     Catalyst: distances as an array of expressions, ranked via sort of
-    (dist, id) structs."""
+    (dist, id) structs. One expression PER CENTROID — fine at n_lists
+    ~16-64, but the plan grows linearly (codegen/constant-pool blowup at
+    the 4096 lists a 10^9-vector corpus wants); see
+    _nearest_centroids_pandas for the wide path."""
     dists = []
     for i, c in enumerate(cents):
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -267,6 +270,54 @@ def _nearest_centroids_expr(vec: Column, cents: np.ndarray, nprobe: int) -> Colu
         dists.append(F.struct(d2.alias("d"), F.lit(i).alias("cid")))
     ranked = F.array_sort(F.array(*dists))
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def _nearest_centroids_pandas(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
+    """BLAS path for wide centroid sets: one (batch x dim)@(dim x k)
+    matmul + argpartition per Arrow batch, constant plan size in
+    n_lists — mirrors _sign_bits_pandas. Ties on distance break by
+    centroid id ascending, same as the Catalyst struct sort. float64
+    throughout; the distance formula differs from the Catalyst fold in
+    the last ulp, which only matters for assignment CONSISTENCY — both
+    corpus and queries go through the same impl per call."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    c2 = (C * C).sum(1)
+    k = len(C)
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        d = (m * m).sum(1)[:, None] - 2.0 * (m @ C.T) + c2[None, :]
+        npb = min(nprobe, k)
+        if npb < k:
+            part = np.argpartition(d, npb - 1, axis=1)[:, :npb]
+        else:
+            part = np.broadcast_to(np.arange(k), d.shape).copy()
+        part.sort(axis=1)  # cid ascending, so the stable sort tie-breaks on cid
+        rows = np.arange(d.shape[0])[:, None]
+        order = np.argsort(d[rows, part], axis=1, kind="stable")
+        ids = np.take_along_axis(part, order, axis=1).astype(np.int32)
+        return pd.Series(list(ids))
+
+    return probe(vec)
+
+
+# list count at or above which the pandas/BLAS assignment path wins (and
+# below which the pure-Catalyst plan stays small enough to prefer codegen)
+_PANDAS_ASSIGN_MIN_LISTS = 64
+
+
+def _nearest_centroids(
+    vec: Column, cents: np.ndarray, nprobe: int, impl: str = "auto"
+) -> Column:
+    if impl == "auto":
+        impl = "pandas" if len(cents) >= _PANDAS_ASSIGN_MIN_LISTS else "catalyst"
+    fn = _nearest_centroids_pandas if impl == "pandas" else _nearest_centroids_expr
+    return fn(vec, cents, nprobe)
 
 
 def ivf_topk(
@@ -281,6 +332,7 @@ def ivf_topk(
     kmeans_iters: int = 8,
     seed: int = 7,
     round_digits: int = 6,
+    assign_impl: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -321,12 +373,12 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
     )
-    c = c.withColumn("_list", _nearest_centroids_expr(F.col("_cv"), cents, 1)[0])
+    c = c.withColumn("_list", _nearest_centroids(F.col("_cv"), cents, 1, assign_impl)[0])
     c = c.withColumn("_cn", l2norm(F.col("_cv")))
 
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv"))
     q = q.withColumn(
-        "_list", F.explode(_nearest_centroids_expr(F.col("_qv"), cents, nprobe))
+        "_list", F.explode(_nearest_centroids(F.col("_qv"), cents, nprobe, assign_impl))
     ).withColumn("_qn", l2norm(F.col("_qv")))
 
     scored = (

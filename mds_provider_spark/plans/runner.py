@@ -140,7 +140,16 @@ class ValidationRun:
             )
             # clear the group's partitions first: a crashed attempt may
             # have left rows in a part whose retry writes nothing, and
-            # dynamic overwrite would keep them (checkpoint.clear_parts)
+            # dynamic overwrite would keep them (checkpoint.clear_parts).
+            # Zombie-runner guard: re-read the commit log IMMEDIATELY
+            # before the destructive clear — a racing runner may have
+            # committed this group since done_parts was snapshotted at
+            # run() start; clearing a committed group and crashing before
+            # the rewrite would leave a valid marker pointing at deleted
+            # data (silently skipped on every later resume).
+            if set(parts) <= log.committed_parts():
+                summary["groups_skipped"] += 1
+                continue
             log.clear_parts("violations", parts)
             log.clear_parts("verdicts", parts)
             # one write job for violations (dynamic overwrite = idempotent)

@@ -233,6 +233,172 @@ def unique_items(col: str) -> Rule:
     )
 
 
+def nested_required(col: str, parent: str) -> Rule:
+    """``required`` inside a NESTED object schema: fires only when the
+    enclosing object is present (JSON Schema evaluates a subschema only
+    against instances that have the property — a missing parent is the
+    parent's own ``required``/type problem, not the child's). ``col`` is
+    the dotted struct path (e.g. ``event_location.geometry``); Catalyst
+    resolves it with zero-cost struct field access, no flattening."""
+    return Rule(
+        S.rule_id(S.MISSING_FIELD, col),
+        col,
+        f"required field {col} is missing",
+        lambda: F.col(parent).isNotNull() & F.col(col).isNull(),
+    )
+
+
+def _epath(x: Column, fpath: tuple[str, ...]) -> Column:
+    for f in fpath:
+        x = x[f]
+    return x
+
+
+def _edotted(col: str, fpath: tuple[str, ...]) -> str:
+    return f"{col}[].{'.'.join(fpath)}"
+
+
+def element_required(
+    col: str, fpath: tuple[str, ...], parent_fpath: tuple[str, ...] | None = None
+) -> Rule:
+    """``items.properties`` + ``required``: some array element (or its
+    nested sub-object, when ``parent_fpath`` is given) is present but
+    missing the required field. One ``exists`` over the array — a single
+    codegen loop, no explode/shuffle."""
+    name = _edotted(col, fpath)
+
+    def pred() -> Column:
+        def bad(x: Column) -> Column:
+            present = (
+                _epath(x, parent_fpath).isNotNull() if parent_fpath else x.isNotNull()
+            )
+            return present & _epath(x, fpath).isNull()
+
+        return _nn(col, F.exists(F.col(col), bad))
+
+    return Rule(
+        S.rule_id(S.MISSING_FIELD, name),
+        name,
+        f"array {col} has element(s) missing required {'.'.join(fpath)}",
+        pred,
+    )
+
+
+def element_in(col: str, fpath: tuple[str, ...], allowed: Sequence) -> Rule:
+    vals = [F.lit(v) for v in allowed]
+    name = _edotted(col, fpath)
+    return Rule(
+        S.rule_id(S.BAD_ENUM, name),
+        name,
+        f"{name} has value(s) outside allowed set",
+        lambda: _nn(
+            col,
+            F.exists(
+                F.col(col),
+                lambda x: _epath(x, fpath).isNotNull()
+                & ~F.array_contains(F.array(*vals), _epath(x, fpath)),
+            ),
+        ),
+    )
+
+
+def element_matches(col: str, fpath: tuple[str, ...], regex: str) -> Rule:
+    name = _edotted(col, fpath)
+    return Rule(
+        S.rule_id(S.BAD_FORMAT, name),
+        name,
+        f"{name} does not match /{regex}/",
+        lambda: _nn(
+            col,
+            F.exists(
+                F.col(col),
+                lambda x: _epath(x, fpath).isNotNull()
+                & ~_epath(x, fpath).rlike(regex),
+            ),
+        ),
+    )
+
+
+def element_const(col: str, fpath: tuple[str, ...], value) -> Rule:
+    name = _edotted(col, fpath)
+    return Rule(
+        S.rule_id(S.BAD_ENUM, name),
+        name,
+        f"{name} must equal {value!r}",
+        lambda: _nn(
+            col,
+            F.exists(
+                F.col(col),
+                lambda x: _epath(x, fpath).isNotNull()
+                & (_epath(x, fpath) != F.lit(value)),
+            ),
+        ),
+    )
+
+
+def element_array_size(
+    col: str,
+    fpath: tuple[str, ...],
+    min_items: int | None = None,
+    max_items: int | None = None,
+) -> Rule:
+    """``minItems``/``maxItems`` on an ARRAY FIELD of array elements
+    (e.g. route.features[].geometry.coordinates)."""
+    name = _edotted(col, fpath)
+
+    def pred() -> Column:
+        def bad(x: Column) -> Column:
+            v = _epath(x, fpath)
+            sz = F.size(v)
+            conds = []
+            if min_items is not None:
+                conds.append(sz < min_items)
+            if max_items is not None:
+                conds.append(sz > max_items)
+            out = conds[0]
+            for extra in conds[1:]:
+                out = out | extra
+            return v.isNotNull() & out
+
+        return _nn(col, F.exists(F.col(col), bad))
+
+    return Rule(
+        S.rule_id(S.BAD_SHAPE, name),
+        name,
+        f"{name} array size outside [{min_items},{max_items}]",
+        pred,
+    )
+
+
+def element_in_range(
+    col: str,
+    fpath: tuple[str, ...],
+    lo=None,
+    hi=None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = True,
+) -> Rule:
+    name = _edotted(col, fpath)
+
+    def pred() -> Column:
+        def bad(x: Column) -> Column:
+            v = _epath(x, fpath)
+            conds = []
+            if lo is not None:
+                conds.append(v < lo if lo_inclusive else v <= lo)
+            if hi is not None:
+                conds.append(v > hi if hi_inclusive else v >= hi)
+            out = conds[0]
+            for extra in conds[1:]:
+                out = out | extra
+            return v.isNotNull() & out
+
+        return _nn(col, F.exists(F.col(col), bad))
+
+    bounds = f"[{lo},{hi}]" if lo_inclusive and hi_inclusive else f"({lo},{hi})"
+    return Rule(S.rule_id(S.OUT_OF_RANGE, name), name, f"{name} out of range {bounds}", pred)
+
+
 def required_if(col: str, when_col: str, when_values: Sequence) -> Rule:
     """Conditional requirement (JSON-Schema ``dependencies``/if-then; MDS
     uses these — e.g. event_type_reason required for some event_types):

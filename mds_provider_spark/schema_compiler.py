@@ -33,6 +33,214 @@ _JSON_TO_SPARK_TYPE = {
 }
 
 
+_ANNOTATIONS = ("description", "title", "default", "examples", "$comment", "$schema", "$id")
+
+
+def _bounds(spec: dict) -> tuple:
+    """(lo, lo_inclusive, hi, hi_inclusive) from min/max keywords.
+
+    Draft-06 numeric ``exclusiveMinimum``/``exclusiveMaximum`` are bounds
+    in their own right; when BOTH forms appear (legal) the stricter wins —
+    x<m (inclusive min m) is implied by x<=e (exclusive min e) when e>=m.
+    Draft-04 BOOLEAN exclusives are modifiers on minimum/maximum instead:
+    ``{minimum: 5, exclusiveMinimum: true}`` means x>5 (bool must be
+    checked FIRST — bool is an int subclass, and comparing it numerically
+    mis-compiled the bound as inclusive-5 or even lo=True)."""
+    lo, lo_inc = None, True
+    ex_min = spec.get("exclusiveMinimum")
+    if isinstance(ex_min, bool):  # draft-04 form
+        if "minimum" in spec:
+            lo, lo_inc = spec["minimum"], not ex_min
+    elif ex_min is not None and (
+        "minimum" not in spec or ex_min >= spec["minimum"]
+    ):
+        lo, lo_inc = ex_min, False
+    elif "minimum" in spec:
+        lo, lo_inc = spec["minimum"], True
+
+    hi, hi_inc = None, True
+    ex_max = spec.get("exclusiveMaximum")
+    if isinstance(ex_max, bool):
+        if "maximum" in spec:
+            hi, hi_inc = spec["maximum"], not ex_max
+    elif ex_max is not None and (
+        "maximum" not in spec or ex_max <= spec["maximum"]
+    ):
+        hi, hi_inc = ex_max, False
+    elif "maximum" in spec:
+        hi, hi_inc = spec["maximum"], True
+    return lo, lo_inc, hi, hi_inc
+
+
+def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: dict) -> None:
+    """Keyword loop for one non-object property at dotted path ``path``."""
+    for kw, val in spec.items():
+        if kw == "enum":
+            rs.add(R.is_in(path, val))
+        elif kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+            pass  # handled together below (_bounds)
+        elif kw == "pattern":
+            rs.add(R.matches(path, val))
+        elif kw == "format":
+            if val == "uuid":
+                rs.add(R.matches(path, S.UUID_RE))
+            else:
+                unsupported.append(f"{path}.format:{val}")
+        elif kw == "minLength":
+            # faithful draft-06 semantics: raw length, no trimming
+            rs.add(R.min_length(path, int(val)))
+        elif kw == "maxLength":
+            rs.add(R.max_length(path, int(val)))
+        elif kw == "const":
+            rs.add(R.const_value(path, val))
+        elif kw == "multipleOf":
+            if isinstance(val, int) and not isinstance(val, bool) and val > 0:
+                rs.add(R.multiple_of(path, val))
+            else:
+                unsupported.append(f"{path}.multipleOf:{val}")
+        elif kw in ("minItems", "maxItems"):
+            pass  # handled together below
+        elif kw == "uniqueItems":
+            if val:
+                rs.add(R.unique_items(path))
+        elif kw == "items":
+            if isinstance(val, dict) and set(val) <= {"enum", "type"}:
+                if "enum" in val:
+                    rs.add(R.elements_in(path, val["enum"]))
+            elif (
+                isinstance(val, dict)
+                and val.get("type") == "object"
+                and "properties" in val
+            ):
+                _compile_items(rs, unsupported, path, val)
+            else:
+                unsupported.append(f"{path}.items")
+        elif kw == "type":
+            pass  # structural: enforced by the read schema, not a rule
+        elif kw in _ANNOTATIONS:
+            pass  # annotations
+        else:
+            unsupported.append(f"{path}.{kw}")
+
+    lo, lo_inc, hi, hi_inc = _bounds(spec)
+    if lo is not None or hi is not None:
+        rs.add(R.in_range(path, lo=lo, hi=hi, lo_inclusive=lo_inc, hi_inclusive=hi_inc))
+    if "minItems" in spec or "maxItems" in spec:
+        rs.add(
+            R.array_size(
+                path, min_items=spec.get("minItems"), max_items=spec.get("maxItems")
+            )
+        )
+
+
+def _compile_object(
+    rs: "R.RuleSet",
+    unsupported: list[str],
+    schema: dict,
+    prefix: str,
+    parent: str | None,
+) -> None:
+    """Recurse an object schema: dotted-path rules for nested properties.
+
+    The reference walks the FULL instance per record (mds/schemas.py
+    ≈L150-220 via jsonschema) — nested GeoJSON specs included. Catalyst
+    struct-field access makes the nested restatement free: a rule on
+    ``event_location.geometry.type`` prunes and codegens exactly like a
+    top-level column. Nested ``required`` is guarded on the enclosing
+    object being present (jsonschema only evaluates subschemas against
+    instances that HAVE the property)."""
+    props: dict = schema.get("properties", {})
+    required = schema.get("required", [])
+
+    for name in required:
+        path = f"{prefix}{name}"
+        rs.add(R.not_null(path) if parent is None else R.nested_required(path, parent))
+
+    for name, spec in props.items():
+        path = f"{prefix}{name}"
+        if not isinstance(spec, dict):
+            unsupported.append(path)
+            continue
+        if spec.get("type") == "object":
+            if "properties" in spec:
+                _compile_object(rs, unsupported, spec, prefix=f"{path}.", parent=path)
+            for kw in spec:
+                # additionalProperties is enforced by the strict read
+                # schema (a struct column can't carry undeclared fields)
+                if kw not in (
+                    "type", "properties", "required", "additionalProperties",
+                    *_ANNOTATIONS,
+                ):
+                    unsupported.append(f"{path}.{kw}")
+            continue
+        _compile_scalar(rs, unsupported, path, spec)
+
+
+def _compile_items(
+    rs: "R.RuleSet", unsupported: list[str], col: str, items_spec: dict
+) -> None:
+    """``items`` with an object schema (array<struct>): compile the
+    element-level keyword subset as ONE ``exists``/``forall`` loop per
+    rule over the array column — no explode, no shuffle. Field paths may
+    nest (e.g. route.features[].geometry.type)."""
+
+    def walk(obj_spec: dict, fpath: tuple, parent_fpath: tuple | None) -> None:
+        for f in obj_spec.get("required", []):
+            rs.add(R.element_required(col, fpath + (f,), parent_fpath))
+        for f, fs in obj_spec.get("properties", {}).items():
+            fp = fpath + (f,)
+            dotted = f"{col}[].{'.'.join(fp)}"
+            if not isinstance(fs, dict):
+                unsupported.append(dotted)
+                continue
+            if fs.get("type") == "object":
+                if "properties" in fs:
+                    walk(fs, fp, fp)
+                for kw in fs:
+                    if kw not in (
+                        "type", "properties", "required", "additionalProperties",
+                        *_ANNOTATIONS,
+                    ):
+                        unsupported.append(f"{dotted}.{kw}")
+                continue
+            for kw, val in fs.items():
+                if kw == "enum":
+                    rs.add(R.element_in(col, fp, val))
+                elif kw == "pattern":
+                    rs.add(R.element_matches(col, fp, val))
+                elif kw == "format":
+                    if val == "uuid":
+                        rs.add(R.element_matches(col, fp, S.UUID_RE))
+                    else:
+                        unsupported.append(f"{dotted}.format:{val}")
+                elif kw == "const":
+                    rs.add(R.element_const(col, fp, val))
+                elif kw in (
+                    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+                    "minItems", "maxItems",
+                ):
+                    pass  # handled together below
+                elif kw == "type" or kw in _ANNOTATIONS:
+                    pass
+                else:
+                    unsupported.append(f"{dotted}.{kw}")
+            lo, lo_inc, hi, hi_inc = _bounds(fs)
+            if lo is not None or hi is not None:
+                rs.add(
+                    R.element_in_range(
+                        col, fp, lo=lo, hi=hi, lo_inclusive=lo_inc, hi_inclusive=hi_inc
+                    )
+                )
+            if "minItems" in fs or "maxItems" in fs:
+                rs.add(
+                    R.element_array_size(
+                        col, fp, min_items=fs.get("minItems"), max_items=fs.get("maxItems")
+                    )
+                )
+
+    walk(items_spec, (), None)
+
+
 def from_json_schema(
     schema: dict,
     key_col: str,
@@ -40,7 +248,8 @@ def from_json_schema(
     unique: Sequence[str] | None = None,
     strict: bool = True,
 ) -> tuple[R.RuleSet, list[str]]:
-    """Compile an object schema's ``properties`` into a RuleSet.
+    """Compile an object schema (nested objects and object-arrays
+    included) into a RuleSet.
 
     Returns (ruleset, unsupported) where ``unsupported`` lists keyword
     paths that have no row-level Catalyst mapping. ``strict=True`` raises
@@ -48,94 +257,10 @@ def from_json_schema(
     """
     if schema.get("type") not in (None, "object"):
         raise ValueError("top-level schema must be an object schema")
-    props: dict = schema.get("properties", {})
-    required = set(schema.get("required", []))
 
     rs = R.RuleSet(key_col=key_col, part_col=part_col)
     unsupported: list[str] = []
-
-    for name in required:
-        rs.add(R.not_null(name))
-
-    for name, spec in props.items():
-        for kw, val in spec.items():
-            if kw == "enum":
-                rs.add(R.is_in(name, val))
-            elif kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
-                pass  # handled together below
-            elif kw == "pattern":
-                rs.add(R.matches(name, val))
-            elif kw == "format":
-                if val == "uuid":
-                    rs.add(R.matches(name, S.UUID_RE))
-                else:
-                    unsupported.append(f"{name}.format:{val}")
-            elif kw == "minLength":
-                # faithful draft-06 semantics: raw length, no trimming
-                rs.add(R.min_length(name, int(val)))
-            elif kw == "maxLength":
-                rs.add(R.max_length(name, int(val)))
-            elif kw == "const":
-                rs.add(R.const_value(name, val))
-            elif kw == "multipleOf":
-                if isinstance(val, int) and val > 0:
-                    rs.add(R.multiple_of(name, val))
-                else:
-                    unsupported.append(f"{name}.multipleOf:{val}")
-            elif kw in ("minItems", "maxItems"):
-                pass  # handled together below
-            elif kw == "uniqueItems":
-                if val:
-                    rs.add(R.unique_items(name))
-            elif kw == "items":
-                if isinstance(val, dict) and set(val) <= {"enum", "type"}:
-                    if "enum" in val:
-                        rs.add(R.elements_in(name, val["enum"]))
-                else:
-                    unsupported.append(f"{name}.items")
-            elif kw == "type":
-                pass  # structural: enforced by the read schema, not a rule
-            elif kw in ("description", "title", "default", "examples", "$comment"):
-                pass  # annotations
-            else:
-                unsupported.append(f"{name}.{kw}")
-
-        # minimum and exclusiveMinimum may BOTH appear (legal draft-06);
-        # compile the stricter of the two, deriving inclusivity from
-        # whichever keyword supplied the winning bound. x<m (inclusive
-        # min m) is implied by x<=e (exclusive min e) whenever e >= m.
-        lo, lo_inc = None, True
-        if "exclusiveMinimum" in spec and (
-            "minimum" not in spec or spec["exclusiveMinimum"] >= spec["minimum"]
-        ):
-            lo, lo_inc = spec["exclusiveMinimum"], False
-        elif "minimum" in spec:
-            lo, lo_inc = spec["minimum"], True
-        hi, hi_inc = None, True
-        if "exclusiveMaximum" in spec and (
-            "maximum" not in spec or spec["exclusiveMaximum"] <= spec["maximum"]
-        ):
-            hi, hi_inc = spec["exclusiveMaximum"], False
-        elif "maximum" in spec:
-            hi, hi_inc = spec["maximum"], True
-        if lo is not None or hi is not None:
-            rs.add(
-                R.in_range(
-                    name,
-                    lo=lo,
-                    hi=hi,
-                    lo_inclusive=lo_inc,
-                    hi_inclusive=hi_inc,
-                )
-            )
-        if "minItems" in spec or "maxItems" in spec:
-            rs.add(
-                R.array_size(
-                    name,
-                    min_items=spec.get("minItems"),
-                    max_items=spec.get("maxItems"),
-                )
-            )
+    _compile_object(rs, unsupported, schema, prefix="", parent=None)
 
     for cols in unique or []:
         rs.add(R.unique_key(cols))

@@ -121,3 +121,36 @@ def test_concurrent_runners_converge(spark, tmp_path, data):
     got = sorted(map(tuple, a.violations().collect()), key=repr)
     want = sorted(map(tuple, _run(spark, ref_out).violations().collect()), key=repr)
     assert got == want
+
+
+def test_zombie_clear_respects_fresh_commits(spark, tmp_path, data, monkeypatch):
+    """A zombie runner holding a STALE commit-log snapshot must not
+    clear (and then skip re-writing) a group another runner committed
+    after the snapshot: the pre-clear re-read of the log is the guard.
+    Without it, the zombie rmtree's committed data, crashes, and the
+    marker silently poisons every later resume."""
+    clips, ts = data
+    out = tmp_path / "zombie"
+    _run(spark, out).run(clips, ts)  # healthy runner commits everything
+    v_before = sorted(map(tuple, _run(spark, out).violations().collect()), key=repr)
+    assert v_before  # the fault plan guarantees violations exist
+
+    orig = CommitLog.committed_parts
+    calls = {"n": 0}
+
+    def stale_first(self):
+        # first read (run()'s start-of-run snapshot) sees the PRE-commit
+        # world; every later read (the pre-clear guard) sees the truth
+        calls["n"] += 1
+        return set() if calls["n"] == 1 else orig(self)
+
+    monkeypatch.setattr(CommitLog, "committed_parts", stale_first)
+    summary = _run(spark, out).run(clips, ts)
+    monkeypatch.undo()
+
+    # the guard re-read the log immediately before clearing: no group was
+    # cleared or re-run, and the committed data is untouched
+    assert summary["groups_run"] == 0
+    assert summary["groups_skipped"] == 2
+    v_after = sorted(map(tuple, _run(spark, out).violations().collect()), key=repr)
+    assert v_after == v_before

@@ -106,3 +106,69 @@ def test_windowed_violation_counts(spark, tmp_path):
         ("2024-01-01 00:00:00", 0): (2, 1),
         ("2024-01-01 00:01:00", 1): (2, 1),
     }
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cap_buckets_broadcasts_the_hot_set(spark):
+    """Scale invariant: the bucket-cap guard must broadcast the HOT key
+    set (size O(corpus*bands/cap) by construction) and anti-join — never
+    the keep set, which is O(#distinct buckets) and unbroadcastable at
+    10^12 rows. Asserted on the physical plan under every LSH self-join."""
+    rows = [(i, f"document number {i} with words {i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _formatted_plan(
+        D.minhash_lsh_candidates(df, "doc_id", "text", max_bucket_size=50)
+    )
+    assert "LeftAnti" in plan, plan
+    # the only broadcast in the guard is the anti side; a keep-set
+    # broadcast would show as a broadcast LeftSemi on (band, bucket)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    semi_broadcasts = [
+        ln for ln in plan.splitlines()
+        if "LeftSemi" in ln and "Broadcast" in ln and "band" in ln
+    ]
+    assert semi_broadcasts == [], semi_broadcasts
+
+
+def test_ivf_assignment_paths_equivalent(spark):
+    """The pandas/BLAS argmin assignment (constant plan size in n_lists)
+    must reproduce the Catalyst expression path exactly, partial probe
+    included."""
+    e = _emb(spark, n=80, dim=8, seed=5)
+    q = e.where("vec_id < 5")
+
+    def run(impl):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+            for r in SIM.ivf_topk(
+                e, q, k=3, n_lists=8, nprobe=3, assign_impl=impl
+            ).collect()
+        )
+
+    assert run("catalyst") == run("pandas")
+
+
+def test_nearest_centroid_exprs_agree(spark):
+    """Direct check of both assignment kernels: nprobe-nearest centroid
+    ids (distance-then-id ordering) must match element-for-element."""
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((16, 6))
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        "id",
+        SIM._nearest_centroids_expr(F.col("v"), cents, 4).alias("a"),
+        SIM._nearest_centroids_pandas(F.col("v"), cents, 4).alias("b"),
+    ).collect()
+    assert len(both) == 50
+    for r in both:
+        assert list(r.a) == list(r.b), (r.id, list(r.a), list(r.b))

@@ -202,3 +202,40 @@ def test_unique_passthrough():
         TRIPS_SCHEMA, key_col="trip_id", unique=["trip_id"]
     )
     assert [uk.cols for uk in rs.unique_keys] == [("trip_id",)]
+
+
+def test_draft04_boolean_exclusive_bounds(spark):
+    """Draft-04 BOOLEAN exclusiveMinimum/Maximum modify minimum/maximum;
+    the numeric draft-06 comparison must never see a bool (True >= 5 is
+    falsy -> the bound silently compiled inclusive before this guard)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "k": {"type": "string"},
+            "a": {"type": "integer", "minimum": 5, "exclusiveMinimum": True},
+            "b": {"type": "integer", "minimum": 0, "exclusiveMinimum": False},
+            "c": {"type": "integer", "maximum": 10, "exclusiveMaximum": True},
+        },
+    }
+    rs, unsup = from_json_schema(schema, key_col="k")
+    assert unsup == []
+    df = spark.createDataFrame(
+        [
+            ("ok", 6, 0, 9),
+            ("a_at_bound", 5, 0, 9),   # 5 violates exclusive min 5
+            ("b_at_bound", 6, 0, 9),   # 0 is fine (exclusiveMinimum: false)
+            ("b_below", 6, -1, 9),     # -1 < 0 violates
+            ("c_at_bound", 6, 0, 10),  # 10 violates exclusive max 10
+        ],
+        "k string, a long, b long, c long",
+    ).withColumn("part_id", F.lit(0))
+    got = {(r.clip_id, r.column_name) for r in rs.violations(df).collect()}
+    assert got == {
+        ("a_at_bound", "a"),
+        ("b_below", "b"),
+        ("c_at_bound", "c"),
+    }
+    # parity with the reference mechanism (Draft4 honors the boolean form)
+    v4 = jsonschema.Draft4Validator(schema)
+    assert [e.absolute_path[0] for e in v4.iter_errors({"a": 5, "b": 0, "c": 9})] == ["a"]
+    assert not list(v4.iter_errors({"a": 6, "b": 0, "c": 9}))
