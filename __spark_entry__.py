@@ -512,13 +512,25 @@ def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH top-k demo sized for the small test corpora: 8 planes x
-    4 tables = 256 buckets/table (the production default of 16 planes
-    yields 65536 buckets — correct at 10^8+ vectors, empty candidate
-    sets at sf<=0.1)."""
+    """SRP-LSH top-k — ORACLED via planted exact copies (the trick that
+    oracles embedding_near_dup): the corpus is the embeddings table plus
+    exact copies of vec_id<10 at vec_id+100000, and those copies are the
+    queries. An identical vector gets identical sign bits in EVERY LSH
+    table, so each planted query's bucket always contains its original,
+    and the exact-cosine rank-1 is deterministically (query, original,
+    1.0) — natural max pairwise cosine in the synthetic table is ~0.51.
+    Ranks >1 are LSH-parameterization-specific, so the oracled output is
+    top-1; full top-k recall stays covered by differential pytest.
+    Plane/table sizing per the small-corpus demo note: 8 planes x 4
+    tables = 256 buckets/table (production 16 planes = 65536 buckets is
+    right at 10^8+ vectors but yields empty candidate sets at sf<=0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64,
+    planted = emb.where(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    topk = SIM.lsh_topk(emb.unionByName(planted), planted, k=5, dim=64,
                         n_planes=8, n_tables=4)
+    return topk.where(F.col("rank") == 1)
 
 
 def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,7 +665,41 @@ def clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clips = FX.generate_clips(spark, 500, n_parts=8, seed=42)
+    """Audio feature extraction — ORACLED via the ledger pattern (the
+    image_features_items twin): expected (n_samples, rms, peak,
+    zero_crossings) are replayed DRIVER-SIDE from the seeded generator —
+    same codec round-trip, same numpy ops on the decoded array, no Spark
+    involved — and written to .oracle/ for DuckDB to read. The engine
+    must recover them by decoding the binary column inside mapInPandas;
+    rows whose bytes are null / codec unknown / decode fails must be
+    ABSENT (the fault plan plants null_bytes and bad_codec rows, so
+    skip-logic is part of the contract). Misses, extras, and any feature
+    drift all hash-mismatch."""
+    import numpy as np
+
+    n = 500
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for i in range(n):
+        cid, buf, _sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
+        if buf is None or codec not in audio.DECODERS:
+            continue
+        try:
+            w = audio.decode(codec, bytes(buf))
+        except Exception:
+            continue
+        expected.append((
+            cid,
+            int(w.size),
+            float(np.sqrt(np.mean(w * w))) if w.size else 0.0,
+            float(np.max(np.abs(w))) if w.size else 0.0,
+            int(np.count_nonzero(np.diff(np.signbit(w)))) if w.size else 0,
+        ))
+    spark.createDataFrame(
+        expected,
+        "clip_id string, n_samples long, rms double, peak double, zero_crossings long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/audio_feature_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     return audio.audio_features(clips)
 
 
@@ -1235,7 +1281,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'bad_enum:codec', clip_id, 'codec', part_id
             FROM clips WHERE codec IS NOT NULL
-              AND codec NOT IN ('pcm_s16le', 'flac', 'opus', 'mp3')
+              AND codec NOT IN ('pcm_s16le', 'wav', 'flac', 'opus', 'mp3')
             UNION ALL
             SELECT 'duplicate_id:clip_id', clip_id, 'clip_id', part_id
             FROM clips WHERE clip_id IN (
@@ -1266,5 +1312,21 @@ def oracle_sql() -> dict[str, str]:
         "image_features_items": f"""
             SELECT item_id, height, width, channels, mean_intensity, decode_ok
             FROM read_parquet('{_ORACLE_DIR}/image_ledger/*.parquet')
+        """,
+        # Ledger pattern (audio twin of image_features_items): expected
+        # features replayed driver-side from the seeded generator.
+        "audio_features_clips": f"""
+            SELECT clip_id, n_samples, rms, peak, zero_crossings
+            FROM read_parquet('{_ORACLE_DIR}/audio_feature_ledger/*.parquet')
+        """,
+        # Planted exact copies: each planted query's rank-1 neighbor is
+        # deterministically its original at cosine 1.0 (identical sign
+        # bits in every LSH table; natural max pairwise ~0.51).
+        "lsh_ann_embeddings": """
+            SELECT (vec_id + 100000)::BIGINT AS query_id,
+                   vec_id AS neighbor_id,
+                   1.0::DOUBLE AS cosine_sim,
+                   1 AS rank
+            FROM embeddings WHERE vec_id < 10
         """,
     }

@@ -11,6 +11,8 @@ clearly-marked deterministic stand-ins with the same plumbing a real
 decoder would use (binary in -> float32 PCM out):
 
   pcm_s16le : REAL — 16-bit little-endian linear PCM (lossless).
+  wav       : REAL — RIFF/WAVE container (public spec) around 16-bit PCM;
+              pure-stdlib struct chunk walk; rejects non-PCM / non-16-bit.
   opus      : stand-in — ITU-T G.711 mu-law companding (a REAL lossy
               telephony codec, ~38 dB SNR; public spec) used where a true
               Opus decoder would plug in.
@@ -33,6 +35,7 @@ math.
 from __future__ import annotations
 
 import math
+import struct
 import zlib
 from typing import Callable, Iterator
 
@@ -77,6 +80,43 @@ def decode_flac(buf: bytes) -> np.ndarray:
     return decode_pcm_s16le(zlib.decompress(buf))
 
 
+def encode_wav(wave: np.ndarray, sr_hz: int = 16000) -> bytes:
+    """REAL RIFF/WAVE container around mono 16-bit PCM (public WAVE
+    format spec, pure stdlib). The header's sample rate is container
+    metadata only — the engine reads sr from the table column."""
+    data = encode_pcm_s16le(wave)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, int(sr_hz), int(sr_hz) * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """Walk RIFF chunks (word-aligned), require PCM format 1 @ 16 bit,
+    decode the data chunk as s16le. Malformed containers raise — the
+    calling UDFs fault-isolate decoder errors per clip."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, fmt_code, bits, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid, sz = struct.unpack_from("<4sI", buf, pos)
+        pos += 8
+        body = buf[pos : pos + sz]
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_code, _ch, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    if fmt_code != 1 or bits != 16 or data is None:
+        raise ValueError("unsupported WAVE format (need PCM s16)")
+    return decode_pcm_s16le(data)
+
+
 def encode_mp3(wave: np.ndarray) -> bytes:
     x = np.clip(wave, -1.0, 1.0)
     return np.round((x + 1.0) * 127.5).astype(np.uint8).tobytes()
@@ -90,6 +130,7 @@ def decode_mp3(buf: bytes) -> np.ndarray:
 
 ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
     "pcm_s16le": encode_pcm_s16le,
+    "wav": encode_wav,
     "opus": encode_ulaw,
     "flac": encode_flac,
     "mp3": encode_mp3,
@@ -97,6 +138,7 @@ ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
 
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "pcm_s16le": decode_pcm_s16le,
+    "wav": decode_wav,
     "opus": decode_ulaw,
     "flac": decode_flac,
     "mp3": decode_mp3,

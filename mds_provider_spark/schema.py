@@ -34,7 +34,7 @@ TRANSCRIPTS_SCHEMA = T.StructType(
 )
 
 SR_HZ_ENUM = [8000, 16000, 22050, 44100, 48000]
-CODEC_ENUM = ["pcm_s16le", "flac", "opus", "mp3"]
+CODEC_ENUM = ["pcm_s16le", "wav", "flac", "opus", "mp3"]
 
 # ---------------------------------------------------------------- outputs
 

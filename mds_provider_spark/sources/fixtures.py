@@ -29,7 +29,7 @@ WORDS = (
     "brew strong coffee at midnight near the old harbor wall"
 ).split()
 
-_CODECS_HOT = ["pcm_s16le"] * 8 + ["flac", "opus"]  # 80% hot codec -> skew
+_CODECS_HOT = ["pcm_s16le"] * 7 + ["wav", "flac", "opus"]  # 70% hot codec -> skew
 _DUR_CHOICES = [80, 120, 160, 200, 240, 320, 400]
 
 

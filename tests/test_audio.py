@@ -7,7 +7,7 @@ from mds_provider_spark.functions import audio
 from mds_provider_spark.sources import fixtures as FX
 
 
-@pytest.mark.parametrize("codec", ["pcm_s16le", "flac", "opus", "mp3"])
+@pytest.mark.parametrize("codec", ["pcm_s16le", "wav", "flac", "opus", "mp3"])
 def test_codec_roundtrip_snr(codec):
     wave = FX.ref_waveform("test-clip", 16000, 200)
     enc = audio.ENCODERS[codec](wave)

@@ -25,7 +25,7 @@ SCHEMA = {
         "clip_id": {"type": "string", "format": "uuid"},
         "sr_hz": {"type": "integer", "enum": [8000, 16000, 22050, 44100, 48000]},
         "dur_ms": {"type": "integer", "exclusiveMinimum": 0},
-        "codec": {"type": "string", "enum": ["pcm_s16le", "flac", "opus", "mp3"]},
+        "codec": {"type": "string", "enum": ["pcm_s16le", "wav", "flac", "opus", "mp3"]},
         "transcript": {"type": "string", "minLength": 1},
     },
 }
