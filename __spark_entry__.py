@@ -365,6 +365,37 @@ def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over winnowing fingerprints: training
+    docs (doc_id < 300) sharing >= 2 fingerprints with a pretend
+    benchmark set (doc_id < 20). The benchmark docs ARE in the training
+    slice, so every bench doc must at minimum flag its own training
+    copy — detection is part of the contract. Portable md5-fold hashing
+    so DuckDB reconstructs both fingerprint sets and the join exactly.
+    k=10/window=6/min_shared=8 chosen to be DISCRIMINATIVE on the
+    shared-vocabulary synthetic corpus (~230 of 6000 possible pairs
+    flag; min self-pair share is 15, so every true leak clears the
+    threshold with margin)."""
+    docs = _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    train = docs.where(F.col("doc_id") < 300)
+    bench = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_doc"), "text"
+    )
+    return TX.contamination_pairs(
+        train, bench, "doc_id", "text", bench_id_col="bench_doc",
+        k=10, window=6, min_shared=8, portable=True,
+    )
+
+
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sequence packing (concat-then-chunk
+    batch construction): per-doc pack assignment over 8 packer streams
+    at a 200-subtoken budget. Pure function of the doc ids — DuckDB
+    replays the identical md5 route, running total, and floor."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return TX.pack_token_budget(docs, "doc_id", "text", budget=200, n_packers=8)
+
+
 def empty_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
@@ -775,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_documents": winnowing_documents,
         "text_profile_documents": text_profile_documents,
         "stratified_sample_documents": stratified_sample_documents,
+        "contamination_documents": contamination_documents,
+        "pack_documents": pack_documents,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": minhash_dedup_documents,
         "dedup_materialize_documents": dedup_materialize_documents,
@@ -1312,6 +1345,56 @@ def oracle_sql() -> dict[str, str]:
         "image_features_items": f"""
             SELECT item_id, height, width, channels, mean_intensity, decode_ok
             FROM read_parquet('{_ORACLE_DIR}/image_ledger/*.parquet')
+        """,
+        # Decontamination: both winnowing fingerprint sets reconstructed
+        # (portable md5-fold), joined, and thresholded — identical to the
+        # engine's plan, expressed in DuckDB list ops.
+        "contamination_documents": f"""
+            WITH tr AS (
+              SELECT doc_id, {_NORM} AS c FROM documents
+              WHERE text IS NOT NULL AND doc_id < 300
+            ),
+            tg AS (
+              SELECT doc_id, list_transform(
+                       range(1, greatest(length(c) - 9, 1) + 1),
+                       i -> ('0x' || substr(md5(substr(c, i::INT, 10)), 1, 8))::BIGINT
+                     ) AS hs
+              FROM tr
+            ),
+            tfp AS (
+              SELECT doc_id AS train_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 5, 1) + 1),
+                       j -> list_min(hs[j::INT : j::INT + 5])))) AS fingerprint
+              FROM tg
+            ),
+            bfp AS (
+              SELECT train_id AS bench_id, fingerprint FROM tfp
+              WHERE train_id < 20
+            )
+            SELECT t.train_id, b.bench_id, count(*) AS n_shared
+            FROM tfp t JOIN bfp b USING (fingerprint)
+            GROUP BY 1, 2 HAVING count(*) >= 8
+        """,
+        # Token-budget packing: identical md5 packer route, id-ordered
+        # running total, and floor((cum - n)/budget) window replayed.
+        "pack_documents": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{TX.BPE_ISH_RE}'))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS packer
+              FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, packer,
+                     sum(n_tokens) OVER (
+                       PARTITION BY packer ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens, packer,
+                   (packer * 1000000000
+                    + floor((cum - n_tokens) / 200.0))::BIGINT AS pack_id
+            FROM c
         """,
         # Ledger pattern (audio twin of image_features_items): expected
         # features replayed driver-side from the seeded generator.

@@ -9,7 +9,7 @@ returns a Column so callers compose them into ONE projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mds_provider_spark.operators.dedup import norm_text, tokens
 
@@ -168,6 +168,97 @@ def winnowing_fingerprint_rows(
     return step.select(
         F.col(id_col),
         F.explode(F.array_sort(F.array_distinct(mins))).alias("fingerprint"),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, bench_id, n_shared) for
+    training docs sharing >= ``min_shared`` distinct winnowing
+    fingerprints with a benchmark doc — the standard pre-training hygiene
+    check (winnowing guarantees any shared substring of length
+    k+window-1 produces a shared fingerprint, so verbatim benchmark
+    leakage cannot hide).
+
+    Scale shape: both sides are fingerprinted in ONE scan each; the join
+    key is the fingerprint hash. The bench side is tiny relative to a
+    10^12-row corpus (benchmark suites are 10^3-10^5 docs), so AQE
+    broadcasts it and the training table is NEVER shuffled; the grouped
+    count is candidate-proportional. No forced broadcast hint — a
+    pathologically large "bench" side falls back to a shuffled join
+    instead of an OOM."""
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    tf = winnowing_fingerprint_rows(
+        train, id_col, text_col, k, window, portable
+    ).withColumnRenamed(id_col, "train_id")
+    bf = winnowing_fingerprint_rows(
+        bench, bid, btx, k, window, portable
+    ).withColumnRenamed(bid, "bench_id")
+    return (
+        tf.join(bf, "fingerprint")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    n_packers: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic distributed sequence packing (the concat-then-chunk
+    style of pre-training batch construction): returns
+    (id, n_tokens, packer, pack_id).
+
+    Docs are routed to one of ``n_packers`` independent packer streams
+    by an md5 bucket of their id (a pure function — the same packing
+    under any partitioning, engine, or resume), each stream concatenates
+    its docs in id order, and a doc's pack is the ``budget``-token
+    window containing its FIRST token (running-total window ->
+    ``floor((cumsum - n_tokens) / budget)``). The window partitions by
+    packer, so parallelism = n_packers with no global sort; at 10^12
+    rows raise n_packers to the cluster width (packing quality is
+    per-stream and independent of stream count). Token measure is the
+    engine-portable BPE-ish regex, so the identical md5/cumsum/floor
+    replays in DuckDB/Trino for audits."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4),
+        16, 10,
+    ).cast("long") % n_packers
+    step = df.select(
+        F.col(id_col),
+        bpe_ish_token_count(text_col).cast("long").alias("n_tokens"),
+        bucket.alias("packer"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return step.select(
+        id_col,
+        "n_tokens",
+        "packer",
+        (
+            F.col("packer") * F.lit(1_000_000_000)
+            + F.floor((cum - F.col("n_tokens")) / budget)
+        ).cast("long").alias("pack_id"),
     )
 
 

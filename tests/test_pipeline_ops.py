@@ -221,3 +221,69 @@ def test_stratified_sample_rates_and_determinism(spark):
     b = sorted(r.doc_id for r in TX.stratified_sample(
         df.repartition(7), "doc_id", "lang", {"de": 100, "es": 50, "en": 0}).collect())
     assert a == b
+
+
+# ------------------------------------- decontamination + sequence packing
+
+
+def test_contamination_detects_verbatim_leak(spark):
+    bench = [(0, "the quick brown fox jumps over the lazy dog near the harbor wall")]
+    train = [
+        (100, "the quick brown fox jumps over the lazy dog near the harbor wall"),
+        (101, "completely unrelated text about seven wizards brewing strong coffee"),
+        (102, "another unrelated document with different words entirely today"),
+    ]
+    got = TX.contamination_pairs(
+        spark.createDataFrame(train, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+        "doc_id", "text", min_shared=2,
+    ).collect()
+    assert {(r.train_id, r.bench_id) for r in got} == {(100, 0)}
+
+
+def test_contamination_shared_passage_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length >= k+window-1
+    yields shared fingerprints even when prefix/suffix differ — a
+    benchmark passage embedded mid-document cannot hide."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    bench = [(0, "benchmark question: " + shared)]
+    train = [
+        (1, "totally different prefix text " + shared + " and a different suffix"),
+        (2, "zero vocab crossover: xylophones quartz jumbled wavy fudge"),
+    ]
+    got = TX.contamination_pairs(
+        spark.createDataFrame(train, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+        "doc_id", "text", min_shared=2,
+    ).collect()
+    assert {(r.train_id, r.bench_id) for r in got} == {(1, 0)}
+
+
+def test_pack_token_budget_matches_pandas_replay(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 40))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        TX.pack_token_budget(df, "doc_id", "text", budget=50, n_packers=4)
+        .toPandas()
+        .sort_values(["packer", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].is_unique and len(got) == 200
+    for packer, g in got.groupby("packer"):
+        cum = g["n_tokens"].cumsum()
+        expect = (cum - g["n_tokens"]) // 50
+        assert list(g["pack_id"]) == [
+            int(packer) * 1_000_000_000 + int(b) for b in expect
+        ], packer
+        # bins are monotone within a packer (contiguous chunking)
+        assert list(g["pack_id"]) == sorted(g["pack_id"])
+
+
+def test_pack_token_budget_partitioning_invariant(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 3) % 25))) for i in range(120)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = a.repartition(7)
+    pack = lambda d: sorted(
+        map(tuple, TX.pack_token_budget(d, "doc_id", "text", 40, 4).collect())
+    )
+    assert pack(a) == pack(b)
