@@ -95,8 +95,11 @@ def main() -> None:
     sections.append((
         "Capped multi-table LSH near-dup (similarity)",
         "the self-join keys on (table, bucket) — an equi hash join, never "
-        "a cartesian; the bucket-size cap applies as a broadcast LeftSemi "
-        "BEFORE the join, so the worst case is bounded by tables x cap. "
+        "a cartesian; the bucket-size cap applies BEFORE the join as a "
+        "broadcast LeftAnti of the HOT key set (tiny by construction: at "
+        "most rows*tables/cap keys — broadcasting the keep set instead "
+        "would be O(distinct buckets), unbroadcastable at 10^12 rows), "
+        "so the worst case is bounded by tables x cap. "
         "Sign bits for 144 hyperplanes come from a pandas_udf matmul "
         "(ArrowEvalPython); packing is plain projection arithmetic. The "
         "signature subtree recurs once per join side (deterministic "
@@ -113,6 +116,24 @@ def main() -> None:
         "(higher-order functions are excluded from subexpression "
         "elimination — the O(len^2) trap documented in text.py).",
         formatted(TX.winnowing_fingerprint_rows(docs, "doc_id", "text")),
+    ))
+    sections.append((
+        "Token-budget sequence packing (text)",
+        "scan -> one projection (md5 packer route + portable token count) "
+        "-> ONE Exchange on packer -> per-stream running-total Window -> "
+        "projection. No global sort: parallelism = n_packers, and the "
+        "window state is a single running sum per stream.",
+        formatted(TX.pack_token_budget(docs, "doc_id", "text", 200, 8)),
+    ))
+    sections.append((
+        "Benchmark decontamination (text)",
+        "both sides fingerprint in one scan each; the join keys on the "
+        "fingerprint hash and AQE broadcasts the small bench side (no "
+        "forced hint — a huge 'bench' degrades to shuffle, not OOM); the "
+        "(train,bench) group-count is candidate-proportional.",
+        formatted(TX.contamination_pairs(
+            docs, docs.where(F.col("doc_id") < 20), "doc_id", "text",
+            min_shared=2)),
     ))
     sections.append((
         "IVF list assignment (similarity)",
