@@ -734,6 +734,63 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.audio_features(clips)
 
 
+def audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus quality screening (silence / clipping / spectral
+    features) — ORACLED via the same driver-side ledger pattern as
+    audio_features_clips: the expected values come from the shared
+    numpy kernel applied to generator-replayed waveforms, so the engine
+    must reproduce them by decoding the table's binary column."""
+    import numpy as np  # noqa: F401  (kernel lives in audio)
+
+    n = 400
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for i in range(n):
+        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
+        if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
+            continue
+        try:
+            w = audio.decode(codec, bytes(buf))
+        except Exception:
+            continue
+        s, c, d, ce = audio.quality_features_of(w, int(sr))
+        expected.append((cid, s, c, d, ce))
+    spark.createDataFrame(
+        expected,
+        "clip_id string, silence_ratio double, clipping_ratio double, "
+        "dominant_hz double, spectral_centroid_hz double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/audio_quality_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    return audio.audio_quality_features(clips)
+
+
+def segment_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length clip segmentation (frame-sampling shape: one binary
+    row in, many typed segment rows out) — ORACLED via the shared-kernel
+    ledger like audio_quality_clips."""
+    n = 300
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for i in range(n):
+        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
+        if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
+            continue
+        try:
+            w = audio.decode(codec, bytes(buf))
+        except Exception:
+            continue
+        for seg_idx, start_ms, n_samples, rms in audio.segment_features_of(
+            w, int(sr), 50
+        ):
+            expected.append((cid, seg_idx, start_ms, n_samples, rms))
+    spark.createDataFrame(
+        expected,
+        "clip_id string, seg_idx int, start_ms int, n_samples long, rms double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/audio_segment_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    return audio.segment_clips(clips, segment_ms=50)
+
+
 def image_features_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image path over REAL (pure-stdlib) PNG decode — ORACLED
     detection-vs-injection: seeded uint8 arrays are PNG-encoded into an
@@ -819,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_profile_lineitem": hll_profile_lineitem,
         "clips_validation": clips_validation,
         "audio_features_clips": audio_features_clips,
+        "audio_quality_clips": audio_quality_clips,
+        "segment_clips_features": segment_clips_features,
         "image_features_items": image_features_items,
     }
 
@@ -1401,6 +1460,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_features_clips": f"""
             SELECT clip_id, n_samples, rms, peak, zero_crossings
             FROM read_parquet('{_ORACLE_DIR}/audio_feature_ledger/*.parquet')
+        """,
+        "audio_quality_clips": f"""
+            SELECT clip_id, silence_ratio, clipping_ratio,
+                   dominant_hz, spectral_centroid_hz
+            FROM read_parquet('{_ORACLE_DIR}/audio_quality_ledger/*.parquet')
+        """,
+        "segment_clips_features": f"""
+            SELECT clip_id, seg_idx, start_ms, n_samples, rms
+            FROM read_parquet('{_ORACLE_DIR}/audio_segment_ledger/*.parquet')
         """,
         # Planted exact copies: each planted query's rank-1 neighbor is
         # deterministically its original at cosine 1.0 (identical sign

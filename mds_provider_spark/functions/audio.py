@@ -452,3 +452,149 @@ def audio_features(clips: DataFrame, key_col: str = "clip_id") -> DataFrame:
         feats,
         "clip_id string, n_samples long, rms double, peak double, zero_crossings long",
     )
+
+
+# -------------------------------------------- quality features / segments
+
+_SILENCE_FRAME_MS = 20
+_SILENCE_RMS = 0.01
+_CLIP_LEVEL = 0.999
+
+
+def quality_features_of(w: np.ndarray, sr_hz: int) -> tuple:
+    """Per-clip audio QUALITY features from a decoded waveform — pure
+    numpy/float64, shared by the Spark UDF and the driver-side oracle
+    ledger so both compute bit-identical values:
+
+      silence_ratio      : fraction of 20 ms frames with RMS < 0.01
+                           (silence/VAD pre-filter for ASR corpora)
+      clipping_ratio     : fraction of samples at |x| >= 0.999
+                           (hard-clipping detector)
+      dominant_hz        : argmax |rfft| bin (DC excluded) in Hz
+      spectral_centroid_hz: sum(f*|X|)/sum(|X|) over rfft magnitudes
+    """
+    x = w.astype(np.float64)
+    n = x.size
+    if n == 0 or sr_hz <= 0:
+        return 1.0, 0.0, 0.0, 0.0
+    frame = max(1, int(sr_hz) * _SILENCE_FRAME_MS // 1000)
+    n_frames = n // frame
+    if n_frames > 0:
+        fr = x[: n_frames * frame].reshape(n_frames, frame)
+        frms = np.sqrt((fr * fr).mean(axis=1))
+        silence = float(np.count_nonzero(frms < _SILENCE_RMS)) / n_frames
+    else:
+        silence = float(np.sqrt((x * x).mean()) < _SILENCE_RMS)
+    clipping = float(np.count_nonzero(np.abs(x) >= _CLIP_LEVEL)) / n
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / float(sr_hz))
+    total = float(mag.sum())
+    centroid = float((freqs * mag).sum() / total) if total > 0.0 else 0.0
+    dominant = float(freqs[1 + int(np.argmax(mag[1:]))]) if mag.size > 1 else 0.0
+    return silence, clipping, dominant, centroid
+
+
+def audio_quality_features(clips: DataFrame, key_col: str = "clip_id") -> DataFrame:
+    """Audio-corpus quality screening: (clip_id, silence_ratio,
+    clipping_ratio, dominant_hz, spectral_centroid_hz) per decodable
+    clip. Same mapInPandas contract as audio_features (pruned select —
+    bytes cross the pipe once; per-clip skip on null bytes / unknown
+    codec / decode failure); the DSP itself is quality_features_of."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sil, clp, dom, cen = [], [], [], [], []
+            for cid, buf, codec, sr in zip(
+                pdf[key_col], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                if buf is None or codec not in DECODERS or pd.isna(sr) or int(sr) <= 0:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                s, c, d, ce = quality_features_of(w, int(sr))
+                ids.append(cid)
+                sil.append(s)
+                clp.append(c)
+                dom.append(d)
+                cen.append(ce)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "silence_ratio": pd.array(sil, dtype="float64"),
+                    "clipping_ratio": pd.array(clp, dtype="float64"),
+                    "dominant_hz": pd.array(dom, dtype="float64"),
+                    "spectral_centroid_hz": pd.array(cen, dtype="float64"),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(
+        feats,
+        "clip_id string, silence_ratio double, clipping_ratio double, "
+        "dominant_hz double, spectral_centroid_hz double",
+    )
+
+
+def segment_features_of(w: np.ndarray, sr_hz: int, segment_ms: int) -> list[tuple]:
+    """Fixed-length segmentation of a decoded waveform (the audio
+    frame-sample analog): [(seg_idx, start_ms, n_samples, rms)] with a
+    final short tail segment kept. Shared UDF/oracle kernel."""
+    x = w.astype(np.float64)
+    seg = max(1, int(sr_hz) * segment_ms // 1000)
+    out = []
+    for i, lo in enumerate(range(0, x.size, seg)):
+        s = x[lo : lo + seg]
+        out.append(
+            (
+                i,
+                int(lo * 1000 // int(sr_hz)),
+                int(s.size),
+                float(np.sqrt((s * s).mean())) if s.size else 0.0,
+            )
+        )
+    return out
+
+
+def segment_clips(
+    clips: DataFrame, segment_ms: int = 50, key_col: str = "clip_id"
+) -> DataFrame:
+    """Explode clips into fixed-length segments: (clip_id, seg_idx,
+    start_ms, n_samples, rms) — the training-data frame-sampling shape
+    (one binary in, many typed rows out). Row count multiplies by
+    dur/segment; the mapInPandas batch contract is unchanged."""
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ns, rms = [], [], [], [], []
+            for cid, buf, codec, sr in zip(
+                pdf[key_col], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                if buf is None or codec not in DECODERS or pd.isna(sr) or int(sr) <= 0:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                for i, start, n, r in segment_features_of(w, int(sr), segment_ms):
+                    ids.append(cid)
+                    idxs.append(i)
+                    starts.append(start)
+                    ns.append(n)
+                    rms.append(r)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "seg_idx": pd.array(idxs, dtype="int32"),
+                    "start_ms": pd.array(starts, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(
+        segs,
+        "clip_id string, seg_idx int, start_ms int, n_samples long, rms double",
+    )

@@ -94,3 +94,53 @@ def test_ref_waveform_batch_bit_identical(spark):
     batch = FX.ref_waveform_batch(ids, 8000, 120)
     for i, cid in enumerate(ids):
         assert np.array_equal(batch[i], FX.ref_waveform(cid, 8000, 120))
+
+
+def test_quality_features_kernel_properties():
+    import numpy as np
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 s
+    # pure 440 Hz tone at healthy level: no silence, no clipping,
+    # dominant bin at ~440 Hz, centroid pulled near it
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    s, c, d, ce = audio.quality_features_of(tone, sr)
+    assert s == 0.0 and c == 0.0
+    assert abs(d - 440.0) <= 1.0
+    assert 200.0 <= ce <= 2000.0
+    # digital silence: all-silent frames, no clipping, degenerate spectrum
+    s, c, d, ce = audio.quality_features_of(np.zeros(sr, dtype=np.float32), sr)
+    assert s == 1.0 and c == 0.0 and ce == 0.0
+    # square wave at full scale: heavy clipping, zero silence
+    square = np.sign(np.sin(2 * np.pi * 100.0 * t)).astype(np.float32)
+    s, c, d, ce = audio.quality_features_of(square, sr)
+    assert c > 0.9 and s == 0.0 and abs(d - 100.0) <= 1.0
+
+
+def test_audio_quality_features_spark_matches_kernel(spark):
+    clips = FX.generate_clips(spark, 60, n_parts=4, seed=7)
+    got = {r.clip_id: r for r in audio.audio_quality_features(clips).collect()}
+    assert len(got) == 60
+    for i in range(10):
+        cid, buf, sr, _d, codec, _t, _p = FX._make_row(7, i, 4, None)
+        w = audio.decode(codec, bytes(buf))
+        s, c, d, ce = audio.quality_features_of(w, int(sr))
+        r = got[cid]
+        assert (r.silence_ratio, r.clipping_ratio) == (s, c)
+        assert (r.dominant_hz, r.spectral_centroid_hz) == (d, ce)
+
+
+def test_segment_clips_covers_waveform_exactly(spark):
+    clips = FX.generate_clips(spark, 40, n_parts=4, seed=9)
+    segs = audio.segment_clips(clips, segment_ms=50).collect()
+    feats = {r.clip_id: r for r in audio.audio_features(clips).collect()}
+    by_clip: dict[str, list] = {}
+    for r in segs:
+        by_clip.setdefault(r.clip_id, []).append(r)
+    assert set(by_clip) == set(feats)
+    for cid, rows in by_clip.items():
+        rows.sort(key=lambda r: r.seg_idx)
+        # contiguous indices, total samples == clip samples, tail short
+        assert [r.seg_idx for r in rows] == list(range(len(rows)))
+        assert sum(r.n_samples for r in rows) == feats[cid].n_samples
+        assert all(r.n_samples == rows[0].n_samples for r in rows[:-1])
