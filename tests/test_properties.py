@@ -91,3 +91,88 @@ def test_snr_identity_and_symmetric_degradation(wave):
     assert audio.snr_db(wave, wave) == float("inf")
     noisy = wave + 0.3 * np.ones_like(wave)
     assert audio.snr_db(wave, noisy) < audio.snr_db(wave, wave)
+
+
+@settings(max_examples=30, deadline=None)
+@given(waves)
+def test_wav_container_roundtrip_is_exactly_pcm(wave):
+    """The RIFF/WAVE container adds framing, not loss: decoding it must
+    be bit-identical to the raw s16le round trip."""
+    via_wav = audio.decode_wav(audio.encode_wav(wave))
+    via_pcm = audio.decode_pcm_s16le(audio.encode_pcm_s16le(wave))
+    assert np.array_equal(via_wav, via_pcm)
+
+
+@settings(max_examples=50, deadline=None)
+@given(waves, st.integers(0, 40))
+def test_wav_truncation_raises_not_garbage(wave, cut):
+    """A truncated container must raise (fault-isolated by callers),
+    never silently decode wrong-length audio from a partial buffer."""
+    buf = audio.encode_wav(wave)
+    trunc = buf[: min(cut, len(buf) - 1)]
+    try:
+        dec = audio.decode_wav(trunc)
+    except Exception:
+        return
+    # headers may survive the cut; then the data chunk must be shorter
+    assert dec.size < wave.size
+
+
+@settings(max_examples=30, deadline=None)
+@given(waves, st.sampled_from([8000, 16000, 44100]))
+def test_quality_features_ranges(wave, sr):
+    s, c, d, ce = audio.quality_features_of(wave, sr)
+    assert 0.0 <= s <= 1.0 and 0.0 <= c <= 1.0
+    assert 0.0 <= d <= sr / 2 and 0.0 <= ce <= sr / 2
+
+
+_BOUND_INT = st.integers(-10, 10)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    draft4=st.booleans(),
+    minimum=st.none() | _BOUND_INT,
+    maximum=st.none() | _BOUND_INT,
+    ex_min=st.none() | st.booleans(),
+    ex_max=st.none() | st.booleans(),
+    ex_min6=st.none() | _BOUND_INT,
+    ex_max6=st.none() | _BOUND_INT,
+    value=st.integers(-12, 12),
+)
+def test_compiler_bounds_match_jsonschema(
+    draft4, minimum, maximum, ex_min, ex_max, ex_min6, ex_max6, value
+):
+    """_bounds() vs the reference mechanism on bare-number instances,
+    BOTH dialects: draft-04 boolean exclusivity modifiers and draft-06
+    numeric exclusive bounds (including both-keywords-present)."""
+    import jsonschema
+
+    from mds_provider_spark.schema_compiler import _bounds
+
+    spec = {}
+    if minimum is not None:
+        spec["minimum"] = minimum
+    if maximum is not None:
+        spec["maximum"] = maximum
+    if draft4:
+        if ex_min is not None:
+            spec["exclusiveMinimum"] = ex_min
+        if ex_max is not None:
+            spec["exclusiveMaximum"] = ex_max
+        validator = jsonschema.Draft4Validator(spec)
+    else:
+        if ex_min6 is not None:
+            spec["exclusiveMinimum"] = ex_min6
+        if ex_max6 is not None:
+            spec["exclusiveMaximum"] = ex_max6
+        validator = jsonschema.Draft6Validator(spec)
+
+    lo, lo_inc, hi, hi_inc = _bounds(spec)
+    mine = False
+    if lo is not None:
+        mine |= value < lo if lo_inc else value <= lo
+    if hi is not None:
+        mine |= value > hi if hi_inc else value >= hi
+    want = bool(list(validator.iter_errors(value)))
+    assert mine == want, (spec, value, (lo, lo_inc, hi, hi_inc))
