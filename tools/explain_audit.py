@@ -104,7 +104,11 @@ def main() -> None:
         "(ArrowEvalPython); packing is plain projection arithmetic. The "
         "signature subtree recurs once per join side (deterministic "
         "recompute) — at cluster scale you persist the tiny (id, signs) "
-        "table instead, a cost/memory knob, not a plan defect.",
+        "table instead, a cost/memory knob, not a plan defect. Measured "
+        "round 3 at sf0.1: persisting the bucketed rows is SLOWER here "
+        "(5.9-6.8 s vs 4.8-5.7 s) — materializing 64-dim double arrays "
+        "costs more than recomputing them on this bandwidth-capped host, "
+        "so the default stays recompute.",
         formatted(SIM.embedding_near_duplicates(emb, threshold=0.9)),
     ))
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
