@@ -263,6 +263,10 @@ def main() -> None:
             "simhash_dedup_documents",
             "minhash_dedup_documents",
             "embedding_near_dup",
+            "contamination_documents",
+            "pack_documents",
+            "audio_quality_clips",
+            "segment_clips_features",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]
