@@ -142,11 +142,18 @@ def _cap_buckets(band_rows: DataFrame, keys: list[str], max_bucket_size: int | N
     so recall loss is confined to pathological content.
 
     Scale note: we broadcast the HOT set (buckets > cap) and anti-join.
-    The hot set is tiny BY CONSTRUCTION (each hot key accounts for >cap
-    rows, so there are at most corpus*bands/cap of them), whereas the
-    keep set is O(#distinct buckets) ~ O(corpus x bands) — broadcasting
-    the keep side was the one guaranteed OOM at the 10^12-row design
-    point (round-2 verdict item 1).
+    Each hot key accounts for >cap rows, so the hot set is bounded by
+    corpus*bands/cap keys — and in any real corpus far smaller (hot
+    buckets are degenerate content; typical hot fractions are <<1%).
+    The keep set, by contrast, is O(#distinct buckets) ~ O(corpus x
+    bands) — broadcasting THAT was the guaranteed OOM at the 10^12-row
+    design point (round-2 verdict item 1). The broadcast hint is
+    deliberate: the hot side comes out of an aggregation whose static
+    size estimate would otherwise force a sort-merge pass over the full
+    band table. The only input that breaks the hint is one where >~40%
+    of ALL band rows sit in over-cap buckets (~10^9 hot keys at 10^12
+    rows / cap 10^4) — a corpus that needs exact dedup before LSH is
+    even meaningful.
     """
     if max_bucket_size is None:
         return band_rows
