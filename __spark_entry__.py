@@ -740,7 +740,6 @@ def audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_features_clips: the expected values come from the shared
     numpy kernel applied to generator-replayed waveforms, so the engine
     must reproduce them by decoding the table's binary column."""
-    import numpy as np  # noqa: F401  (kernel lives in audio)
 
     n = 400
     faults = FX.default_fault_plan(n)
