@@ -17,6 +17,14 @@ explicit:
 With AQE on, stage-2 skew is additionally split at runtime. The final
 duplicate set is tiny relative to input, so every downstream join against
 it broadcasts.
+
+Broadcast contract: these operators validate PRIMARY-KEY integrity —
+duplicates are faults, so the duplicate-key set is bounded by the fault
+volume, not the corpus (and the hint exists because the set comes out of
+an aggregation whose static size estimate would otherwise force a second
+full shuffle of the input). For dup-HEAVY corpora — where duplicates are
+a constant fraction by design — use operators/dedup.py, whose drop-set
+joins deliberately carry no hint and let AQE choose.
 """
 
 from __future__ import annotations
