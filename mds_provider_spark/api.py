@@ -57,6 +57,27 @@ class Validator:
         """Named constructor parity with DataValidator.trips/.status_changes."""
         return cls(ruleset=R.mds_clip_rules(), ref_wave_fn=ref_wave_fn)
 
+    @classmethod
+    def from_schema(
+        cls,
+        schema: dict,
+        key_col: str,
+        part_col: str = "part_id",
+        unique=None,
+        strict: bool = True,
+        **kwargs,
+    ) -> "Validator":
+        """``DataValidator(schema_document)`` parity: compile an MDS
+        JSON-Schema document — nested GeoJSON objects and object-arrays
+        included — straight into a Validator (mds/schemas.py builds its
+        validator from the fetched schema doc the same way)."""
+        from mds_provider_spark.schema_compiler import from_json_schema
+
+        rs, _ = from_json_schema(
+            schema, key_col=key_col, part_col=part_col, unique=unique, strict=strict
+        )
+        return cls(ruleset=rs, **kwargs)
+
     def validate(
         self, df: DataFrame, transcripts: DataFrame | None = None
     ) -> ValidationResult:

@@ -326,3 +326,38 @@ def test_trips_route_items_differential(spark):
     assert mine["elem_bad_geom_type"] == {"route.features[].geometry.type"}
     assert mine["elem_missing_geom"] == {"route.features[].geometry"}
     assert mine["elem_short_coords"] == {"route.features[].geometry.coordinates"}
+
+
+def test_validator_from_schema_facade(spark):
+    """DataValidator(schema_doc) parity surface: a committed nested MDS
+    schema compiles straight into a Validator; violations and verdicts
+    come back in one call."""
+    from mds_provider_spark.api import Validator
+
+    schema = _load("status_changes")
+    v = Validator.from_schema(schema, key_col="k", unique=[["device_id"]])
+    rows = [
+        ("ok", "00000002-0000-4000-8000-000000000002", "scooter",
+         ("Feature", (1700000000000,), ("Point", [1.0, 2.0]))),
+        ("badgeo", "00000003-0000-4000-8000-000000000003", "scooter",
+         ("Feature", (1700000000000,), ("Polygon", [1.0, 2.0]))),
+    ]
+    ddl = (
+        "k string, device_id string, vehicle_type string, "
+        "event_location struct<type:string, properties:struct<timestamp:long>, "
+        "geometry:struct<type:string, coordinates:array<double>>>"
+    )
+    import pyspark.sql.functions as F
+
+    # only the columns under test; drop rules bound to absent columns
+    present = {"k", "device_id", "vehicle_type", "event_location"}
+    v.ruleset.rules = [
+        r for r in v.ruleset.rules if r.column.split(".")[0] in present
+    ]
+    df = spark.createDataFrame(rows, ddl).withColumn("part_id", F.lit(0))
+    res = v.validate(df)
+    assert not res.is_valid()
+    got = {(r.clip_id, r.column_name) for r in res.violations.collect()}
+    assert got == {("badgeo", "event_location.geometry.type")}
+    verd = {r.part_id: r.status for r in res.verdicts.collect()}
+    assert verd == {0: "fail"}
