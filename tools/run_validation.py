@@ -28,6 +28,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pcm", choices=["files", "rows", "off"], default="files")
     p.add_argument("--run-id", default=None)
     p.add_argument("--min-snr-db", type=float, default=30.0)
+    p.add_argument("--baseline", default=None,
+                   help="baseline snapshot parquet (SNAPSHOT_SCHEMA) for "
+                        "distribution-drift detection; findings land in "
+                        "<out>/drift and the current snapshot in <out>/snapshot")
+    p.add_argument("--drift-cols", default="sr_hz,dur_ms",
+                   help="comma-separated columns for the drift snapshot")
+    p.add_argument("--emit-snapshot", action="store_true",
+                   help="write this table's drift snapshot to <out>/snapshot "
+                        "even without a baseline (bootstraps the first run)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,8 +67,30 @@ def main(argv: list[str] | None = None) -> int:
         if args.pcm == "files":
             kwargs["clips_path"] = args.clips
 
+    drift_cols = tuple(c for c in args.drift_cols.split(",") if c)
+    if args.baseline:
+        from mds_provider_spark import schema as S
+
+        kwargs["baseline_snapshot"] = spark.read.schema(S.SNAPSHOT_SCHEMA).parquet(
+            args.baseline
+        )
+        kwargs["drift_cols"] = drift_cols
+
     run = ValidationRun(**kwargs)
     summary = run.run(clips, ts)
+
+    if args.emit_snapshot and not args.baseline:
+        # bootstrap: write the current snapshot so the NEXT run can drift
+        # against it (with --baseline the runner already writes it)
+        import os
+
+        from mds_provider_spark.operators import drift as DR
+
+        DR.snapshot(clips, list(drift_cols), run.run_id).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.out, "snapshot"))
+        summary["snapshot_written"] = True
+
     print(json.dumps(summary))
     spark.stop()
     return 0
