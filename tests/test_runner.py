@@ -108,3 +108,41 @@ def test_rerun_is_noop(spark, tmp_path, data):
     _mk_run(spark, out).run(clips, ts)
     s = _mk_run(spark, out).run(clips, ts)
     assert s["groups_run"] == 0 and s["groups_skipped"] == 4
+
+
+def test_cli_drift_flags(spark, tmp_path, monkeypatch, capsys):
+    """tools/run_validation.py drift surface: --emit-snapshot bootstraps,
+    --baseline detects the shifted distribution. Runs main() in-process
+    (stop() no-op'd so the shared test session survives)."""
+    import importlib.util
+    import json
+    import pathlib
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    spec = importlib.util.spec_from_file_location(
+        "run_validation",
+        pathlib.Path(__file__).parent.parent / "tools" / "run_validation.py",
+    )
+    rv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rv)
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    (FX.generate_clips(spark, 400, n_parts=4, seed=42, sr_choices=[8000, 16000])
+        .repartition("part_id").write.partitionBy("part_id").parquet(a_dir))
+    (FX.generate_clips(spark, 400, n_parts=4, seed=43,
+                       sr_choices=[44100, 48000], dur_choices=[320, 400])
+        .repartition("part_id").write.partitionBy("part_id").parquet(b_dir))
+
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+    rv.main(["--clips", a_dir, "--out", out_a, "--n-parts", "4",
+             "--group-size", "2", "--pcm", "off", "--emit-snapshot"])
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["snapshot_written"] and first["rows"] == 400
+
+    rv.main(["--clips", b_dir, "--out", out_b, "--n-parts", "4",
+             "--group-size", "2", "--pcm", "off",
+             "--baseline", f"{out_a}/snapshot"])
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["drift_findings"] >= 1  # sr/dur distributions shifted
