@@ -734,6 +734,45 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.audio_features(clips)
 
 
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation in one lazy plan — the composition a
+    training-data pipeline actually runs: quality filter (>= 0.5) ->
+    exact-dup keep-one (min doc_id per content fingerprint, window over
+    the fingerprint hash) -> 50% deterministic sample -> token-budget
+    packing. Every stage is engine-portable, so DuckDB replays the WHOLE
+    chain; any stage drifting (filter boundary, dedup exemplar choice,
+    sample membership, pack arithmetic) hash-mismatches."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id", "text", TX.quality_score("text").alias("q")
+    ).where(F.col("q") >= 0.5)
+    w = Window.partitionBy("fp")
+    deduped = (
+        scored.withColumn("fp", TX.fingerprint("text"))
+        .withColumn("_mn", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_mn"))
+        .select("doc_id", "text")
+    )
+    sampled = TX.deterministic_sample(deduped, "doc_id", 50)
+    return TX.pack_token_budget(sampled, "doc_id", "text", budget=200, n_packers=4)
+
+
+def embedding_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-dedup keep-one, end to end: SRP-LSH near-dup pairs over
+    the embeddings table + planted exact copies -> connected components
+    -> anti-join materialization. The planted copies make the whole
+    chain deterministic (pairs are exactly (i, i+100000); natural max
+    pairwise cosine ~0.51 < 0.9 threshold), so the oracle is simply the
+    original table — the copies must ALL be dropped and nothing else."""
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    union = emb.unionByName(dup)
+    pairs = SIM.embedding_near_duplicates(union, threshold=0.9).select("id_a", "id_b")
+    return D.deduplicate(union, pairs, "vec_id").select("vec_id")
+
+
 def audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-corpus quality screening (silence / clipping / spectral
     features) — ORACLED via the same driver-side ledger pattern as
@@ -864,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": stratified_sample_documents,
         "contamination_documents": contamination_documents,
         "pack_documents": pack_documents,
+        "curation_pipeline_documents": curation_pipeline_documents,
+        "embedding_dedup_materialize": embedding_dedup_materialize,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": minhash_dedup_documents,
         "dedup_materialize_documents": dedup_materialize_documents,
@@ -922,6 +963,17 @@ def oracle_sql() -> dict[str, str]:
         for lang, m in TX.LANG_MARKERS.items()
     }
     stop_hits = f"len(list_filter({_TOKENS}, x -> list_contains({TX.STOPWORDS_EN!r}, x)))"
+    quality_expr = f"""round(
+                     least(len({_TOKENS}) / 20.0, 1.0) * 0.4
+                   + (CASE WHEN len({_TOKENS}) > 0 AND
+                        list_sum(list_transform({_TOKENS}, x -> length(x)))::DOUBLE / len({_TOKENS})
+                          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                   + least((CASE WHEN len({_TOKENS}) > 0 THEN
+                       {stop_hits}::DOUBLE / len({_TOKENS}) ELSE 0.0 END) * 5.0, 1.0) * 0.2
+                   + (1.0 - least((CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text) ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+                   , 6)"""
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1453,6 +1505,48 @@ def oracle_sql() -> dict[str, str]:
                    (packer * 1000000000
                     + floor((cum - n_tokens) / 200.0))::BIGINT AS pack_id
             FROM c
+        """,
+        # Full curation chain replayed: quality filter -> fingerprint
+        # keep-one window -> md5 sample -> packer cumsum. Any stage
+        # drifting hash-mismatches.
+        "curation_pipeline_documents": f"""
+            WITH kept AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND {quality_expr} >= 0.5
+            ),
+            dedup AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY md5({_NORM})) AS mn
+                FROM kept
+              ) WHERE doc_id = mn
+            ),
+            sampled AS (
+              SELECT doc_id, text FROM dedup
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 50
+            ),
+            t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{TX.BPE_ISH_RE}'))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 4 AS packer
+              FROM sampled
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, packer,
+                     sum(n_tokens) OVER (
+                       PARTITION BY packer ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens, packer,
+                   (packer * 1000000000
+                    + floor((cum - n_tokens) / 200.0))::BIGINT AS pack_id
+            FROM c
+        """,
+        # Planted copies are the ONLY near-dup pairs, each group's min is
+        # the original -> the materialized table is exactly the input.
+        "embedding_dedup_materialize": """
+            SELECT vec_id FROM embeddings
         """,
         # Ledger pattern (audio twin of image_features_items): expected
         # features replayed driver-side from the seeded generator.
