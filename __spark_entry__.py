@@ -829,6 +829,37 @@ def segment_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.segment_clips(clips, segment_ms=50)
 
 
+def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sample-rate normalization to 16 kHz — ORACLED to the BYTE:
+    the ledger stores the md5 of the driver-replayed resampled s16le
+    buffer, so the engine's decode -> linear-resample -> re-encode chain
+    must be bit-exact, not just feature-exact."""
+    import hashlib
+
+    n = 300
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for i in range(n):
+        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
+        if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
+            continue
+        try:
+            w = audio.decode(codec, bytes(buf))
+        except Exception:
+            continue
+        r = audio.resample_linear(w, int(sr), 16000)
+        enc = audio.encode_pcm_s16le(r)
+        expected.append((cid, 16000, int(r.size), hashlib.md5(enc).hexdigest()))
+    spark.createDataFrame(
+        expected, "clip_id string, sr_hz int, n_samples long, bytes_md5 string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/resample_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    out = audio.resample_clips(clips, 16000)
+    return out.select(
+        "clip_id", "sr_hz", "n_samples", F.md5(F.col("bytes")).alias("bytes_md5")
+    )
+
+
 def image_features_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image path over REAL (pure-stdlib) PNG decode — ORACLED
     detection-vs-injection: seeded uint8 arrays are PNG-encoded into an
@@ -918,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_clips": audio_features_clips,
         "audio_quality_clips": audio_quality_clips,
         "segment_clips_features": segment_clips_features,
+        "resample_clips_16k": resample_clips_16k,
         "image_features_items": image_features_items,
     }
 
@@ -1562,6 +1594,10 @@ def oracle_sql() -> dict[str, str]:
         "segment_clips_features": f"""
             SELECT clip_id, seg_idx, start_ms, n_samples, rms
             FROM read_parquet('{_ORACLE_DIR}/audio_segment_ledger/*.parquet')
+        """,
+        "resample_clips_16k": f"""
+            SELECT clip_id, sr_hz, n_samples, bytes_md5
+            FROM read_parquet('{_ORACLE_DIR}/resample_ledger/*.parquet')
         """,
         # Planted exact copies: each planted query's rank-1 neighbor is
         # deterministically its original at cosine 1.0 (identical sign

@@ -598,3 +598,69 @@ def segment_clips(
         segs,
         "clip_id string, seg_idx int, start_ms int, n_samples long, rms double",
     )
+
+
+# ------------------------------------------------------------- resampling
+
+
+def resample_linear(w: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resampling (real DSP, deterministic): output
+    sample k sits at source position k*sr_from/sr_to and blends its two
+    neighbors. Pure float64 kernel shared by the Spark UDF and the
+    oracle ledger. (Production pipelines swap in a windowed-sinc
+    resampler the same way a real codec swaps into DECODERS — the
+    contract and plumbing are identical.)"""
+    if sr_from == sr_to or w.size == 0:
+        return w.astype(np.float32)
+    n_out = max(1, int(round(w.size * sr_to / sr_from)))
+    pos = np.arange(n_out, dtype=np.float64) * (float(sr_from) / float(sr_to))
+    i0 = np.floor(pos).astype(np.int64)
+    frac = pos - i0
+    i0 = np.clip(i0, 0, w.size - 1)
+    i1 = np.clip(i0 + 1, 0, w.size - 1)
+    x = w.astype(np.float64)
+    return (x[i0] * (1.0 - frac) + x[i1] * frac).astype(np.float32)
+
+
+def resample_clips(
+    clips: DataFrame, target_sr: int, key_col: str = "clip_id"
+) -> DataFrame:
+    """Normalize a mixed-sample-rate corpus to ``target_sr`` (the audio
+    'resize' transform): decode -> resample_linear -> re-encode s16le.
+    Emits (clip_id, sr_hz=target, n_samples, rms, bytes) — binary IN and
+    binary OUT of the Arrow batch, the full multimodal transform shape.
+    Undecodable rows are skipped (same layered contract as the other
+    audio UDFs)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, bufs = [], [], [], []
+            for cid, buf, codec, sr in zip(
+                pdf[key_col], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                if buf is None or codec not in DECODERS or pd.isna(sr) or int(sr) <= 0:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                r = resample_linear(w, int(sr), target_sr)
+                ids.append(cid)
+                ns.append(int(r.size))
+                rms.append(float(np.sqrt(np.mean(r.astype(np.float64) ** 2))) if r.size else 0.0)
+                bufs.append(encode_pcm_s16le(r))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "sr_hz": pd.array([target_sr] * len(ids), dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "bytes": pd.array(bufs, dtype=object),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(
+        work,
+        "clip_id string, sr_hz int, n_samples long, rms double, bytes binary",
+    )

@@ -144,3 +144,39 @@ def test_segment_clips_covers_waveform_exactly(spark):
         assert [r.seg_idx for r in rows] == list(range(len(rows)))
         assert sum(r.n_samples for r in rows) == feats[cid].n_samples
         assert all(r.n_samples == rows[0].n_samples for r in rows[:-1])
+
+
+def test_resample_linear_kernel_properties():
+    import numpy as np
+
+    sr = 16000
+    t = np.arange(sr // 4, dtype=np.float64) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    # identity at same rate
+    assert np.array_equal(audio.resample_linear(tone, sr, sr), tone)
+    # length scales by the rate ratio
+    up = audio.resample_linear(tone, sr, 2 * sr)
+    down = audio.resample_linear(tone, sr, sr // 2)
+    assert up.size == 2 * tone.size and down.size == tone.size // 2
+    # a linear ramp is reproduced exactly by linear interpolation
+    ramp = np.linspace(-1.0, 1.0, 1000, dtype=np.float32)
+    up_ramp = audio.resample_linear(ramp, 8000, 16000)
+    pos = np.arange(up_ramp.size) * 0.5
+    expect = np.interp(pos, np.arange(ramp.size), ramp.astype(np.float64))
+    assert np.allclose(up_ramp, expect, atol=1e-6)
+    # constants stay constant
+    const = np.full(500, 0.25, dtype=np.float32)
+    assert np.allclose(audio.resample_linear(const, 44100, 16000), 0.25)
+
+
+def test_resample_clips_spark_matches_kernel(spark):
+    clips = FX.generate_clips(spark, 40, n_parts=4, seed=11)
+    got = {r.clip_id: r for r in audio.resample_clips(clips, 16000).collect()}
+    assert len(got) == 40
+    for i in range(8):
+        cid, buf, sr, _d, codec, _t, _p = FX._make_row(11, i, 4, None)
+        w = audio.decode(codec, bytes(buf))
+        r = audio.resample_linear(w, int(sr), 16000)
+        row = got[cid]
+        assert row.sr_hz == 16000 and row.n_samples == r.size
+        assert bytes(row.bytes) == audio.encode_pcm_s16le(r)
