@@ -695,6 +695,27 @@ def clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("rule_id", "clip_id", "column_name", "part_id")
 
 
+def _replayed_clips(n: int, faults: dict, require_sr: bool) -> list:
+    """Generator-replayed decodable rows [(clip_id, waveform, sr)] — the
+    ONE place the audio ledger builders' skip contract lives, mirroring
+    the audio UDFs' layered skip (null bytes / unknown codec / decode
+    failure; ``require_sr`` adds the int(sr)<=0 guard for the UDFs that
+    consume the sample rate — audio_features does not)."""
+    out = []
+    for i in range(n):
+        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
+        if buf is None or codec not in audio.DECODERS:
+            continue
+        if require_sr and int(sr) <= 0:
+            continue
+        try:
+            w = audio.decode(codec, bytes(buf))
+        except Exception:
+            continue
+        out.append((cid, w, int(sr)))
+    return out
+
+
 def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction — ORACLED via the ledger pattern (the
     image_features_items twin): expected (n_samples, rms, peak,
@@ -710,22 +731,16 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 500
     faults = FX.default_fault_plan(n)
-    expected = []
-    for i in range(n):
-        cid, buf, _sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
-        if buf is None or codec not in audio.DECODERS:
-            continue
-        try:
-            w = audio.decode(codec, bytes(buf))
-        except Exception:
-            continue
-        expected.append((
+    expected = [
+        (
             cid,
             int(w.size),
             float(np.sqrt(np.mean(w * w))) if w.size else 0.0,
             float(np.max(np.abs(w))) if w.size else 0.0,
             int(np.count_nonzero(np.diff(np.signbit(w)))) if w.size else 0,
-        ))
+        )
+        for cid, w, _sr in _replayed_clips(n, faults, require_sr=False)
+    ]
     spark.createDataFrame(
         expected,
         "clip_id string, n_samples long, rms double, peak double, zero_crossings long",
@@ -779,20 +794,12 @@ def audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_features_clips: the expected values come from the shared
     numpy kernel applied to generator-replayed waveforms, so the engine
     must reproduce them by decoding the table's binary column."""
-
     n = 400
     faults = FX.default_fault_plan(n)
-    expected = []
-    for i in range(n):
-        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
-        if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
-            continue
-        try:
-            w = audio.decode(codec, bytes(buf))
-        except Exception:
-            continue
-        s, c, d, ce = audio.quality_features_of(w, int(sr))
-        expected.append((cid, s, c, d, ce))
+    expected = [
+        (cid, *audio.quality_features_of(w, sr))
+        for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
+    ]
     spark.createDataFrame(
         expected,
         "clip_id string, silence_ratio double, clipping_ratio double, "
@@ -808,19 +815,11 @@ def segment_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger like audio_quality_clips."""
     n = 300
     faults = FX.default_fault_plan(n)
-    expected = []
-    for i in range(n):
-        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
-        if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
-            continue
-        try:
-            w = audio.decode(codec, bytes(buf))
-        except Exception:
-            continue
-        for seg_idx, start_ms, n_samples, rms in audio.segment_features_of(
-            w, int(sr), 50
-        ):
-            expected.append((cid, seg_idx, start_ms, n_samples, rms))
+    expected = [
+        (cid, seg_idx, start_ms, n_samples, rms)
+        for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
+        for seg_idx, start_ms, n_samples, rms in audio.segment_features_of(w, sr, 50)
+    ]
     spark.createDataFrame(
         expected,
         "clip_id string, seg_idx int, start_ms int, n_samples long, rms double",
@@ -839,15 +838,8 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 300
     faults = FX.default_fault_plan(n)
     expected = []
-    for i in range(n):
-        cid, buf, sr, _dur, codec, _txt, _part = FX._make_row(42, i, 8, faults.get(i))
-        if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
-            continue
-        try:
-            w = audio.decode(codec, bytes(buf))
-        except Exception:
-            continue
-        r = audio.resample_linear(w, int(sr), 16000)
+    for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
+        r = audio.resample_linear(w, sr, 16000)
         enc = audio.encode_pcm_s16le(r)
         expected.append((cid, 16000, int(r.size), hashlib.md5(enc).hexdigest()))
     spark.createDataFrame(

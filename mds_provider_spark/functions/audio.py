@@ -105,6 +105,10 @@ def decode_wav(buf: bytes) -> np.ndarray:
         cid, sz = struct.unpack_from("<4sI", buf, pos)
         pos += 8
         body = buf[pos : pos + sz]
+        if len(body) < sz:
+            # chunk declares more bytes than the buffer holds — a cut
+            # mid-chunk must raise, never silently decode a short clip
+            raise ValueError(f"truncated {cid!r} chunk ({len(body)} < {sz})")
         if cid == b"fmt ":
             if sz < 16:
                 raise ValueError("truncated fmt chunk")

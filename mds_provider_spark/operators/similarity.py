@@ -274,34 +274,37 @@ def _nearest_centroids_expr(vec: Column, cents: np.ndarray, nprobe: int) -> Colu
 
 def _nearest_centroids_pandas(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
     """BLAS path for wide centroid sets: one (batch x dim)@(dim x k)
-    matmul + argpartition per Arrow batch, constant plan size in
-    n_lists — mirrors _sign_bits_pandas. Ties on distance break by
-    centroid id ascending, same as the Catalyst struct sort. float64
-    throughout; the distance formula differs from the Catalyst fold in
-    the last ulp, which only matters for assignment CONSISTENCY — both
-    corpus and queries go through the same impl per call."""
+    matmul + stable argsort per Arrow batch, constant plan size in
+    n_lists — mirrors _sign_bits_pandas. Selection is a STABLE argsort
+    on distance, so ties keep column (= cid) order — exactly the
+    Catalyst (dist, cid) struct sort INCLUDING ties at the nprobe cut
+    (argpartition would pick an arbitrary tied subset there; the sort's
+    O(k log k) is noise next to the O(k*dim) matmul). Null or
+    wrong-dimension vectors yield a null assignment and drop out of the
+    list join, matching the Catalyst path's graceful degradation
+    instead of failing the task. float64 throughout; the distance
+    formula differs from the Catalyst fold in the last ulp, which only
+    matters for assignment CONSISTENCY — both corpus and queries go
+    through the same impl per call."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(cents, dtype=np.float64)
     c2 = (C * C).sum(1)
-    k = len(C)
+    k, dim = C.shape
 
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype=object)
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        d = (m * m).sum(1)[:, None] - 2.0 * (m @ C.T) + c2[None, :]
-        npb = min(nprobe, k)
-        if npb < k:
-            part = np.argpartition(d, npb - 1, axis=1)[:, :npb]
-        else:
-            part = np.broadcast_to(np.arange(k), d.shape).copy()
-        part.sort(axis=1)  # cid ascending, so the stable sort tie-breaks on cid
-        rows = np.arange(d.shape[0])[:, None]
-        order = np.argsort(d[rows, part], axis=1, kind="stable")
-        ids = np.take_along_axis(part, order, axis=1).astype(np.int32)
-        return pd.Series(list(ids))
+        out: list = [None] * len(v)
+        valid = [i for i, x in enumerate(v) if x is not None and len(x) == dim]
+        if valid:
+            m = np.stack([np.asarray(v.iloc[i], dtype=np.float64) for i in valid])
+            d = (m * m).sum(1)[:, None] - 2.0 * (m @ C.T) + c2[None, :]
+            ids = np.argsort(d, axis=1, kind="stable")[:, : min(nprobe, k)].astype(
+                np.int32
+            )
+            for j, i in enumerate(valid):
+                out[i] = ids[j]
+        return pd.Series(out, dtype=object)
 
     return probe(vec)
 

@@ -171,6 +171,23 @@ def winnowing_fingerprint_rows(
     )
 
 
+def _md5_bucket(id_col: str, salt: str, mod: int) -> Column:
+    """Engine-portable deterministic bucket — the ONE routing expression
+    every reproducible-membership feature shares (sampling, stratified
+    mixing, packer streams). DuckDB/Trino replay:
+    ``('0x' || substr(md5(id || salt), 1, 4))::BIGINT % mod``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,
@@ -236,10 +253,7 @@ def pack_token_budget(
     per-stream and independent of stream count). Token measure is the
     engine-portable BPE-ish regex, so the identical md5/cumsum/floor
     replays in DuckDB/Trino for audits."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4),
-        16, 10,
-    ).cast("long") % n_packers
+    bucket = _md5_bucket(id_col, salt, n_packers)
     step = df.select(
         F.col(id_col),
         bpe_ish_token_count(text_col).cast("long").alias("n_tokens"),
@@ -288,10 +302,7 @@ def deterministic_sample(
     disjoint percent ranges via salt). md5 keeps it reproducible in any
     engine (same expression runs in DuckDB/Trino for audits).
     """
-    bucket = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
-                                               F.lit(salt))), 1, 4), 16, 10
-                    ).cast("long") % 100
-    return df.where(bucket < percent)
+    return df.where(_md5_bucket(id_col, salt, 100) < percent)
 
 
 def stratified_sample(
@@ -308,10 +319,7 @@ def stratified_sample(
     so the mix is reproducible across engines, partitionings, and
     resumed runs; per-stratum rates come from ONE case expression, no
     per-stratum scans or unions."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4),
-        16, 10,
-    ).cast("long") % 100
+    bucket = _md5_bucket(id_col, salt, 100)
     pct = F.lit(default_percent)
     for value, percent in sorted(fractions.items()):
         pct = F.when(F.col(strata_col) == value, F.lit(percent)).otherwise(pct)

@@ -193,10 +193,13 @@ class ValidationRun:
             summary["rows"] += g_rows
             summary["violations"] += g_viol
 
-        if self.baseline_snapshot is not None and summary["groups_run"] > 0:
+        if self.baseline_snapshot is not None:
             # drift pass: one single-pass profile over the table + a
             # broadcast join of two one-row-per-column snapshots; written
-            # once per run (not per group — sketches need the full table)
+            # once per run (not per group — sketches need the full table).
+            # Runs even on a pure no-op resume: the caller asked for
+            # drift-vs-baseline and the findings are not part of any
+            # committed group, so skipping would silently return nothing.
             from mds_provider_spark.operators import drift as DR
 
             cur = DR.snapshot(clips, list(self.drift_cols), self.run_id)

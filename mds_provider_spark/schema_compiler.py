@@ -162,7 +162,10 @@ def _compile_object(
             unsupported.append(path)
             continue
         if spec.get("type") == "object":
-            if "properties" in spec:
+            # recurse when there is ANYTHING row-compilable inside —
+            # 'required' without 'properties' is legal JSON Schema and
+            # must still emit the nested_required rules
+            if "properties" in spec or "required" in spec:
                 _compile_object(rs, unsupported, spec, prefix=f"{path}.", parent=path)
             for kw in spec:
                 # additionalProperties is enforced by the strict read
@@ -194,7 +197,7 @@ def _compile_items(
                 unsupported.append(dotted)
                 continue
             if fs.get("type") == "object":
-                if "properties" in fs:
+                if "properties" in fs or "required" in fs:
                     walk(fs, fp, fp)
                 for kw in fs:
                     if kw not in (

@@ -180,3 +180,16 @@ def test_resample_clips_spark_matches_kernel(spark):
         row = got[cid]
         assert row.sr_hz == 16000 and row.n_samples == r.size
         assert bytes(row.bytes) == audio.encode_pcm_s16le(r)
+
+
+def test_wav_truncated_data_chunk_raises():
+    """A cut INSIDE the data chunk (header intact, fewer payload bytes
+    than the chunk header declares) must raise, never silently decode a
+    shorter clip with plausible features."""
+    import pytest
+
+    wave = FX.ref_waveform("trunc-clip", 16000, 100)
+    buf = audio.encode_wav(wave)
+    cut = buf[: 44 + 40]  # 44-byte header + 40 of the declared payload
+    with pytest.raises(ValueError, match="truncated"):
+        audio.decode_wav(cut)

@@ -56,9 +56,11 @@ def test_drift_on_resumed_and_noop_runs(spark, tmp_path):
     # resume completes the remaining group -> drift computed on resume
     s2 = ValidationRun(spark, out, **kw).run(shifted)
     assert s2["groups_run"] == 1 and s2["drift_findings"] == 1
-    # full no-op rerun: nothing ran -> drift not recomputed
+    # full no-op rerun: groups all skipped, but the caller passed a
+    # baseline so drift STILL runs (findings are not part of any
+    # committed group — silently returning nothing would be a lie)
     s3 = ValidationRun(spark, out, **kw).run(shifted)
-    assert s3["groups_run"] == 0 and "drift_findings" not in s3
+    assert s3["groups_run"] == 0 and s3["drift_findings"] == 1
 
 
 def test_run_with_drift_detection(spark, tmp_path):

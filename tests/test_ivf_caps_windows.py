@@ -172,3 +172,39 @@ def test_nearest_centroid_exprs_agree(spark):
     assert len(both) == 50
     for r in both:
         assert list(r.a) == list(r.b), (r.id, list(r.a), list(r.b))
+
+
+def test_pandas_assignment_null_and_ragged_vectors(spark):
+    """Null / wrong-dimension embeddings must degrade to a null
+    assignment (row drops out of the join), not fail the task."""
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((8, 6))
+    rows = [(0, [float(x) for x in rng.standard_normal(6)]), (1, None),
+            (2, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r.id: r.a
+        for r in df.select(
+            "id", SIM._nearest_centroids_pandas(F.col("v"), cents, 2).alias("a")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and len(got[0]) == 2
+
+
+def test_assignment_kernels_agree_on_distance_ties(spark):
+    """Duplicate centroids create exact distance ties AT the nprobe cut;
+    both kernels must select the lowest centroid ids (stable order),
+    not an arbitrary tied subset."""
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((4, 6))
+    cents = np.vstack([base, base, base])  # every distance tied 3 ways
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        "id",
+        SIM._nearest_centroids_expr(F.col("v"), cents, 5).alias("a"),
+        SIM._nearest_centroids_pandas(F.col("v"), cents, 5).alias("b"),
+    ).collect()
+    for r in both:
+        assert list(r.a) == list(r.b), (r.id, list(r.a), list(r.b))

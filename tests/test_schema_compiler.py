@@ -239,3 +239,27 @@ def test_draft04_boolean_exclusive_bounds(spark):
     v4 = jsonschema.Draft4Validator(schema)
     assert [e.absolute_path[0] for e in v4.iter_errors({"a": 5, "b": 0, "c": 9})] == ["a"]
     assert not list(v4.iter_errors({"a": 6, "b": 0, "c": 9}))
+
+
+def test_required_only_object_subschema_compiles(spark):
+    """'required' without 'properties' is legal JSON Schema and must
+    emit nested_required rules (it was silently dropped before)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "k": {"type": "string"},
+            "loc": {"type": "object", "required": ["lat"]},
+        },
+    }
+    rs, unsup = from_json_schema(schema, key_col="k")
+    assert unsup == []
+    df = spark.createDataFrame(
+        [("a", (1.0,)), ("b", (None,)), ("c", None)],
+        "k string, loc struct<lat:double>",
+    ).withColumn("part_id", F.lit(0))
+    got = {(r.clip_id, r.column_name) for r in rs.violations(df).collect()}
+    assert got == {("b", "loc.lat")}
+    # parity: jsonschema flags loc.lat only when loc is present
+    v = jsonschema.Draft6Validator(schema)
+    assert [list(e.absolute_path) for e in v.iter_errors({"loc": {}})] == [["loc"]]
+    assert not list(v.iter_errors({}))
