@@ -852,6 +852,53 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frames_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling — Y4M (public YUV4MPEG2 raw container)
+    decoded pure-stdlib, every 2nd frame re-encoded as a REAL PNG —
+    ORACLED to the byte via the ledger pattern: expected per-frame PNG
+    md5s come from the ORIGINAL seeded arrays, so the engine's
+    y4m-parse -> frame-slice -> png-encode chain must be bit-exact.
+    Every 8th stream is truncated mid-payload: decode must refuse it
+    (no frames emitted), fault isolation included in the contract."""
+    import hashlib
+
+    import numpy as np
+
+    from mds_provider_spark.functions import video as VID
+    from mds_provider_spark.functions.png import encode_png
+
+    h, w = 12, 16
+    vids, expected = [], []
+    for i in range(24):
+        n_frames = 4 + i % 5
+        need = n_frames * h * w
+        seed_bytes = b"".join(
+            hashlib.sha256(f"vid:{i}:{k}".encode()).digest()
+            for k in range(need // 32 + 1)
+        )
+        frames = np.frombuffer(seed_bytes[:need], dtype=np.uint8).reshape(
+            n_frames, h, w
+        )
+        buf = VID.encode_y4m(frames, fps=30)
+        if i % 8 == 3:
+            buf = buf[: len(buf) // 2]  # truncated stream -> zero frames
+        else:
+            for k in range(0, n_frames, 2):
+                png = encode_png(frames[k][:, :, None])
+                expected.append((str(i), k, h, w, hashlib.md5(png).hexdigest()))
+        vids.append((str(i), buf, "y4m"))
+    spark.createDataFrame(
+        expected,
+        "item_id string, frame_idx int, height int, width int, frame_md5 string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/video_frame_ledger")
+    items = spark.createDataFrame(vids, "item_id string, bytes binary, format string")
+    out = VID.sample_frames(items, every_nth=2)
+    return out.select(
+        "item_id", "frame_idx", "height", "width",
+        F.md5(F.col("frame_png")).alias("frame_md5"),
+    )
+
+
 def image_features_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image path over REAL (pure-stdlib) PNG decode — ORACLED
     detection-vs-injection: seeded uint8 arrays are PNG-encoded into an
@@ -942,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality_clips": audio_quality_clips,
         "segment_clips_features": segment_clips_features,
         "resample_clips_16k": resample_clips_16k,
+        "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
 
@@ -1590,6 +1638,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_clips_16k": f"""
             SELECT clip_id, sr_hz, n_samples, bytes_md5
             FROM read_parquet('{_ORACLE_DIR}/resample_ledger/*.parquet')
+        """,
+        "video_frames_items": f"""
+            SELECT item_id, frame_idx, height, width, frame_md5
+            FROM read_parquet('{_ORACLE_DIR}/video_frame_ledger/*.parquet')
         """,
         # Planted exact copies: each planted query's rank-1 neighbor is
         # deterministically its original at cosine 1.0 (identical sign

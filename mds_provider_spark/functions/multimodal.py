@@ -4,11 +4,12 @@
 The Spark-side contract is REAL and tested — column-pruned selects, a
 codec/modality registry, ``mapInPandas`` with fixed output schemas, batch
 shapes that hold at 10^12 rows. PNG decoding is real (pure-stdlib,
-functions/png.py) and audio decoding is real (functions/audio.py);
-jpeg/video decoders need libraries absent from this container
-(PIL/opencv/ffmpeg), so those registry entries raise
-``NotImplementedError`` at decode time — a production deployment swaps
-one dict entry.
+functions/png.py), audio decoding is real (functions/audio.py), and RAW
+video is real (YUV4MPEG2 container parse + frame sampling,
+functions/video.py); jpeg and COMPRESSED video decoders need libraries
+absent from this container (PIL/opencv/ffmpeg), so those registry
+entries raise ``NotImplementedError`` at decode time — a production
+deployment swaps one dict entry.
 """
 
 from __future__ import annotations
@@ -105,11 +106,11 @@ def frame_sample_plumbing(
     key_col: str = "item_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Video frame-sampling contract: one output row per sampled frame
-    (item_id, frame_idx, frame_bytes). Real frame extraction needs ffmpeg
-    (absent here) — the fan-out shape, schema, and batch iteration are the
-    real deliverable; the stub emits frame_idx rows with NULL bytes so
-    downstream partitioning/joins can be exercised end-to-end."""
+    """Legacy video frame-sampling STUB (fan-out shape only). The REAL
+    operator is ``functions/video.sample_frames`` — full YUV4MPEG2 parse
+    + per-frame PNG re-encode; this stub remains for COMPRESSED formats,
+    whose extraction needs ffmpeg (absent here): it emits frame_idx rows
+    with NULL bytes so downstream partitioning/joins can be exercised."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
