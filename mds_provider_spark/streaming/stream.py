@@ -100,3 +100,32 @@ def streaming_verdicts(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("_n_hits").alias("n_violations"),
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    time_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingestion dedup: keep the FIRST arrival of each content
+    digest, drop later duplicates — the continuous twin of the batch
+    exact-dedup (same md5-over-normalized-text digest, so batch and
+    stream agree on what counts as a duplicate).
+
+    State discipline: ``dropDuplicates`` keyed by the digest alone grows
+    state forever. ``dropDuplicatesWithinWatermark`` dedups on the
+    digest while the event-time watermark EVICTS digests older than the
+    delay — state is bounded by arrival rate x watermark window,
+    independent of stream length. A duplicate arriving later than the
+    watermark delay is admitted again (the standard streaming-dedup
+    tradeoff; the batch operator sweeps those in the nightly pass)."""
+    from mds_provider_spark.operators.text import fingerprint
+
+    return (
+        stream_df.withColumn("_digest", fingerprint(text_col))
+        .withWatermark(time_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )

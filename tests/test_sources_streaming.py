@@ -101,3 +101,37 @@ def test_streaming_validation_foreachbatch(spark, tmp_path):
     q = STR.validate_stream(stream, rs, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(60)
     assert got == [("bad_enum:sr_hz", "b")]
+
+
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    """Cross-micro-batch content dedup: the SAME normalized text arriving
+    in a later batch (within the watermark) is dropped; distinct content
+    passes. Two source files -> two micro-batches with availableNow."""
+    import pyspark.sql.functions as F
+
+    from mds_provider_spark.streaming import stream as STR
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    ddl = "doc_id long, text string, ts timestamp"
+    b0 = [(1, "the quick brown fox", "2024-01-01 00:00:01"),
+          (2, "a different document", "2024-01-01 00:00:02")]
+    b1 = [(3, "THE  quick   Brown fox", "2024-01-01 00:00:30"),  # dup of 1 after norm
+          (4, "yet another new text", "2024-01-01 00:00:40")]
+    for name, rows in (("b0", b0), ("b1", b1)):
+        spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / name))
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = STR.streaming_dedup(stream, "doc_id", "text", "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("select * from sdedup").collect())
+    assert got == [1, 2, 4], got  # 3 dropped: same digest as 1
