@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mds_provider_spark import rules as R
@@ -855,17 +856,20 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def video_frames_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling — Y4M (public YUV4MPEG2 raw container)
     decoded pure-stdlib, every 2nd frame re-encoded as a REAL PNG —
-    ORACLED to the byte via the ledger pattern: expected per-frame PNG
-    md5s come from the ORIGINAL seeded arrays, so the engine's
-    y4m-parse -> frame-slice -> png-encode chain must be bit-exact.
-    Every 8th stream is truncated mid-payload: decode must refuse it
-    (no frames emitted), fault isolation included in the contract."""
+    ORACLED to the byte via the ledger pattern: expected per-frame RAW
+    PIXEL md5s come from the ORIGINAL seeded arrays; the query decodes
+    the engine's emitted PNGs back to pixels before hashing, so the
+    y4m-parse -> frame-slice -> png-encode -> png-decode chain must be
+    bit-exact WITHOUT tying the oracle to a zlib build (PNG byte
+    streams may differ across zlib versions on a heterogeneous
+    cluster; pixels may not). Every 8th stream is truncated
+    mid-payload: decode must refuse it (no frames emitted), fault
+    isolation included in the contract."""
     import hashlib
 
     import numpy as np
 
     from mds_provider_spark.functions import video as VID
-    from mds_provider_spark.functions.png import encode_png
 
     h, w = 12, 16
     vids, expected = [], []
@@ -884,8 +888,9 @@ def video_frames_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             buf = buf[: len(buf) // 2]  # truncated stream -> zero frames
         else:
             for k in range(0, n_frames, 2):
-                png = encode_png(frames[k][:, :, None])
-                expected.append((str(i), k, h, w, hashlib.md5(png).hexdigest()))
+                expected.append(
+                    (str(i), k, h, w, hashlib.md5(frames[k].tobytes()).hexdigest())
+                )
         vids.append((str(i), buf, "y4m"))
     spark.createDataFrame(
         expected,
@@ -893,9 +898,27 @@ def video_frames_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/video_frame_ledger")
     items = spark.createDataFrame(vids, "item_id string, bytes binary, format string")
     out = VID.sample_frames(items, every_nth=2)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def pixel_md5(b: pd.Series) -> pd.Series:
+        # decode the engine's PNG back to pixels and hash THOSE —
+        # exercises the full png round-trip, robust to zlib builds
+        from mds_provider_spark.functions.png import decode_png
+
+        return pd.Series(
+            [
+                hashlib.md5(decode_png(bytes(x)).tobytes()).hexdigest()
+                if x is not None
+                else None
+                for x in b
+            ]
+        )
+
     return out.select(
         "item_id", "frame_idx", "height", "width",
-        F.md5(F.col("frame_png")).alias("frame_md5"),
+        pixel_md5(F.col("frame_png")).alias("frame_md5"),
     )
 
 

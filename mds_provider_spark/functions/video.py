@@ -37,12 +37,22 @@ def encode_y4m(frames: np.ndarray, fps: int = 30) -> bytes:
     return b"".join(parts)
 
 
-def decode_y4m(buf: bytes) -> tuple[np.ndarray, tuple[int, int]]:
-    """Y4M stream -> ((n, h, w) uint8 frames, (fps_num, fps_den)).
+def decode_y4m(buf: bytes, step: int = 1) -> tuple[np.ndarray, tuple[int, int]]:
+    """Y4M stream -> ((ceil(n/step), h, w) uint8 frames, fps).
+
+    ``step`` keeps only frames 0, step, 2step, ... WITHOUT materializing
+    the rest (frombuffer views; only kept frames are copied by the final
+    stack) — the memory lever for frame sampling over long videos. ALL
+    frame markers and payload lengths are still walked and validated.
 
     Strict per the layered-validation contract: wrong magic, unsupported
     colorspace, a malformed FRAME marker, or a truncated frame payload
-    all raise (callers fault-isolate per row, as with every decoder)."""
+    all raise (callers fault-isolate per row, as with every decoder).
+    Note the format itself carries no frame count, so a cut EXACTLY at a
+    frame boundary is indistinguishable from a shorter video — mid-frame
+    truncation is what gets detected."""
+    if step < 1:
+        raise ValueError("step must be >= 1")
     nl = buf.find(b"\n")
     if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
@@ -67,6 +77,7 @@ def decode_y4m(buf: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     frame_size = w * h
     frames: list[np.ndarray] = []
     pos = nl + 1
+    idx = 0
     while pos < len(buf):
         fnl = buf.find(b"\n", pos)
         if fnl < 0 or not buf[pos:fnl].startswith(b"FRAME"):
@@ -75,7 +86,9 @@ def decode_y4m(buf: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         data = buf[pos : pos + frame_size]
         if len(data) < frame_size:
             raise ValueError("truncated frame payload")
-        frames.append(np.frombuffer(data, dtype=np.uint8).reshape(h, w))
+        if idx % step == 0:
+            frames.append(np.frombuffer(data, dtype=np.uint8).reshape(h, w))
+        idx += 1
         pos += frame_size
     out = np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8)
     return out, fps
@@ -95,6 +108,10 @@ def sample_frames(
     them upstream; one corrupt video must not kill a 10^12-row pass).
     Row count multiplies by n_frames/every_nth — the fan-out shape the
     training-data frame-sample stage needs."""
+    if every_nth < 1:
+        # fail fast on the driver: inside the workers this would kill
+        # every task holding a valid row, not fault-isolate
+        raise ValueError("every_nth must be >= 1")
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,13 +120,14 @@ def sample_frames(
                 if buf is None or fmt != "y4m":
                     continue
                 try:
-                    frames, _fps = decode_y4m(bytes(buf))
+                    # step-decode: only kept frames are materialized
+                    frames, _fps = decode_y4m(bytes(buf), step=every_nth)
                 except Exception:
                     continue
-                for k in range(0, frames.shape[0], every_nth):
-                    f = frames[k]
+                for i in range(frames.shape[0]):
+                    f = frames[i]
                     ids.append(iid)
-                    idxs.append(k)
+                    idxs.append(i * every_nth)
                     hs.append(int(f.shape[0]))
                     ws.append(int(f.shape[1]))
                     pngs.append(encode_png(f[:, :, None]))

@@ -104,7 +104,6 @@ def streaming_verdicts(
 
 def streaming_dedup(
     stream_df: DataFrame,
-    id_col: str,
     text_col: str,
     time_col: str,
     watermark_delay: str = "10 minutes",

@@ -118,15 +118,25 @@ def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
           (2, "a different document", "2024-01-01 00:00:02")]
     b1 = [(3, "THE  quick   Brown fox", "2024-01-01 00:00:30"),  # dup of 1 after norm
           (4, "yet another new text", "2024-01-01 00:00:40")]
+    import os
+    import time as _time
+
     for name, rows in (("b0", b0), ("b1", b1)):
         spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
             "ts", F.col("ts").cast("timestamp")
         ).coalesce(1).write.parquet(str(src / name))
+    # pin micro-batch order: the file source orders by modification time,
+    # which can tie at coarse granularity — set b0 strictly older
+    now = _time.time()
+    for i, name in enumerate(("b0", "b1")):
+        for root, _dirs, files in os.walk(str(src / name)):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 100 + i * 50,) * 2)
     stream = (
         spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1)
         .parquet(str(src / "*"))
     )
-    out = STR.streaming_dedup(stream, "doc_id", "text", "ts", "10 minutes")
+    out = STR.streaming_dedup(stream, "text", "ts", "10 minutes")
     q = (
         out.writeStream.format("memory").queryName("sdedup")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
