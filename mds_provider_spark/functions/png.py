@@ -64,11 +64,13 @@ def decode_png(buf: bytes) -> np.ndarray:
         o += 1 + stride
         if f == 0:  # None
             pass
-        elif f == 1:  # Sub (cumulative left-neighbor; uint8 wraps mod 256)
+        elif f == 1:  # Sub (cumulative left-neighbor, mod 256 per spec)
             for x in range(ch, stride):
-                line[x] += line[x - ch]
-        elif f == 2:  # Up
-            line += prev
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+        elif f == 2:  # Up (elementwise mod 256; uint8 wraparound IS the
+            # spec's arithmetic — computed via int16 to keep numpy's
+            # overflow warning out of executor logs)
+            line = ((line.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
         elif f == 3:  # Average
             for x in range(stride):
                 a = int(line[x - ch]) if x >= ch else 0

@@ -176,3 +176,34 @@ def test_compiler_bounds_match_jsonschema(
         mine |= value > hi if hi_inc else value >= hi
     want = bool(list(validator.iter_errors(value)))
     assert mine == want, (spec, value, (lo, lo_inc, hi, hi_inc))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 6),   # frames
+    st.integers(1, 24),  # height
+    st.integers(1, 24),  # width
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 4),   # step
+)
+def test_y4m_roundtrip_and_step_decode(n, h, w, seed, step):
+    from mds_provider_spark.functions import video
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    buf = video.encode_y4m(frames, fps=25)
+    dec, fps = video.decode_y4m(buf)
+    assert fps == (25, 1) and np.array_equal(dec, frames)
+    sampled, _ = video.decode_y4m(buf, step=step)
+    assert np.array_equal(sampled, frames[::step])
+
+
+@settings(max_examples=30, deadline=None)
+@given(waves, st.sampled_from([8000, 16000]), st.integers(10, 200))
+def test_segment_features_cover_exactly(wave, sr, seg_ms):
+    segs = audio.segment_features_of(wave, sr, seg_ms)
+    assert sum(s[2] for s in segs) == wave.size        # sample conservation
+    assert [s[0] for s in segs] == list(range(len(segs)))  # contiguous idx
+    sizes = [s[2] for s in segs]
+    assert all(x == sizes[0] for x in sizes[:-1])      # only the tail is short
+    assert segs[0][1] == 0                             # first starts at 0 ms
