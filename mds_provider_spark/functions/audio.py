@@ -114,8 +114,17 @@ def decode_wav(buf: bytes) -> np.ndarray:
                 raise ValueError("truncated fmt chunk")
             fmt_code, _ch, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if data is not None:
+                # two data chunks cannot both be "the" audio — reject
+                # rather than last-one-wins (strict-container contract)
+                raise ValueError("duplicate data chunk")
             data = body
         pos += sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    # pos may overshoot len(buf) by exactly 1 when a final odd-sized
+    # chunk's pad byte is omitted at EOF (tolerated, common in the wild);
+    # any other residue is trailing garbage that never formed a chunk
+    if pos < len(buf) or pos > len(buf) + 1:
+        raise ValueError(f"{len(buf) - min(pos, len(buf))} trailing bytes after final chunk")
     if fmt_code != 1 or bits != 16 or data is None:
         raise ValueError("unsupported WAVE format (need PCM s16)")
     return decode_pcm_s16le(data)

@@ -13,6 +13,9 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mds_provider_spark.operators.dedup import norm_text, tokens
 
+# pack_token_budget id-space span per packer stream; see the guard there
+_PACK_IDX_SPAN = 1_000_000_000
+
 # Marker stopwords per language — tiny n-gram-free heuristic. Real
 # pipelines plug in fastText/CLD3; the operator shape (argmax over
 # per-language evidence counts, computed in one projection) is the point.
@@ -265,14 +268,29 @@ def pack_token_budget(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
+    # pack_id = packer * 1e9 + per-stream pack index. 1e9 packs/stream
+    # bounds each stream at budget*1e9 tokens (4e12 at the 4096 default
+    # — a full 10^12-row corpus routed over n_packers streams stays far
+    # under it, but a misconfigured n_packers=1 run would not), so the
+    # index is GUARDED: overflow raises inside codegen instead of
+    # silently aliasing into the next packer's id space.
+    pack_idx = F.floor((cum - F.col("n_tokens")) / budget)
+    guarded_idx = F.when(pack_idx < F.lit(_PACK_IDX_SPAN), pack_idx).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pack_token_budget: per-stream pack index overflow (>= "),
+                F.lit(str(_PACK_IDX_SPAN)),
+                F.lit("); raise n_packers so streams stay under budget*1e9 tokens"),
+            )
+        )
+    )
     return step.select(
         id_col,
         "n_tokens",
         "packer",
-        (
-            F.col("packer") * F.lit(1_000_000_000)
-            + F.floor((cum - F.col("n_tokens")) / budget)
-        ).cast("long").alias("pack_id"),
+        (F.col("packer") * F.lit(_PACK_IDX_SPAN) + guarded_idx)
+        .cast("long")
+        .alias("pack_id"),
     )
 
 

@@ -18,13 +18,17 @@ With AQE on, stage-2 skew is additionally split at runtime. The final
 duplicate set is tiny relative to input, so every downstream join against
 it broadcasts.
 
-Broadcast contract: these operators validate PRIMARY-KEY integrity —
-duplicates are faults, so the duplicate-key set is bounded by the fault
-volume, not the corpus (and the hint exists because the set comes out of
-an aggregation whose static size estimate would otherwise force a second
-full shuffle of the input). For dup-HEAVY corpora — where duplicates are
-a constant fraction by design — use operators/dedup.py, whose drop-set
-joins deliberately carry no hint and let AQE choose.
+Broadcast contract: NO forced hint anywhere in this module. These
+operators exist precisely because a table might be corrupt — and on a
+corrupt or wrongly-merged 10^12-row table the duplicated-key set is
+unbounded (a constant fraction of the corpus), so a forced
+``F.broadcast(dup)`` would override Spark's size-based planning exactly
+when it matters most. With AQE on (session.py default) the duplicate-set
+side of each semi-join is re-planned at runtime from its TRUE post-
+aggregation size: healthy table → tiny set → AQE converts the join to
+broadcast on its own (asserted in tests/test_uniqueness.py); corrupt
+table → big set → sort-merge, which is the only join that survives.
+Same policy as operators/dedup.py's drop-set joins (round-3 fix).
 """
 
 from __future__ import annotations
@@ -71,14 +75,16 @@ def duplicate_exemplars(
 
     Returns the conflicting rows with (dup_rank, is_exemplar). Uses
     ``row_number() over (partition by key order by ...)`` — the window
-    only runs over the (tiny, broadcast-joined) duplicate subset, never
-    the full table, so no full-data window shuffle.
+    only runs over the duplicate subset (semi-joined, never the full
+    table), so no full-data window shuffle. The semi-join carries no
+    broadcast hint: AQE broadcasts when the dup set is genuinely small
+    (see module docstring).
     """
     from pyspark.sql import Window
 
     cols = list(cols)
     dup = duplicate_keys(df, cols).select(*cols)
-    subset = df.join(F.broadcast(dup), cols, "left_semi")
+    subset = df.join(dup, cols, "left_semi")
     ordering = [F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_by]
     w = Window.partitionBy(*cols).orderBy(*ordering)
     return subset.withColumn("dup_rank", F.row_number().over(w)).withColumn(
@@ -95,15 +101,17 @@ def duplicate_violations(
     """Violation rows for duplicated keys, canonical shape.
 
     Every row that belongs to a duplicated key is reported (the reference
-    semantics: each conflicting record is an error), found by a BROADCAST
-    semi-join of the (tiny) duplicate-key set back onto the table — no
-    second full shuffle of the input.
+    semantics: each conflicting record is an error), found by a semi-join
+    of the duplicate-key set back onto the table. No forced broadcast:
+    AQE upgrades the join to broadcast at runtime when the set is small,
+    and falls back to sort-merge when the table is corrupt enough that
+    it isn't (see module docstring).
     """
     cols = list(cols)
     dup = duplicate_keys(df, cols).select(*cols)
     rid = S.rule_id(S.DUPLICATE_ID, ",".join(cols))
     return (
-        df.join(F.broadcast(dup), cols, "left_semi")
+        df.join(dup, cols, "left_semi")
         .select(
             F.lit(rid).alias("rule_id"),
             F.col(key_col).alias("clip_id"),

@@ -212,13 +212,19 @@ def array_size(col: str, min_items: int | None = None, max_items: int | None = N
 
 
 def elements_in(col: str, allowed: Sequence) -> Rule:
-    vals = [F.lit(v) for v in allowed]
+    allowed = list(allowed)
     return Rule(
         S.rule_id(S.BAD_ENUM, col),
         col,
         f"{col} has element(s) outside allowed set",
+        # literals built INSIDE the deferred predicate: F.lit needs an
+        # active SparkSession, and RuleSets must compile without one
         lambda: _nn(
-            col, ~F.forall(F.col(col), lambda x: F.array_contains(F.array(*vals), x))
+            col,
+            ~F.forall(
+                F.col(col),
+                lambda x: F.array_contains(F.array(*[F.lit(v) for v in allowed]), x),
+            ),
         ),
     )
 
@@ -285,18 +291,21 @@ def element_required(
 
 
 def element_in(col: str, fpath: tuple[str, ...], allowed: Sequence) -> Rule:
-    vals = [F.lit(v) for v in allowed]
+    allowed = list(allowed)
     name = _edotted(col, fpath)
     return Rule(
         S.rule_id(S.BAD_ENUM, name),
         name,
         f"{name} has value(s) outside allowed set",
+        # deferred literal construction — see elements_in
         lambda: _nn(
             col,
             F.exists(
                 F.col(col),
                 lambda x: _epath(x, fpath).isNotNull()
-                & ~F.array_contains(F.array(*vals), _epath(x, fpath)),
+                & ~F.array_contains(
+                    F.array(*[F.lit(v) for v in allowed]), _epath(x, fpath)
+                ),
             ),
         ),
     )
@@ -397,6 +406,18 @@ def element_in_range(
 
     bounds = f"[{lo},{hi}]" if lo_inclusive and hi_inclusive else f"({lo},{hi})"
     return Rule(S.rule_id(S.OUT_OF_RANGE, name), name, f"{name} out of range {bounds}", pred)
+
+
+def required_with(col: str, present_col: str) -> Rule:
+    """JSON-Schema ``dependencies`` (property-array form): when
+    ``present_col`` is present, ``col`` must be too. Distinct from
+    ``required_if``, which conditions on the VALUE of another column."""
+    return Rule(
+        S.rule_id(S.MISSING_FIELD, col),
+        col,
+        f"{col} required when {present_col} is present",
+        lambda: F.col(present_col).isNotNull() & F.col(col).isNull(),
+    )
 
 
 def required_if(col: str, when_col: str, when_values: Sequence) -> Rule:

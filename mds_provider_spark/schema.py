@@ -96,6 +96,7 @@ REFERENTIAL_ORPHAN = "referential_orphan"
 TRANSCRIPT_MISMATCH = "transcript_mismatch"
 BAD_PCM = "bad_pcm"
 DRIFT = "drift"
+COMBINATOR = "combinator"  # anyOf/oneOf/not/dependencies-schema mismatches
 
 
 def rule_id(kind: str, column: str) -> str:

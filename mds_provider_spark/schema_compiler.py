@@ -11,8 +11,13 @@ Supported keywords (the ones MDS provider schemas actually use at the
 record level): required, type (via nullable cast check on string-typed
 reads), enum, minimum/maximum (+ exclusive variants), pattern, format:
 uuid, minItems/maxItems, uniqueItems, items.enum (arrays of enums),
-minLength (non-empty strings). Unsupported keywords are returned, not
-silently dropped — callers decide whether that's an error.
+minLength (non-empty strings), and — round 4 — the combinators
+``allOf``/``anyOf``/``oneOf``/``not``/``dependencies`` (draft-06) plus
+``if``/``then``/``else`` (the draft-07 spelling), at both record and
+property level. Combinator branches compile to deferred predicates and
+fuse into the SAME single-projection pass as every other rule.
+Unsupported keywords are returned, not silently dropped — callers
+decide whether that's an error.
 
 Uniqueness has no JSON-Schema keyword; pass ``unique`` explicitly (the
 reference gets it from the Postgres PK instead, mds/db.py).
@@ -21,6 +26,8 @@ reference gets it from the Postgres PK instead, mds/db.py).
 from __future__ import annotations
 
 from typing import Sequence
+
+from pyspark.sql import functions as F
 
 from mds_provider_spark import rules as R
 from mds_provider_spark import schema as S
@@ -34,6 +41,205 @@ _JSON_TO_SPARK_TYPE = {
 
 
 _ANNOTATIONS = ("description", "title", "default", "examples", "$comment", "$schema", "$id")
+
+# Combinator keywords compiled by _compile_combinators (round 4). The MDS
+# provider schemas gate event_type_reason / associated_trip on event_type
+# through these (mds/schemas.py walks them via jsonschema ≈L30–90).
+# if/then/else is the draft-07 spelling of the same conditionals —
+# compiled too, so post-0.4 schema documents also work.
+_COMBINATOR_KEYS = ("allOf", "anyOf", "oneOf", "not", "dependencies", "if", "then", "else")
+
+
+def _subrules(
+    spec: dict,
+    unsupported: list[str],
+    prefix: str,
+    parent: str | None,
+    scalar_path: str | None,
+) -> list:
+    """Compile a combinator BRANCH into a throwaway RuleSet and return its
+    rules — only their deferred predicates are reused; the branch's own
+    rule ids/messages never surface (jsonschema likewise reports the
+    combinator, not the branch internals). Unsupported keywords inside a
+    branch propagate to the caller's list (strict mode still raises)."""
+    rs = R.RuleSet(key_col="", part_col="")
+    if scalar_path is not None:
+        _compile_scalar(rs, unsupported, scalar_path, spec)
+    else:
+        _compile_object(rs, unsupported, spec, prefix=prefix, parent=parent)
+    return rs.rules
+
+
+def _branch_violation(rules: list):
+    """Deferred Column: True iff the row violates ANY of the branch's
+    rules (i.e. fails the branch subschema). Null-safe by construction —
+    every rule predicate is coalesced, so the OR never yields NULL."""
+
+    def col():
+        out = F.lit(False)
+        for r in rules:
+            out = out | F.coalesce(r.predicate(), F.lit(False))
+        return out
+
+    return col
+
+
+def _compile_combinators(
+    rs: "R.RuleSet",
+    unsupported: list[str],
+    spec: dict,
+    prefix: str,
+    parent: str | None,
+    scalar_path: str | None = None,
+) -> None:
+    """anyOf/oneOf/allOf/not/dependencies/if-then-else at either the
+    object level (``scalar_path is None``: branches are object subschemas
+    evaluated against the record at dotted ``prefix``) or the property
+    level (branches are scalar specs for the single column
+    ``scalar_path``).
+
+    Everything compiles to ONE deferred Catalyst predicate per combinator
+    — branch satisfaction is just the negated OR of the branch's compiled
+    rule predicates, so the whole construct stays inside the same
+    whole-stage-codegen projection as every other rule (no extra pass,
+    no Python). Presence guards mirror jsonschema's evaluation scope: a
+    property-level combinator only fires when the property is present,
+    a nested-object one only when the enclosing object is."""
+    where = scalar_path if scalar_path is not None else (prefix.rstrip(".") or "$")
+
+    def guard():
+        if scalar_path is not None:
+            return F.col(scalar_path).isNotNull()
+        if parent is not None:
+            return F.col(parent).isNotNull()
+        return None
+
+    def wrap(pred):
+        def g():
+            base = F.coalesce(pred(), F.lit(False))
+            gd = guard()
+            return base if gd is None else gd & base
+
+        return g
+
+    def branch_viols(branches):
+        return [
+            _branch_violation(_subrules(b, unsupported, prefix, parent, scalar_path))
+            for b in branches
+        ]
+
+    for branch in spec.get("allOf", []):
+        # conjunction == union of rule sets: compile each branch IN PLACE
+        # so per-keyword rule ids and messages survive intact
+        if scalar_path is not None:
+            _compile_scalar(rs, unsupported, scalar_path, branch)
+        else:
+            _compile_object(rs, unsupported, branch, prefix=prefix, parent=parent)
+
+    if "anyOf" in spec:
+        viols = branch_viols(spec["anyOf"])
+        name = f"{where}.anyOf"
+
+        def pred(viols=viols):
+            out = F.lit(True)
+            for v in viols:
+                out = out & v()
+            return out
+
+        rs.add(
+            R.Rule(
+                S.rule_id(S.COMBINATOR, name),
+                name,
+                f"{where} matches none of {len(viols)} anyOf branches",
+                wrap(pred),
+            )
+        )
+
+    if "oneOf" in spec:
+        viols = branch_viols(spec["oneOf"])
+        name = f"{where}.oneOf"
+
+        def pred(viols=viols):
+            n_sat = F.lit(0)
+            for v in viols:
+                n_sat = n_sat + F.when(v(), F.lit(0)).otherwise(F.lit(1))
+            return n_sat != 1
+
+        rs.add(
+            R.Rule(
+                S.rule_id(S.COMBINATOR, name),
+                name,
+                f"{where} must match exactly one of {len(viols)} oneOf branches",
+                wrap(pred),
+            )
+        )
+
+    if "not" in spec:
+        viol = _branch_violation(
+            _subrules(spec["not"], unsupported, prefix, parent, scalar_path)
+        )
+        name = f"{where}.not"
+        rs.add(
+            R.Rule(
+                S.rule_id(S.COMBINATOR, name),
+                name,
+                f"{where} matches a forbidden (not) schema",
+                wrap(lambda: ~viol()),
+            )
+        )
+
+    if "if" in spec and ("then" in spec or "else" in spec):
+        if_viol = _branch_violation(
+            _subrules(spec["if"], unsupported, prefix, parent, scalar_path)
+        )
+        then_viol = (
+            _branch_violation(
+                _subrules(spec["then"], unsupported, prefix, parent, scalar_path)
+            )
+            if "then" in spec
+            else (lambda: F.lit(False))
+        )
+        else_viol = (
+            _branch_violation(
+                _subrules(spec["else"], unsupported, prefix, parent, scalar_path)
+            )
+            if "else" in spec
+            else (lambda: F.lit(False))
+        )
+        name = f"{where}.if"
+        rs.add(
+            R.Rule(
+                S.rule_id(S.COMBINATOR, name),
+                name,
+                f"{where} fails its if/then/else conditional",
+                wrap(lambda: F.when(~if_viol(), then_viol()).otherwise(else_viol())),
+            )
+        )
+
+    if scalar_path is None:
+        for prop, dep in spec.get("dependencies", {}).items():
+            ppath = f"{prefix}{prop}"
+            if isinstance(dep, (list, tuple)):
+                for d in dep:
+                    rs.add(R.required_with(f"{prefix}{d}", ppath))
+            elif isinstance(dep, dict):
+                viol = _branch_violation(
+                    _subrules(dep, unsupported, prefix, parent, None)
+                )
+                name = f"{ppath}.dependencies"
+                rs.add(
+                    R.Rule(
+                        S.rule_id(S.COMBINATOR, name),
+                        name,
+                        f"record fails the schema required when {ppath} is present",
+                        lambda viol=viol, ppath=ppath: F.col(ppath).isNotNull()
+                        & F.coalesce(viol(), F.lit(False)),
+                    )
+                )
+            else:
+                unsupported.append(f"{ppath}.dependencies:{dep!r}")
+    elif "dependencies" in spec:
+        unsupported.append(f"{where}.dependencies")
 
 
 def _bounds(spec: dict) -> tuple:
@@ -117,6 +323,8 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
                 unsupported.append(f"{path}.items")
         elif kw == "type":
             pass  # structural: enforced by the read schema, not a rule
+        elif kw in _COMBINATOR_KEYS:
+            pass  # handled together below (_compile_combinators)
         elif kw in _ANNOTATIONS:
             pass  # annotations
         else:
@@ -131,6 +339,8 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
                 path, min_items=spec.get("minItems"), max_items=spec.get("maxItems")
             )
         )
+    if any(k in spec for k in _COMBINATOR_KEYS):
+        _compile_combinators(rs, unsupported, spec, "", None, scalar_path=path)
 
 
 def _compile_object(
@@ -152,6 +362,9 @@ def _compile_object(
     props: dict = schema.get("properties", {})
     required = schema.get("required", [])
 
+    if any(k in schema for k in _COMBINATOR_KEYS):
+        _compile_combinators(rs, unsupported, schema, prefix, parent)
+
     for name in required:
         path = f"{prefix}{name}"
         rs.add(R.not_null(path) if parent is None else R.nested_required(path, parent))
@@ -167,12 +380,16 @@ def _compile_object(
             # must still emit the nested_required rules
             if "properties" in spec or "required" in spec:
                 _compile_object(rs, unsupported, spec, prefix=f"{path}.", parent=path)
+            elif any(k in spec for k in _COMBINATOR_KEYS):
+                # combinator-only object subschema (no direct properties):
+                # still compile the combinators, guarded on `path` present
+                _compile_combinators(rs, unsupported, spec, f"{path}.", path)
             for kw in spec:
                 # additionalProperties is enforced by the strict read
                 # schema (a struct column can't carry undeclared fields)
                 if kw not in (
                     "type", "properties", "required", "additionalProperties",
-                    *_ANNOTATIONS,
+                    *_COMBINATOR_KEYS, *_ANNOTATIONS,
                 ):
                     unsupported.append(f"{path}.{kw}")
             continue

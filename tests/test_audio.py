@@ -193,3 +193,28 @@ def test_wav_truncated_data_chunk_raises():
     cut = buf[: 44 + 40]  # 44-byte header + 40 of the declared payload
     with pytest.raises(ValueError, match="truncated"):
         audio.decode_wav(cut)
+
+
+def test_wav_duplicate_data_chunk_raises():
+    """Two data chunks cannot both be 'the' audio — a container carrying
+    a second one is rejected outright instead of last-one-wins (which
+    would decode attacker-appended audio in place of the original)."""
+    import struct
+
+    wave = FX.ref_waveform("dup-clip", 16000, 100)
+    buf = audio.encode_wav(wave)
+    extra = audio.encode_pcm_s16le(FX.ref_waveform("other", 16000, 50))
+    forged = buf + struct.pack("<4sI", b"data", len(extra)) + extra
+    with pytest.raises(ValueError, match="duplicate data chunk"):
+        audio.decode_wav(forged)
+
+
+def test_wav_trailing_garbage_raises():
+    """1-7 bytes after the final chunk never form a chunk header; the
+    strict-container contract rejects them instead of ignoring them."""
+    wave = FX.ref_waveform("trail-clip", 16000, 100)
+    buf = audio.encode_wav(wave)
+    with pytest.raises(ValueError, match="trailing"):
+        audio.decode_wav(buf + b"\x00\x01\x02")
+    # but the untouched container still decodes
+    assert audio.decode_wav(buf).size == wave.size

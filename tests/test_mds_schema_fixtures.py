@@ -28,6 +28,12 @@ def _violated_props(schema, record):
             out.add(str(list(err.absolute_path)[0]))
         elif err.validator == "required":
             out.update(p for p in schema["required"] if p not in record)
+        elif err.validator in ("oneOf", "anyOf", "not"):
+            # record-level combinators: this engine names them $.<kw>
+            out.add(f"$.{err.validator}")
+        elif err.validator == "dependencies":
+            # "'q' is a dependency of 'p'" -> engine reports column q
+            out.add(err.message.split("'")[1])
     return out
 
 

@@ -1,6 +1,7 @@
 """Dedup / similarity / text-analysis operators."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from mds_provider_spark.operators import dedup as D
 from mds_provider_spark.operators import similarity as SIM
@@ -287,3 +288,14 @@ def test_pack_token_budget_partitioning_invariant(spark):
         map(tuple, TX.pack_token_budget(d, "doc_id", "text", 40, 4).collect())
     )
     assert pack(a) == pack(b)
+
+
+def test_pack_token_budget_index_overflow_raises(spark, monkeypatch):
+    """A packer stream exceeding budget * ID_SPAN tokens must RAISE, not
+    silently alias pack_ids into the next packer's id space (round-4
+    ADVICE). Shrink the span so a tiny corpus trips the guard."""
+    monkeypatch.setattr(TX, "_PACK_IDX_SPAN", 3)
+    rows = [(i, " ".join(f"w{j}" for j in range(10))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(Exception, match="pack index overflow"):
+        TX.pack_token_budget(df, "doc_id", "text", budget=10, n_packers=1).collect()

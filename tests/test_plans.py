@@ -50,9 +50,17 @@ def test_filter_pushdown_to_parquet(spark, clips_path):
     assert pushed and "sr_hz" in pushed[0], plan
 
 
-def test_duplicate_violations_broadcasts_dup_set(spark, clips_path):
+def test_duplicate_violations_aqe_broadcasts_small_dup_set(spark, clips_path):
+    """uniqueness.py carries NO forced broadcast hint (round-4 fix: a
+    forced hint would override size-based planning exactly when the table
+    is corrupt and the dup set is huge). On a healthy table AQE must
+    still discover the tiny dup set at runtime and convert the semi-join
+    to broadcast — assert on the FINAL adaptive plan, post-execution."""
     df = spark.read.parquet(clips_path)
-    plan = _plan(U.duplicate_violations(df, ["clip_id"]))
+    out = U.duplicate_violations(df, ["clip_id"])
+    out.collect()  # materialize so AQE finalizes the plan
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
