@@ -517,8 +517,55 @@ def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_dedup(
-        _t_wide(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    """MinHash-LSH dedup with a CONTAINMENT oracle (round-4: was
+    rows-only). The raw pair set is banding-parameterization-specific,
+    but two properties are deterministic and DuckDB-checkable:
+
+    * recall on identical documents is exactly 1 — a verbatim copy gets
+      the identical minhash signature, so it collides with its original
+      in EVERY band and the (i, i+100000) planted pair (jaccard 1.0)
+      cannot be missed;
+    * precision is exact — every emitted pair passed the exact-Jaccard
+      verify, so no pair sits below the threshold.
+
+    The query plants copies of doc_id<50 at doc_id+100000, runs the full
+    LSH pipeline (signatures -> bands -> capped buckets -> exact
+    verify), and emits the planted-recall and precision counters; the
+    oracle recomputes n_planted from the table and expects full
+    containment. Pair-set agreement vs exact Jaccard ground truth stays
+    covered by differential pytest (tests/test_pipeline_ops.py)."""
+    K = 50
+    docs = _t_wide(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < K).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    pairs = D.minhash_lsh_dedup(
+        docs.unionByName(planted), "doc_id", "text", threshold=0.5
+    )
+    stats = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("id_b") == F.col("id_a") + 100000)
+                    & (F.col("id_a") < K)
+                    & (F.col("jaccard") == 1.0),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_planted_found"),
+        F.coalesce(F.sum(F.when(F.col("jaccard") < 0.5, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_below_threshold"),
+    )
+    n_planted = docs.where(F.col("doc_id") < K).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return n_planted.crossJoin(stats).select(
+        "n_planted",
+        "n_planted_found",
+        (F.col("n_planted_found") == F.col("n_planted")).alias("all_planted_found"),
+        "n_below_threshold",
     )
 
 
@@ -540,7 +587,44 @@ def dedup_materialize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_dedup(_t_wide(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    """SimHash dedup with a CONTAINMENT oracle (round-4: was rows-only),
+    same planted-copy construction as minhash_dedup_documents: a verbatim
+    copy has the identical 64-bit simhash (hamming 0), agrees with its
+    original on every pigeonhole chunk, and therefore MUST appear as a
+    (i, i+100000, hamming=0) pair; and no emitted pair can exceed the
+    hamming bound (bit_count verify). Pair-set agreement vs exhaustive
+    Hamming ground truth stays covered by property pytest."""
+    K = 50
+    docs = _t_wide(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < K).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    pairs = D.simhash_dedup(docs.unionByName(planted), "doc_id", "text", 3)
+    stats = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("id_b") == F.col("id_a") + 100000)
+                    & (F.col("id_a") < K)
+                    & (F.col("hamming") == 0),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_planted_found"),
+        F.coalesce(F.sum(F.when(F.col("hamming") > 3, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_over_bound"),
+    )
+    n_planted = docs.where(F.col("doc_id") < K).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return n_planted.crossJoin(stats).select(
+        "n_planted",
+        "n_planted_found",
+        (F.col("n_planted_found") == F.col("n_planted")).alias("all_planted_found"),
+        "n_over_bound",
+    )
 
 
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,6 +1515,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Bound-check oracle: exact distinct must match; the HLL estimate
         # must land within 3*rsd of it (within_bound TRUE on both sides).
+        # Containment oracles (round 4): identical planted copies collide
+        # in every band / agree on every simhash chunk BY CONSTRUCTION,
+        # so full planted recall and zero precision escapes are
+        # deterministic facts DuckDB can restate from the table alone.
+        "minhash_dedup_documents": """
+            SELECT count(*)::BIGINT AS n_planted,
+                   count(*)::BIGINT AS n_planted_found,
+                   TRUE AS all_planted_found,
+                   0::BIGINT AS n_below_threshold
+            FROM documents WHERE doc_id < 50
+        """,
+        "simhash_dedup_documents": """
+            SELECT count(*)::BIGINT AS n_planted,
+                   count(*)::BIGINT AS n_planted_found,
+                   TRUE AS all_planted_found,
+                   0::BIGINT AS n_over_bound
+            FROM documents WHERE doc_id < 50
+        """,
         "hll_profile_lineitem": """
             SELECT 'l_orderkey' AS column_name,
                    count(DISTINCT l_orderkey)::BIGINT AS exact_distinct,

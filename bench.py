@@ -273,6 +273,34 @@ def main() -> None:
     qtimes[f"clips_validation_local{HIGH_PAR}"] = high["sec"]
     qtimes[f"clips_validation_local{PEAK_PAR}"] = peak["sec"]
 
+    # Scale-up evidence (round 4): the same query plans at 10x the data
+    # (.scale/sf1, deterministically derived — tools/make_scale_sf1.py).
+    # Proves the LSH hot-set cap, window packing, and candidate-
+    # proportional verify stay scan-proportional one order of magnitude
+    # past the 600k bench. Skippable via BENCH_SF1=0.
+    sf1_times: dict[str, float] = {}
+    if os.environ.get("BENCH_SF1", "1") != "0":
+        from tools.make_scale_sf1 import build as build_sf1, DST as SF1_DIR
+
+        s = _spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        try:
+            build_sf1(s)
+        finally:
+            s.stop()
+        sf1_times = time_queries(
+            SF1_DIR,
+            [
+                "q1_pricing_summary",
+                "stats_profile_lineitem",
+                "uniqueness_lineitem_pk",
+                "minhash_dedup_documents",
+                "simhash_dedup_documents",
+                "contamination_documents",
+                "pack_documents",
+                "embedding_near_dup",
+            ],
+        )
+
     print(
         json.dumps(
             {
@@ -280,6 +308,7 @@ def main() -> None:
                 "value": peak["clips_per_sec"],
                 "unit": "clips/sec",
                 "queries": qtimes,
+                "sf1_scaleup_queries": sf1_times,
                 "sf": sf,
                 "clip_rows": CLIP_ROWS,
                 "scaling": {

@@ -8,9 +8,10 @@ readStream aggregation for continuous verdict monitoring.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mds_provider_spark.rules import RuleSet
@@ -41,6 +42,79 @@ def validate_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def validate_stream_committed(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    run_id: str = "stream",
+) -> StreamingQuery:
+    """Streaming validation routed through the SAME ``CommitLog`` protocol
+    as batch resume (round-4 unification) -> exactly-once violation rows
+    across kill/restart, not just Spark state recovery.
+
+    Per micro-batch: violations land in ``<out>/violations/batch_id=<b>/``
+    via full-dir overwrite, then an atomic marker commits batch ``b``.
+    foreachBatch replays a batch id unchanged after a restart, so every
+    crash window closes:
+
+    * killed mid-write (no marker): the replay overwrites the partial
+      dir, then commits — no duplicates, no stragglers;
+    * killed after the marker but before Spark's own offset commit: the
+      replayed batch sees its marker and SKIPS — the previous write is
+      already durable;
+    * readers trust ONLY marked batches (``committed_stream_violations``),
+      so partial output from a crashed attempt is invisible, exactly like
+      the batch runner's group markers.
+
+    At cluster scale the marker+overwrite pair maps to one Iceberg
+    ``overwrite(batch_id = b)`` snapshot commit (SCALE.md §Checkpoint)."""
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    log = CommitLog(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if bid in log.committed_groups():
+            return  # durable already; this is a post-crash replay
+        target = os.path.join(out_dir, "violations", f"batch_id={bid}")
+        v = ruleset.violations(batch_df).persist()
+        try:
+            n_violations = v.count()
+            v.write.mode("overwrite").parquet(target)
+        finally:
+            v.unpersist()
+        # marker doubles as the lineage/metrics row (batch-runner parity)
+        log.commit_group(bid, [], run_id=run_id, batch=bid,
+                         extra={"kind": "stream_batch",
+                                "n_violations": int(n_violations)})
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def committed_stream_violations(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read violation rows of MARKED batches only — uncommitted dirs from
+    crashed attempts never reach a reader."""
+    from mds_provider_spark import schema as S
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    ids = sorted(CommitLog(out_dir).committed_groups())
+    paths = [
+        os.path.join(out_dir, "violations", f"batch_id={b}") for b in ids
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return spark.createDataFrame([], S.VIOLATIONS_SCHEMA)
+    return spark.read.parquet(*paths)
 
 
 def windowed_violation_counts(

@@ -299,3 +299,25 @@ def test_pack_token_budget_index_overflow_raises(spark, monkeypatch):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(Exception, match="pack index overflow"):
         TX.pack_token_budget(df, "doc_id", "text", budget=10, n_packers=1).collect()
+
+
+def test_resolve_groups_long_chain_pointer_doubling(spark):
+    """A 60-node chain (diameter 59 > default 20 rounds of plain
+    propagation) must fully collapse to group 0 — pointer doubling gives
+    O(log diameter) convergence (round-4 fix for silent under-merge)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in D.resolve_duplicate_groups(pairs).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_resolve_groups_nonconvergence_raises(spark):
+    """When max_iters genuinely can't cover the chain, the resolver must
+    RAISE, never return partially-merged groups (keep-one would silently
+    retain extra exemplars)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.resolve_duplicate_groups(pairs, max_iters=2)

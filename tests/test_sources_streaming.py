@@ -145,3 +145,64 @@ def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.sql("select * from sdedup").collect())
     assert got == [1, 2, 4], got  # 3 dropped: same digest as 1
+
+
+def test_streaming_committed_exactly_once_across_restart(spark, tmp_path):
+    """Kill/restart over a file stream yields EXACTLY-ONCE violation rows
+    (round-4: streaming unified with the CommitLog protocol). Simulates
+    the worst crash window: a partial, uncommitted batch dir left by a
+    killed attempt must be overwritten by the replay and stay invisible
+    to readers until its marker lands."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "clip_id string, sr_hz int, part_id int"
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000, 22050, 44100, 48000]))
+
+    # run 1: file A (one bad row 'b')
+    spark.createDataFrame(
+        [("a", 16000, 0), ("b", 11025, 0)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f_a"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(stream, rs, out, ckpt).awaitTermination(120)
+
+    got1 = [
+        (r.rule_id, r.clip_id)
+        for r in STR.committed_stream_violations(spark, out).collect()
+    ]
+    assert got1 == [("bad_enum:sr_hz", "b")]
+
+    # simulate a crash mid-batch-1: partial junk rows, NO marker
+    junk_dir = tmp_path / "out" / "violations" / "batch_id=1"
+    spark.createDataFrame(
+        [("bad_enum:sr_hz", "JUNK-PARTIAL", "sr_hz", "junk", 0)],
+        "rule_id string, clip_id string, column_name string, message string, part_id int",
+    ).write.mode("overwrite").parquet(str(junk_dir))
+    # reader must NOT see the uncommitted junk
+    assert {
+        r.clip_id for r in STR.committed_stream_violations(spark, out).collect()
+    } == {"b"}
+
+    # restart: file B arrives (bad row 'd'); same checkpoint -> batch 1
+    spark.createDataFrame(
+        [("c", 48000, 1), ("d", 999, 1)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f_b"))
+    stream2 = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(stream2, rs, out, ckpt).awaitTermination(120)
+
+    rows = STR.committed_stream_violations(spark, out).collect()
+    # exactly-once: one violation per bad input row, junk overwritten
+    assert sorted((r.rule_id, r.clip_id) for r in rows) == [
+        ("bad_enum:sr_hz", "b"),
+        ("bad_enum:sr_hz", "d"),
+    ]
+
+    # a third restart with no new data must add nothing
+    stream3 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(stream3, rs, out, ckpt).awaitTermination(120)
+    assert STR.committed_stream_violations(spark, out).count() == 2
