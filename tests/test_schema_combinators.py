@@ -265,3 +265,18 @@ def test_combinators_compile_without_active_session():
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
     )
     assert out.returncode == 0 and "OK-NO-SESSION" in out.stdout, out.stderr
+
+
+def test_combinator_rules_stay_single_codegen_projection(spark):
+    """Combinators must fuse into the SAME one-projection pass as every
+    other rule: no extra scan, no Python, whole-stage codegen."""
+    import pyspark.sql.functions as F
+
+    rs, _ = from_json_schema(EVENT_SCHEMA, key_col="clip_id")
+    df = spark.createDataFrame(EVENT_ROWS, EVENT_DDL).withColumn("part_id", F.lit(0))
+    plan = rs.violations(df)._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+    assert "EvalPython" not in plan
+    # one source scan only: every rule (combinators included) reads the
+    # same projection — no re-scan per combinator
+    assert plan.count("LogicalRDD") <= 1 and plan.count("Scan ") <= 1, plan

@@ -54,6 +54,34 @@ def main() -> None:
         "Exchange anywhere.",
         formatted(R.mds_clip_rules().violations(clips)),
     ))
+    from mds_provider_spark.schema_compiler import from_json_schema
+    import json as _json
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+            "tests", "fixtures", "mds_schemas", "status_changes.json")) as f:
+        sc_schema = _json.load(f)
+    sc_schema = dict(
+        sc_schema,
+        properties={k: v for k, v in sc_schema["properties"].items()
+                    if k not in ("event_location", "publication_time")},
+    )
+    rs_comb, _ = from_json_schema(sc_schema, key_col="device_id", strict=False)
+    comb_df = spark.createDataFrame(
+        [], "device_id string, provider_id string, provider_name string, "
+            "vehicle_id string, vehicle_type string, "
+            "propulsion_type array<string>, event_type string, "
+            "event_type_reason string, event_time long, battery_pct double, "
+            "associated_trip string, part_id int")
+    sections.append((
+        "Combinator-laden rule projection (round 4)",
+        "The full MDS status_changes schema INCLUDING its oneOf/anyOf/"
+        "dependencies conditionals compiles into the SAME single "
+        "whole-stage-codegen projection (combinator branches are nested "
+        "CASE WHENs over already-read columns) — one scan, no Exchange, "
+        "no Python, regardless of conditional depth.",
+        formatted(rs_comb.violations(comb_df)),
+    ))
     sections.append((
         "Resume filter (part_id IN ...)",
         "PartitionFilters prunes non-selected part_id directories / Iceberg "
