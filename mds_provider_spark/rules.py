@@ -229,6 +229,29 @@ def elements_in(col: str, allowed: Sequence) -> Rule:
     )
 
 
+def contains_match(
+    col: str, element_pred: Callable[[Column], Column], description: str
+) -> Rule:
+    """JSON-Schema draft-06 ``contains``: the array is present but NO
+    element satisfies the subschema. ``element_pred(x)`` is the deferred
+    per-element satisfaction predicate (built by the schema compiler);
+    one ``exists`` loop, same codegen projection as every other rule.
+    NULL elements never satisfy (jsonschema: null fails any non-null
+    subschema we compile)."""
+    return Rule(
+        S.rule_id(S.BAD_SHAPE, col),
+        col,
+        f"{col} has no element matching: {description}",
+        lambda: _nn(
+            col,
+            ~F.exists(
+                F.col(col),
+                lambda x: x.isNotNull() & F.coalesce(element_pred(x), F.lit(False)),
+            ),
+        ),
+    )
+
+
 def unique_items(col: str) -> Rule:
     """JSON-Schema ``uniqueItems``: array contains duplicate elements."""
     return Rule(

@@ -10,8 +10,8 @@ walk per record, same rule-id/violation-row contract.
 Supported keywords (the ones MDS provider schemas actually use at the
 record level): required, type (via nullable cast check on string-typed
 reads), enum, minimum/maximum (+ exclusive variants), pattern, format:
-uuid, minItems/maxItems, uniqueItems, items.enum (arrays of enums),
-minLength (non-empty strings), and — round 4 — the combinators
+uuid, minItems/maxItems, uniqueItems, contains, items.enum (arrays of
+enums), minLength (non-empty strings), and — round 4 — the combinators
 ``allOf``/``anyOf``/``oneOf``/``not``/``dependencies`` (draft-06) plus
 ``if``/``then``/``else`` (the draft-07 spelling), at both record and
 property level. Combinator branches compile to deferred predicates and
@@ -278,6 +278,49 @@ def _bounds(spec: dict) -> tuple:
     return lo, lo_inc, hi, hi_inc
 
 
+def _element_satisfies(spec: dict, where: str, unsupported: list[str]):
+    """Deferred per-element satisfaction predicate for a scalar subschema
+    (used by ``contains``): x -> Column. Conjunction of the keyword
+    subset that makes sense per element; unsupported element keywords
+    propagate to the caller's list."""
+    from pyspark.sql import Column
+
+    makers = []
+    lo, lo_inc, hi, hi_inc = _bounds(spec)
+    if lo is not None:
+        makers.append(lambda x: (x >= lo) if lo_inc else (x > lo))
+    if hi is not None:
+        makers.append(lambda x: (x <= hi) if hi_inc else (x < hi))
+    for kw, val in spec.items():
+        if kw == "enum":
+            makers.append(lambda x, v=list(val): x.isin(v))
+        elif kw == "const":
+            makers.append(lambda x, v=val: x == F.lit(v))
+        elif kw == "pattern":
+            makers.append(lambda x, v=val: x.rlike(v))
+        elif kw == "minLength":
+            makers.append(lambda x, v=int(val): F.length(x) >= v)
+        elif kw == "maxLength":
+            makers.append(lambda x, v=int(val): F.length(x) <= v)
+        elif kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+            pass  # _bounds above
+        elif kw == "type" or kw in _ANNOTATIONS:
+            pass
+        else:
+            unsupported.append(f"{where}.contains.{kw}")
+
+    def pred(x: "Column") -> "Column":
+        out = F.lit(True)
+        for m in makers:
+            out = out & m(x)
+        return out
+
+    desc = ", ".join(
+        f"{k}={spec[k]!r}" for k in sorted(spec) if k not in ("type", *_ANNOTATIONS)
+    ) or "any element"
+    return pred, desc
+
+
 def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: dict) -> None:
     """Keyword loop for one non-object property at dotted path ``path``."""
     for kw, val in spec.items():
@@ -306,6 +349,12 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
                 unsupported.append(f"{path}.multipleOf:{val}")
         elif kw in ("minItems", "maxItems"):
             pass  # handled together below
+        elif kw == "contains":
+            if isinstance(val, dict):
+                pred, desc = _element_satisfies(val, path, unsupported)
+                rs.add(R.contains_match(path, pred, desc))
+            else:
+                unsupported.append(f"{path}.contains:{val!r}")
         elif kw == "uniqueItems":
             if val:
                 rs.add(R.unique_items(path))
@@ -316,7 +365,11 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
             elif (
                 isinstance(val, dict)
                 and val.get("type") == "object"
-                and "properties" in val
+                and (
+                    "properties" in val
+                    or "required" in val
+                    or any(k in val for k in ("allOf", "anyOf", "oneOf", "not"))
+                )
             ):
                 _compile_items(rs, unsupported, path, val)
             else:
@@ -396,6 +449,83 @@ def _compile_object(
         _compile_scalar(rs, unsupported, path, spec)
 
 
+def _element_branch_violation(obj_spec: dict, fpath: tuple, where: str,
+                              unsupported: list[str]):
+    """Per-ELEMENT branch violation for combinators inside an ``items``
+    object schema (e.g. GeoJSON's oneOf over geometry types): returns a
+    deferred x -> Column that is True iff array element ``x`` violates
+    ``obj_spec`` (fields addressed relative to the element via
+    ``fpath``). Mirrors jsonschema: a field absent on the element is
+    only a violation under ``required``."""
+    from mds_provider_spark import rules as RR
+
+    makers = []  # list of deferred (x -> Column) violation fragments
+
+    def field(x, fp):
+        return RR._epath(x, fp)
+
+    for f in obj_spec.get("required", []):
+        makers.append(lambda x, fp=fpath + (f,): field(x, fp).isNull())
+    for f, fs in obj_spec.get("properties", {}).items():
+        fp = fpath + (f,)
+        if not isinstance(fs, dict):
+            unsupported.append(f"{where}.{f}")
+            continue
+        if fs.get("type") == "object":
+            inner = _element_branch_violation(fs, fp, f"{where}.{f}", unsupported)
+            makers.append(lambda x, fp=fp, inner=inner:
+                          field(x, fp).isNotNull() & inner(x))
+            continue
+        for kw, val in fs.items():
+            if kw == "enum":
+                makers.append(lambda x, fp=fp, v=list(val):
+                              field(x, fp).isNotNull()
+                              & ~F.array_contains(
+                                  F.array(*[F.lit(e) for e in v]), field(x, fp)))
+            elif kw == "const":
+                makers.append(lambda x, fp=fp, v=val:
+                              field(x, fp).isNotNull() & (field(x, fp) != F.lit(v)))
+            elif kw == "pattern":
+                makers.append(lambda x, fp=fp, v=val:
+                              field(x, fp).isNotNull() & ~field(x, fp).rlike(v))
+            elif kw == "minLength":
+                makers.append(lambda x, fp=fp, v=int(val):
+                              field(x, fp).isNotNull()
+                              & (F.length(field(x, fp)) < v))
+            elif kw in ("minimum", "maximum", "exclusiveMinimum",
+                        "exclusiveMaximum"):
+                pass  # together below
+            elif kw in ("minItems", "maxItems"):
+                pass  # together below
+            elif kw == "type" or kw in _ANNOTATIONS:
+                pass
+            else:
+                unsupported.append(f"{where}.{f}.{kw}")
+        lo, lo_inc, hi, hi_inc = _bounds(fs)
+        if lo is not None:
+            makers.append(lambda x, fp=fp, v=lo, inc=lo_inc:
+                          field(x, fp).isNotNull()
+                          & ((field(x, fp) < v) if inc else (field(x, fp) <= v)))
+        if hi is not None:
+            makers.append(lambda x, fp=fp, v=hi, inc=hi_inc:
+                          field(x, fp).isNotNull()
+                          & ((field(x, fp) > v) if inc else (field(x, fp) >= v)))
+        if "minItems" in fs:
+            makers.append(lambda x, fp=fp, v=int(fs["minItems"]):
+                          field(x, fp).isNotNull() & (F.size(field(x, fp)) < v))
+        if "maxItems" in fs:
+            makers.append(lambda x, fp=fp, v=int(fs["maxItems"]):
+                          field(x, fp).isNotNull() & (F.size(field(x, fp)) > v))
+
+    def viol(x):
+        out = F.lit(False)
+        for m in makers:
+            out = out | F.coalesce(m(x), F.lit(False))
+        return out
+
+    return viol
+
+
 def _compile_items(
     rs: "R.RuleSet", unsupported: list[str], col: str, items_spec: dict
 ) -> None:
@@ -404,7 +534,64 @@ def _compile_items(
     rule over the array column — no explode, no shuffle. Field paths may
     nest (e.g. route.features[].geometry.type)."""
 
+    def elem_guard(x, fpath: tuple):
+        return R._epath(x, fpath).isNotNull() if fpath else x.isNotNull()
+
+    def add_elem_combinators(obj_spec: dict, fpath: tuple) -> None:
+        """Combinators INSIDE the element schema (e.g. GeoJSON's oneOf
+        over geometry types): one exists-loop rule per combinator, fused
+        into the same projection — a row fires when ANY element violates
+        the construct."""
+        base = R._edotted(col, fpath) if fpath else f"{col}[]"
+        for kw in ("anyOf", "oneOf", "not"):
+            if kw not in obj_spec:
+                continue
+            branches = (
+                [obj_spec["not"]] if kw == "not" else obj_spec[kw]
+            )
+            viols = [
+                _element_branch_violation(b, fpath, f"{base}.{kw}", unsupported)
+                for b in branches
+            ]
+            name = f"{base}.{kw}"
+            if kw == "anyOf":
+                def bad(x, viols=viols):
+                    out = F.lit(True)
+                    for v in viols:
+                        out = out & v(x)
+                    return out
+                msg = f"{base} has element(s) matching none of {len(viols)} anyOf branches"
+            elif kw == "oneOf":
+                def bad(x, viols=viols):
+                    n_sat = F.lit(0)
+                    for v in viols:
+                        n_sat = n_sat + F.when(v(x), F.lit(0)).otherwise(F.lit(1))
+                    return n_sat != 1
+                msg = f"{base} has element(s) not matching exactly one of {len(viols)} oneOf branches"
+            else:
+                def bad(x, viols=viols):
+                    return ~viols[0](x)
+                msg = f"{base} has element(s) matching a forbidden (not) schema"
+
+            def pred(bad=bad, fpath=fpath):
+                return _nn_items(
+                    F.exists(
+                        F.col(col), lambda x: elem_guard(x, fpath) & bad(x)
+                    )
+                )
+
+            rs.add(R.Rule(S.rule_id(S.COMBINATOR, name), name, msg, pred))
+        for kw in ("dependencies", "if", "then", "else"):
+            if kw in obj_spec:
+                unsupported.append(f"{base}.{kw}")
+
+    def _nn_items(c):
+        return F.col(col).isNotNull() & F.coalesce(c, F.lit(False))
+
     def walk(obj_spec: dict, fpath: tuple, parent_fpath: tuple | None) -> None:
+        for branch in obj_spec.get("allOf", []):
+            walk(branch, fpath, parent_fpath)  # conjunction = rule union
+        add_elem_combinators(obj_spec, fpath)
         for f in obj_spec.get("required", []):
             rs.add(R.element_required(col, fpath + (f,), parent_fpath))
         for f, fs in obj_spec.get("properties", {}).items():
@@ -414,11 +601,16 @@ def _compile_items(
                 unsupported.append(dotted)
                 continue
             if fs.get("type") == "object":
-                if "properties" in fs or "required" in fs:
+                if (
+                    "properties" in fs
+                    or "required" in fs
+                    or any(k in fs for k in ("allOf", "anyOf", "oneOf", "not"))
+                ):
                     walk(fs, fp, fp)
                 for kw in fs:
                     if kw not in (
                         "type", "properties", "required", "additionalProperties",
+                        "allOf", "anyOf", "oneOf", "not",
                         *_ANNOTATIONS,
                     ):
                         unsupported.append(f"{dotted}.{kw}")

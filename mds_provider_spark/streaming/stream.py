@@ -81,6 +81,7 @@ def validate_stream_committed(
         if bid in log.committed_groups():
             return  # durable already; this is a post-crash replay
         target = os.path.join(out_dir, "violations", f"batch_id={bid}")
+        n_rows = batch_df.count()
         v = ruleset.violations(batch_df).persist()
         try:
             n_violations = v.count()
@@ -90,6 +91,7 @@ def validate_stream_committed(
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(bid, [], run_id=run_id, batch=bid,
                          extra={"kind": "stream_batch",
+                                "n_rows": int(n_rows),
                                 "n_violations": int(n_violations)})
 
     writer = (
@@ -99,6 +101,29 @@ def validate_stream_committed(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def committed_stream_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-BATCH pass/fail verdicts from the commit markers alone —
+    the streaming twin of the batch runner's per-partition verdicts
+    (north rule: per-partition lineage + metrics rows). Metadata-only:
+    no violation data is scanned."""
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    rows = [
+        (
+            int(b),
+            "fail" if int(meta.get("n_violations", 0)) > 0 else "pass",
+            int(meta.get("n_rows", 0)),
+            int(meta.get("n_violations", 0)),
+            str(meta.get("run_id", "")),
+        )
+        for b, meta in sorted(CommitLog(out_dir).committed_groups().items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, status string, n_rows long, n_violations long, run_id string",
+    )
 
 
 def committed_stream_violations(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -280,3 +280,113 @@ def test_combinator_rules_stay_single_codegen_projection(spark):
     # one source scan only: every rule (combinators included) reads the
     # same projection — no re-scan per combinator
     assert plan.count("LogicalRDD") <= 1 and plan.count("Scan ") <= 1, plan
+
+
+def test_contains_keyword_matches_jsonschema(spark):
+    """draft-06 ``contains``: array must have >=1 element matching the
+    subschema; absent array is valid (presence is ``required``'s job)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "tags": {
+                "type": "array",
+                "items": {"type": "string"},
+                "contains": {"enum": ["electric", "human"]},
+            },
+            "scores": {"type": "array", "contains": {"minimum": 90}},
+        },
+    }
+    rows = [
+        ("ok-tag", ["diesel", "electric"], [10.0]),          # scores has no >=90 -> bad? wait
+        ("ok-both", ["human"], [95.0, 1.0]),
+        ("ok-absent", None, None),
+        ("bad-tags", ["diesel", "steam"], [99.0]),
+        ("bad-scores", ["electric"], [1.0, 89.0]),
+        ("bad-empty", [], [100.0]),                          # empty array: contains fails
+    ]
+    ddl = "clip_id string, tags array<string>, scores array<double>"
+    got, _ = _spark_invalid_keys(spark, schema, rows, ddl)
+    expect = {
+        r[0]
+        for r in rows
+        if not _ref_valid(
+            schema,
+            {k: v for k, v in zip(["tags", "scores"], r[1:]) if v is not None},
+        )
+    }
+    assert got == expect
+
+
+def test_element_level_oneof_geojson_geometry(spark):
+    """Combinators INSIDE an items object schema — the real GeoJSON
+    pattern: a feature's geometry must match exactly one of the Point /
+    LineString alternatives. Differential vs jsonschema per record."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "features": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["geometry"],
+                    "properties": {
+                        "geometry": {
+                            "type": "object",
+                            "oneOf": [
+                                {
+                                    "properties": {
+                                        "type": {"const": "Point"},
+                                        "coordinates": {"minItems": 2, "maxItems": 3},
+                                    },
+                                    "required": ["type", "coordinates"],
+                                },
+                                {
+                                    "properties": {
+                                        "type": {"const": "LineString"},
+                                        "coordinates": {"minItems": 2},
+                                    },
+                                    "required": ["type", "coordinates"],
+                                },
+                            ],
+                        }
+                    },
+                },
+            }
+        },
+    }
+    G = "struct<type: string, coordinates: array<double>>"
+    ddl = f"clip_id string, features array<struct<geometry: {G}>>"
+    rows = [
+        ("ok-point", [(("Point", [1.0, 2.0]),)]),
+        ("ok-line", [(("LineString", [1.0, 2.0, 3.0]),)]),
+        ("bad-kind", [(("Polygon", [1.0, 2.0]),)]),          # matches neither
+        ("bad-short-point", [(("Point", [1.0, 2.0, 3.0, 4.0]),)]),  # >3 coords
+        ("bad-missing-geom", [((None, None),)]),              # hmm: struct present?
+        ("ok-empty", []),
+    ]
+    got, rs = _spark_invalid_keys(spark, schema, rows, ddl, strict=True)
+
+    def rec(row):
+        feats = []
+        for (geom,) in row[1]:
+            f = {}
+            if geom is not None and (geom[0] is not None or geom[1] is not None):
+                g = {}
+                if geom[0] is not None:
+                    g["type"] = geom[0]
+                if geom[1] is not None:
+                    g["coordinates"] = list(geom[1])
+                f["geometry"] = g
+            feats.append(f)
+        return {"features": feats}
+
+    # NB: Spark structs are never NULL-vs-absent distinguishable once a
+    # sibling field exists; the bad-missing-geom row maps to a feature
+    # whose geometry is absent in the jsonschema instance.
+    expect = set()
+    for row in rows:
+        r = rec(row)
+        if not _ref_valid(schema, r):
+            expect.add(row[0])
+    assert got == expect, (got, expect)
+    assert "bad-kind" in got and "bad-short-point" in got and "ok-point" not in got

@@ -206,3 +206,36 @@ def test_streaming_committed_exactly_once_across_restart(spark, tmp_path):
     stream3 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
     STR.validate_stream_committed(stream3, rs, out, ckpt).awaitTermination(120)
     assert STR.committed_stream_violations(spark, out).count() == 2
+
+
+def test_committed_stream_verdicts_from_markers(spark, tmp_path):
+    """Per-batch verdicts are derived from commit markers alone
+    (metadata-only, no violation scan) — streaming twin of the batch
+    runner's per-partition verdicts."""
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    out = str(tmp_path / "vout")
+    ddl = "clip_id string, sr_hz int, part_id int"
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000]))
+    spark.createDataFrame(
+        [("a", 16000, 0), ("b", 11025, 0)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("c", 8000, 1)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f*"))
+    STR.validate_stream_committed(
+        stream, rs, out, str(tmp_path / "vckpt")
+    ).awaitTermination(120)
+
+    verdicts = {
+        r.batch_id: (r.status, r.n_rows, r.n_violations)
+        for r in STR.committed_stream_verdicts(spark, out).collect()
+    }
+    assert len(verdicts) == 2
+    # one batch has the bad 11025 row -> fail; the other is clean -> pass
+    assert sorted(v[0] for v in verdicts.values()) == ["fail", "pass"]
+    assert sum(v[1] for v in verdicts.values()) == 3
+    assert sum(v[2] for v in verdicts.values()) == 1
