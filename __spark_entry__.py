@@ -937,6 +937,35 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def augment_clips_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio augmentation (speed perturb 1.1x + seeded noise @30dB SNR)
+    — ORACLED to the BYTE like resample_clips_16k: the ledger stores the
+    md5 of the driver-replayed augmented s16le buffer; augmentation is a
+    pure function of (clip_id, params, seed) BY DESIGN (per-clip md5-
+    seeded RNG), so engine and replay must agree bit-for-bit. This is
+    the retry-stability property that lets augmented data flow through
+    the same overwrite-based checkpoint protocol as raw data."""
+    import hashlib
+
+    n = 300
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
+        if cid is None:  # RNG is keyed on the id; null id is missing_field's finding
+            continue
+        a = audio.augment_wave(w, sr, cid, speed=1.1, noise_snr_db=30.0, seed=7)
+        enc = audio.encode_pcm_s16le(a)
+        expected.append((cid, int(a.size), hashlib.md5(enc).hexdigest()))
+    spark.createDataFrame(
+        expected, "clip_id string, n_samples long, bytes_md5 string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/augment_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    out = audio.augment_clips(clips, speed=1.1, noise_snr_db=30.0, seed=7)
+    return out.select(
+        "clip_id", "n_samples", F.md5(F.col("bytes")).alias("bytes_md5")
+    )
+
+
 def video_frames_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling — Y4M (public YUV4MPEG2 raw container)
     decoded pure-stdlib, every 2nd frame re-encoded as a REAL PNG —
@@ -1096,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality_clips": audio_quality_clips,
         "segment_clips_features": segment_clips_features,
         "resample_clips_16k": resample_clips_16k,
+        "augment_clips_speed": augment_clips_speed,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -1763,6 +1793,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_clips_16k": f"""
             SELECT clip_id, sr_hz, n_samples, bytes_md5
             FROM read_parquet('{_ORACLE_DIR}/resample_ledger/*.parquet')
+        """,
+        "augment_clips_speed": f"""
+            SELECT clip_id, n_samples, bytes_md5
+            FROM read_parquet('{_ORACLE_DIR}/augment_ledger/*.parquet')
         """,
         "video_frames_items": f"""
             SELECT item_id, frame_idx, height, width, frame_md5

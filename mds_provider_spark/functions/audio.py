@@ -677,3 +677,117 @@ def resample_clips(
         work,
         "clip_id string, sr_hz int, n_samples long, rms double, bytes binary",
     )
+
+
+# ------------------------------------------------------------ augmentation
+
+
+def _augment_rng(clip_id: str, seed: int) -> "np.random.Generator":
+    """Per-clip deterministic RNG: seeded from md5(clip_id) ^ seed, so
+    the noise an executor draws for a clip is a pure function of the
+    clip id — identical across retries, partitionings, and the oracle
+    ledger replay (same discipline as the md5-bucket samplers)."""
+    import hashlib
+
+    h = int(hashlib.md5(clip_id.encode()).hexdigest()[:16], 16)
+    return np.random.default_rng((h ^ (seed * 0x9E3779B97F4A7C15)) & 0x7FFFFFFFFFFFFFFF)
+
+
+def augment_wave(
+    wave: np.ndarray,
+    sr_hz: int,
+    clip_id: str,
+    speed: float = 1.0,
+    gain_db: float = 0.0,
+    noise_snr_db: float | None = None,
+    seed: int = 1337,
+) -> np.ndarray:
+    """Deterministic training-data augmentation kernel (float64, shared
+    by the Spark UDF and the oracle ledger — byte-exact like
+    resample_linear):
+
+    * speed perturbation (the 0.9/1.0/1.1 staple): treat the input as
+      playing at sr*speed and resample back to sr — duration scales by
+      1/speed, pitch shifts with it (resample-based speed, the cheap
+      classic, not time-stretch);
+    * gain in dB;
+    * additive Gaussian noise at a target SNR, drawn from the per-clip
+      seeded RNG (float32 draw for cross-platform determinism);
+    * final clip to [-1, 1] (s16le headroom contract).
+    """
+    out = wave.astype(np.float64)
+    if speed != 1.0 and out.size:
+        out = resample_linear(out, int(round(sr_hz * speed)), sr_hz).astype(np.float64)
+    if gain_db:
+        out = out * (10.0 ** (gain_db / 20.0))
+    if noise_snr_db is not None and out.size:
+        rng = _augment_rng(clip_id, seed)
+        noise = rng.standard_normal(out.size, dtype=np.float64)
+        p_sig = float(np.mean(out**2))
+        p_noise = float(np.mean(noise**2)) or 1.0
+        target = p_sig / (10.0 ** (noise_snr_db / 10.0))
+        out = out + noise * math.sqrt(target / p_noise)
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
+def augment_clips(
+    clips: DataFrame,
+    speed: float = 1.0,
+    gain_db: float = 0.0,
+    noise_snr_db: float | None = None,
+    seed: int = 1337,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Corpus-scale audio augmentation (speed perturb / gain / seeded
+    noise): decode -> augment_wave -> re-encode s16le in one Arrow pass,
+    column-pruned like every audio UDF. Emits (clip_id, sr_hz,
+    n_samples, rms, bytes). Undecodable rows are skipped (layered
+    contract). Retry-stable: augmentation is a pure function of
+    (clip_id, params, seed) — a re-run of a crashed partition produces
+    byte-identical output, so the checkpoint protocol's overwrite
+    semantics hold for augmented data too."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, ns, rms, bufs = [], [], [], [], []
+            for cid, buf, codec, sr in zip(
+                pdf[key_col], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                # null id skipped too: the per-clip RNG is keyed on the
+                # id, and an unidentified clip is missing_field's finding
+                if (
+                    cid is None or buf is None or codec not in DECODERS
+                    or pd.isna(sr) or int(sr) <= 0
+                ):
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                a = augment_wave(
+                    w, int(sr), str(cid),
+                    speed=speed, gain_db=gain_db,
+                    noise_snr_db=noise_snr_db, seed=seed,
+                )
+                ids.append(cid)
+                srs.append(int(sr))
+                ns.append(int(a.size))
+                rms.append(
+                    float(np.sqrt(np.mean(a.astype(np.float64) ** 2))) if a.size else 0.0
+                )
+                bufs.append(encode_pcm_s16le(a))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "sr_hz": pd.array(srs, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "bytes": pd.array(bufs, dtype=object),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(
+        work,
+        "clip_id string, sr_hz int, n_samples long, rms double, bytes binary",
+    )

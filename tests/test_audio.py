@@ -218,3 +218,48 @@ def test_wav_trailing_garbage_raises():
         audio.decode_wav(buf + b"\x00\x01\x02")
     # but the untouched container still decodes
     assert audio.decode_wav(buf).size == wave.size
+
+
+def test_augment_wave_speed_and_snr():
+    """Speed perturbation scales duration by 1/speed; seeded noise lands
+    within 0.5 dB of the target SNR; everything is a pure function of
+    (clip_id, params, seed)."""
+    w = FX.ref_waveform("aug-clip", 16000, 500)
+    fast = audio.augment_wave(w, 16000, "aug-clip", speed=1.1)
+    slow = audio.augment_wave(w, 16000, "aug-clip", speed=0.9)
+    assert abs(fast.size - round(w.size / 1.1)) <= 1
+    assert abs(slow.size - round(w.size / 0.9)) <= 1
+    noisy = audio.augment_wave(w, 16000, "aug-clip", noise_snr_db=20.0)
+    got_snr = audio.snr_db(w, noisy)
+    assert 19.5 < got_snr < 20.5, got_snr
+    # determinism: same id+seed -> byte-identical; different id -> different noise
+    again = audio.augment_wave(w, 16000, "aug-clip", noise_snr_db=20.0)
+    assert np.array_equal(noisy, again)
+    other = audio.augment_wave(w, 16000, "other-clip", noise_snr_db=20.0)
+    assert not np.array_equal(noisy, other)
+    # gain
+    louder = audio.augment_wave(w * 0.1, 16000, "aug-clip", gain_db=6.0)
+    assert np.isclose(
+        float(np.abs(louder).max()), float(np.abs(w * 0.1).max()) * 10 ** 0.3,
+        rtol=1e-5,
+    )
+
+
+def test_augment_clips_spark_matches_kernel(spark):
+    clips = FX.generate_clips(spark, 40, n_parts=4, seed=13)
+    got = {
+        r.clip_id: r
+        for r in audio.augment_clips(
+            clips, speed=1.1, noise_snr_db=25.0, seed=7
+        ).collect()
+    }
+    assert len(got) == 40
+    for i in range(8):
+        cid, buf, sr, _d, codec, _t, _p = FX._make_row(13, i, 4, None)
+        w = audio.decode(codec, bytes(buf))
+        a = audio.augment_wave(
+            w, int(sr), cid, speed=1.1, noise_snr_db=25.0, seed=7
+        )
+        row = got[cid]
+        assert row.n_samples == a.size
+        assert bytes(row.bytes) == audio.encode_pcm_s16le(a)
