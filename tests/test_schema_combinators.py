@@ -390,3 +390,103 @@ def test_element_level_oneof_geojson_geometry(spark):
             expect.add(row[0])
     assert got == expect, (got, expect)
     assert "bad-kind" in got and "bad-short-point" in got and "ok-point" not in got
+
+
+def test_randomized_combinator_differential_vs_jsonschema(spark):
+    """200 seeded-random schemas with combinators (oneOf/anyOf/not/
+    allOf/dependencies over const/enum/range/required branches), 30
+    records each: per-record VALIDITY must agree with
+    jsonschema.Draft6Validator exactly. This is the semantic-drift
+    tripwire for the combinator compiler."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(4242)
+    props = ["a", "b", "c"]
+
+    def rand_leaf(p):
+        if p == "c":
+            return rng.choice(
+                [
+                    {"const": rng.choice(["x", "y", "z"])},
+                    {"enum": rng.sample(["x", "y", "z", "w"], rng.randint(1, 3))},
+                    {"minLength": rng.randint(1, 2)},
+                ]
+            )
+        return rng.choice(
+            [
+                {"const": float(rng.randint(0, 5))},
+                {"enum": [float(v) for v in rng.sample(range(6), rng.randint(1, 3))]},
+                {"minimum": float(rng.randint(0, 3))},
+                {"maximum": float(rng.randint(2, 5))},
+                {"minimum": float(rng.randint(0, 2)),
+                 "exclusiveMaximum": float(rng.randint(3, 5))},
+            ]
+        )
+
+    def rand_branch():
+        branch = {}
+        chosen = rng.sample(props, rng.randint(1, 2))
+        branch["properties"] = {p: rand_leaf(p) for p in chosen}
+        if rng.random() < 0.4:
+            branch["required"] = [rng.choice(chosen)]
+        return branch
+
+    def rand_schema():
+        schema = {"type": "object", "properties": {
+            "a": {"type": "number"}, "b": {"type": "number"},
+            "c": {"type": "string"},
+        }}
+        kind = rng.choice(["oneOf", "anyOf", "allOf", "not", "dependencies", "mix"])
+        if kind in ("oneOf", "anyOf", "allOf"):
+            schema[kind] = [rand_branch() for _ in range(rng.randint(2, 3))]
+        elif kind == "not":
+            schema["not"] = rand_branch()
+        elif kind == "dependencies":
+            trigger = rng.choice(props)
+            if rng.random() < 0.5:
+                schema["dependencies"] = {
+                    trigger: rng.sample([p for p in props if p != trigger],
+                                        rng.randint(1, 2))
+                }
+            else:
+                schema["dependencies"] = {trigger: rand_branch()}
+        else:
+            schema["anyOf"] = [rand_branch(), rand_branch()]
+            schema["not"] = rand_branch()
+        if rng.random() < 0.3:
+            schema["required"] = [rng.choice(props)]
+        return schema
+
+    def rand_record():
+        rec = {}
+        if rng.random() < 0.8:
+            rec["a"] = float(rng.randint(0, 5))
+        if rng.random() < 0.8:
+            rec["b"] = float(rng.randint(0, 5))
+        if rng.random() < 0.8:
+            rec["c"] = rng.choice(["x", "y", "z", "w", ""])
+        return rec
+
+    mismatches = []
+    for si in range(200):
+        schema = rand_schema()
+        records = [rand_record() for _ in range(30)]
+        rows = [
+            (f"r{i}", r.get("a"), r.get("b"), r.get("c"))
+            for i, r in enumerate(records)
+        ]
+        rs, unsup = from_json_schema(schema, key_col="clip_id")
+        assert unsup == [], (schema, unsup)
+        df = spark.createDataFrame(
+            rows, "clip_id string, a double, b double, c string"
+        ).withColumn("part_id", F.lit(0))
+        bad = {r.clip_id for r in rs.violations(df).select("clip_id").distinct().collect()}
+        v = jsonschema.Draft6Validator(schema)
+        for i, rec in enumerate(records):
+            want_invalid = not v.is_valid(rec)
+            got_invalid = f"r{i}" in bad
+            if want_invalid != got_invalid:
+                mismatches.append((si, schema, rec, want_invalid, got_invalid))
+    assert not mismatches, mismatches[:3]
