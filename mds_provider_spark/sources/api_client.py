@@ -32,6 +32,56 @@ Transport = Callable[[str, dict, dict], dict]
 RECORD_TYPES = ("trips", "status_changes", "events", "vehicles")
 
 
+class TransportError(Exception):
+    """HTTP-level failure surfaced by a transport. ``status`` carries the
+    HTTP status; ``retry_after`` the parsed Retry-After seconds, if the
+    server sent one (429 rate limits do)."""
+
+    def __init__(self, status: int, msg: str = "", retry_after: float | None = None):
+        super().__init__(msg or f"HTTP {status}")
+        self.status = int(status)
+        self.retry_after = retry_after
+
+
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def retrying(
+    transport: Transport,
+    retries: int = 5,
+    base_delay_s: float = 0.5,
+    retry_statuses: frozenset = RETRYABLE_STATUSES,
+    sleep: Callable[[float], None] | None = None,
+) -> Transport:
+    """Exponential-backoff retry wrapper around any transport — the
+    resilience layer the reference leaves to its callers (mds/api.py
+    does plain ``requests`` with no retry; real provider endpoints rate-
+    limit). Honors Retry-After on 429s (waits max(backoff, server ask)),
+    gives up after ``retries`` attempts on retryable statuses, re-raises
+    everything else immediately. ``sleep`` is injectable for tests and
+    stays the driver's concern — the page loop is driver-side, so no
+    executor ever blocks in a backoff."""
+    if sleep is None:
+        import time as _time
+
+        sleep = _time.sleep
+
+    def call(url: str, params: dict, headers: dict) -> dict:
+        for attempt in range(retries + 1):
+            try:
+                return transport(url, params, headers)
+            except TransportError as e:
+                if e.status not in retry_statuses or attempt == retries:
+                    raise
+                delay = base_delay_s * (2.0 ** attempt)
+                if e.retry_after is not None:
+                    delay = max(delay, float(e.retry_after))
+                sleep(delay)
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    return call
+
+
 def accept_header(record_type: str, version: str) -> dict:
     """Versioned Accept header (mds/api.py ≈L60–120)."""
     return {"Accept": f"application/vnd.mds.provider+json;version={version}"}

@@ -102,3 +102,41 @@ def test_duplicate_exemplars(spark):
     assert sorted((r.key, r.ord, r.dup_rank, r.is_exemplar) for r in got) == [
         ("k1", 3, 1, True), ("k1", 5, 2, False), ("k1", 9, 3, False),
     ]
+
+
+def test_retrying_transport_backoff_and_retry_after():
+    """429s retry with exponential backoff, honoring a larger
+    Retry-After; non-retryable statuses raise immediately; gives up
+    after the budget."""
+    calls, sleeps = [], []
+
+    def flaky(url, params, headers):
+        calls.append(url)
+        if len(calls) == 1:
+            raise AC.TransportError(429, retry_after=3.0)
+        if len(calls) == 2:
+            raise AC.TransportError(503)
+        return {"data": {"trips": [{"ok": True}]}, "links": {}}
+
+    t = AC.retrying(flaky, base_delay_s=0.5, sleep=sleeps.append)
+    page = t("u", {}, {})
+    assert page["data"]["trips"] == [{"ok": True}] and len(calls) == 3
+    # attempt 0: backoff 0.5 vs Retry-After 3.0 -> 3.0; attempt 1: 1.0
+    assert sleeps == [3.0, 1.0]
+
+    def always_401(url, params, headers):
+        raise AC.TransportError(401)
+
+    with pytest.raises(AC.TransportError) as ei:
+        AC.retrying(always_401, sleep=sleeps.append)("u", {}, {})
+    assert ei.value.status == 401 and len(sleeps) == 2  # no new sleeps
+
+    n = {"c": 0}
+
+    def always_429(url, params, headers):
+        n["c"] += 1
+        raise AC.TransportError(429)
+
+    with pytest.raises(AC.TransportError):
+        AC.retrying(always_429, retries=3, sleep=lambda s: None)("u", {}, {})
+    assert n["c"] == 4  # initial + 3 retries, then give up
