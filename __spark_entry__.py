@@ -533,7 +533,16 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify), and emits the planted-recall and precision counters; the
     oracle recomputes n_planted from the table and expects full
     containment. Pair-set agreement vs exact Jaccard ground truth stays
-    covered by differential pytest (tests/test_pipeline_ops.py)."""
+    covered by differential pytest (tests/test_pipeline_ops.py).
+
+    Oracle preconditions (hold for every committed documents table, by
+    construction — verified at sf0.001/0.01/0.1 and the derived sf1):
+    every doc_id<50 text has >= w tokens (non-empty shingle set), ids
+    stay clear of the +100000 plant range, and no band bucket reaches
+    max_bucket_size (which would legitimately drop pairs via the cap).
+    Pointing this query at a dup-heavy foreign corpus can therefore
+    flip all_planted_found without an engine bug — it is an oracle for
+    THESE tables, not a universal invariant."""
     K = 50
     docs = _t_wide(spark, sf_dir, "documents")
     planted = docs.where(F.col("doc_id") < K).withColumn(

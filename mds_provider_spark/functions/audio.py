@@ -712,7 +712,9 @@ def augment_wave(
       classic, not time-stretch);
     * gain in dB;
     * additive Gaussian noise at a target SNR, drawn from the per-clip
-      seeded RNG (float32 draw for cross-platform determinism);
+      seeded RNG (an explicit float64 draw — the dtype is part of the
+      byte-exact oracle contract; changing it on either side changes
+      every augmented byte);
     * final clip to [-1, 1] (s16le headroom contract).
     """
     out = wave.astype(np.float64)

@@ -391,9 +391,13 @@ def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "group_id", F.col("id")
     )
-    changed = 1
-    for _ in range(max_iters):
-        # candidate: the smallest neighbor label per node
+
+    def round_once(labels: DataFrame) -> tuple[DataFrame, int]:
+        """One propagation round: pull min neighbor label, then pointer-
+        double (label := label(label) — label(x) is always a node in x's
+        component, so the invariant holds and the min fixed point is
+        unchanged, but chains collapse geometrically). Returns (new
+        labels, whether anything changed)."""
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
@@ -406,10 +410,6 @@ def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame
                 "group_id"
             ),
         )
-        # pointer doubling: follow the label chain one more hop
-        # (label-of-label). label(x) is always a node in x's component,
-        # so the invariant holds and the min fixed point is unchanged —
-        # but chains now collapse geometrically.
         parent = pulled.select(
             F.col("id").alias("group_id"), F.col("group_id").alias("_pp")
         )
@@ -437,10 +437,40 @@ def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame
             .limit(1)
             .count()
         )
-        labels = updated
+        return updated, changed
+
+    def free_blocks(df: DataFrame) -> None:
+        """Release a previous round's localCheckpoint blocks NOW instead
+        of waiting for JVM GC + ContextCleaner — at 20 rounds over an
+        O(pairs) table, lazily-freed rounds would otherwise stack up in
+        the block manager."""
+        try:
+            # a localCheckpointed Dataset's analyzed plan is
+            # LogicalRDD(rdd) — that rdd holds the blocks
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort; GC/ContextCleaner remains the backstop
+
+    changed = 1
+    prev: DataFrame | None = None
+    for _ in range(max_iters):
+        updated, changed = round_once(labels)
+        if prev is not None:
+            free_blocks(prev)
+        prev, labels = labels, updated
         if changed == 0:
             break
+    if changed != 0:
+        # the budget's last round still moved labels — but it may have
+        # moved them ONTO the fixed point. One spare verification round
+        # decides; only a genuinely still-moving graph raises.
+        updated, changed = round_once(labels)
+        if prev is not None:
+            free_blocks(prev)
+        prev, labels = labels, updated
     edges.unpersist()
+    if prev is not None:
+        free_blocks(prev)  # only the FINAL labels' blocks stay resident
     if changed != 0:
         raise RuntimeError(
             f"resolve_duplicate_groups did not converge in {max_iters} rounds "

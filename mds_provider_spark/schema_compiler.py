@@ -456,13 +456,57 @@ def _element_branch_violation(obj_spec: dict, fpath: tuple, where: str,
     deferred x -> Column that is True iff array element ``x`` violates
     ``obj_spec`` (fields addressed relative to the element via
     ``fpath``). Mirrors jsonschema: a field absent on the element is
-    only a violation under ``required``."""
+    only a violation under ``required``. Nested combinators at the
+    branch root (allOf/anyOf/oneOf/not) recurse; any other branch-root
+    keyword is reported unsupported — never silently dropped."""
     from mds_provider_spark import rules as RR
 
     makers = []  # list of deferred (x -> Column) violation fragments
 
     def field(x, fp):
         return RR._epath(x, fp)
+
+    # nested combinators inside the branch recurse on the SAME element
+    for sub in obj_spec.get("allOf", []):
+        inner = _element_branch_violation(sub, fpath, f"{where}.allOf", unsupported)
+        makers.append(inner)
+    if "anyOf" in obj_spec:
+        subs = [
+            _element_branch_violation(s, fpath, f"{where}.anyOf", unsupported)
+            for s in obj_spec["anyOf"]
+        ]
+
+        def any_viol(x, subs=subs):
+            out = F.lit(True)
+            for s in subs:
+                out = out & s(x)
+            return out
+
+        makers.append(any_viol)
+    if "oneOf" in obj_spec:
+        subs = [
+            _element_branch_violation(s, fpath, f"{where}.oneOf", unsupported)
+            for s in obj_spec["oneOf"]
+        ]
+
+        def one_viol(x, subs=subs):
+            n_sat = F.lit(0)
+            for s in subs:
+                n_sat = n_sat + F.when(s(x), F.lit(0)).otherwise(F.lit(1))
+            return n_sat != 1
+
+        makers.append(one_viol)
+    if "not" in obj_spec:
+        sub = _element_branch_violation(
+            obj_spec["not"], fpath, f"{where}.not", unsupported
+        )
+        makers.append(lambda x, sub=sub: ~sub(x))
+    for kw in obj_spec:
+        if kw not in (
+            "properties", "required", "type", "additionalProperties",
+            "allOf", "anyOf", "oneOf", "not", *_ANNOTATIONS,
+        ):
+            unsupported.append(f"{where}.{kw}")
 
     for f in obj_spec.get("required", []):
         makers.append(lambda x, fp=fpath + (f,): field(x, fp).isNull())

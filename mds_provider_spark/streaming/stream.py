@@ -71,28 +71,49 @@ def validate_stream_committed(
       the batch runner's group markers.
 
     At cluster scale the marker+overwrite pair maps to one Iceberg
-    ``overwrite(batch_id = b)`` snapshot commit (SCALE.md §Checkpoint)."""
+    ``overwrite(batch_id = b)`` snapshot commit (SCALE.md §Checkpoint).
+
+    A batch id only identifies data RELATIVE to its checkpoint — a fresh
+    checkpoint restarts ids at 0, and matching those against an old
+    run's markers would silently skip every new batch as "already
+    durable". The markers therefore record the checkpoint they belong
+    to, and starting a stream whose checkpoint doesn't match the
+    out_dir's markers RAISES: pair a new checkpoint with a new out_dir."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
+    ckpt_key = os.path.abspath(checkpoint_dir)
+    stale = {
+        b: meta.get("checkpoint")
+        for b, meta in log.committed_groups().items()
+        if meta.get("checkpoint") not in (None, ckpt_key)
+    }
+    if stale:
+        raise RuntimeError(
+            f"out_dir {out_dir!r} holds commit markers from a different "
+            f"checkpoint ({next(iter(stale.values()))!r}); batch ids are "
+            "checkpoint-relative, so resuming here would silently skip new "
+            "batches — use a fresh out_dir (or the original checkpoint_dir)"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         if bid in log.committed_groups():
             return  # durable already; this is a post-crash replay
         target = os.path.join(out_dir, "violations", f"batch_id={bid}")
-        n_rows = batch_df.count()
-        v = ruleset.violations(batch_df).persist()
-        try:
-            n_violations = v.count()
-            v.write.mode("overwrite").parquet(target)
-        finally:
-            v.unpersist()
+        # one scan for both counts (verdict shape), one scan to write
+        stats = batch_df.select(
+            F.size(ruleset.hits_column()).alias("_n")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("_n").alias("n_violations")
+        ).collect()[0]
+        ruleset.violations(batch_df).write.mode("overwrite").parquet(target)
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(bid, [], run_id=run_id, batch=bid,
                          extra={"kind": "stream_batch",
-                                "n_rows": int(n_rows),
-                                "n_violations": int(n_violations)})
+                                "checkpoint": ckpt_key,
+                                "n_rows": int(stats["n_rows"]),
+                                "n_violations": int(stats["n_violations"] or 0)})
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

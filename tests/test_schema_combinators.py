@@ -490,3 +490,68 @@ def test_randomized_combinator_differential_vs_jsonschema(spark):
             if want_invalid != got_invalid:
                 mismatches.append((si, schema, rec, want_invalid, got_invalid))
     assert not mismatches, mismatches[:3]
+
+
+def test_element_branch_nested_combinators_and_unsupported(spark):
+    """Nested combinators at an element-branch root recurse; any other
+    branch-root keyword is REPORTED, never silently dropped."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "items_": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "oneOf": [
+                        {
+                            "properties": {"t": {"const": "a"}},
+                            "anyOf": [{"required": ["x"]}, {"required": ["y"]}],
+                        },
+                        {"properties": {"t": {"const": "b"}}},
+                    ],
+                },
+            }
+        },
+    }
+    E = "struct<t: string, x: double, y: double>"
+    rows = [
+        ("ok-a-x", [("a", 1.0, None)]),
+        ("ok-a-y", [("a", None, 2.0)]),
+        ("ok-b", [("b", None, None)]),
+        ("bad-a-neither", [("a", None, None)]),  # branch 1 fails its anyOf
+    ]
+    got, _ = _spark_invalid_keys(
+        spark, schema, rows, f"clip_id string, items_ array<{E}>"
+    )
+
+    def rec(row):
+        out = []
+        for t, x, y in row[1]:
+            e = {}
+            if t is not None:
+                e["t"] = t
+            if x is not None:
+                e["x"] = x
+            if y is not None:
+                e["y"] = y
+            out.append(e)
+        return {"items_": out}
+
+    expect = {r[0] for r in rows if not _ref_valid(schema, rec(r))}
+    assert got == expect == {"bad-a-neither"}
+
+    # unsupported branch-root keywords are reported in strict mode
+    bad = {
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "oneOf": [{"properties": {"t": {}}, "minProperties": 1}],
+                },
+            }
+        },
+    }
+    with pytest.raises(ValueError, match="minProperties"):
+        from_json_schema(bad, key_col="clip_id")

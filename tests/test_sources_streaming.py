@@ -1,5 +1,6 @@
 """Payload JSON round-trip (DataFile parity), registry lookup, streaming."""
 
+import pytest
 import json
 
 import pyspark.sql.functions as F
@@ -239,3 +240,24 @@ def test_committed_stream_verdicts_from_markers(spark, tmp_path):
     assert sorted(v[0] for v in verdicts.values()) == ["fail", "pass"]
     assert sum(v[1] for v in verdicts.values()) == 3
     assert sum(v[2] for v in verdicts.values()) == 1
+
+
+def test_committed_stream_rejects_foreign_checkpoint(spark, tmp_path):
+    """Batch ids are checkpoint-relative: starting a stream over an
+    out_dir whose markers came from a DIFFERENT checkpoint must raise
+    (silently skipping new batches was the failure mode)."""
+    src = tmp_path / "csrc"
+    src.mkdir()
+    out = str(tmp_path / "cout")
+    ddl = "clip_id string, sr_hz int, part_id int"
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000]))
+    spark.createDataFrame([("a", 16000, 0)], ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    STR.validate_stream_committed(
+        stream, rs, out, str(tmp_path / "ckpt_old")
+    ).awaitTermination(120)
+    stream2 = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    with pytest.raises(RuntimeError, match="different\\s+checkpoint"):
+        STR.validate_stream_committed(stream2, rs, out, str(tmp_path / "ckpt_new"))
