@@ -676,6 +676,8 @@ def _compile_items(
                     "minItems", "maxItems",
                 ):
                     pass  # handled together below
+                elif kw in ("allOf", "anyOf", "oneOf", "not"):
+                    pass  # handled together below (field-level combinators)
                 elif kw == "type" or kw in _ANNOTATIONS:
                     pass
                 else:
@@ -693,6 +695,66 @@ def _compile_items(
                         col, fp, min_items=fs.get("minItems"), max_items=fs.get("maxItems")
                     )
                 )
+            if any(k in fs for k in ("allOf", "anyOf", "oneOf", "not")):
+                add_field_combinators(fs, f, fp, dotted)
+
+    def add_field_combinators(fs: dict, fname: str, fp: tuple, dotted: str) -> None:
+        """Combinators on a scalar FIELD of an array element (e.g.
+        features[].coords with anyOf of range branches). Branches are
+        scalar specs for that field; jsonschema evaluates them only when
+        the field is present on the element — guarded the same way.
+        Reuses _element_branch_violation by wrapping each branch as
+        {properties: {field: branch}}."""
+
+        def field_viols(branches):
+            return [
+                _element_branch_violation(
+                    {"properties": {fname: b}}, fp[:-1], dotted, unsupported
+                )
+                for b in branches
+            ]
+
+        for kw in ("anyOf", "oneOf", "not", "allOf"):
+            if kw not in fs:
+                continue
+            branches = [fs["not"]] if kw == "not" else fs[kw]
+            viols = field_viols(branches)
+            name = f"{dotted}.{kw}"
+            if kw == "allOf":
+                def bad(x, viols=viols):
+                    out = F.lit(False)
+                    for v in viols:
+                        out = out | v(x)
+                    return out
+                msg = f"{dotted} has element field(s) violating an allOf branch"
+            elif kw == "anyOf":
+                def bad(x, viols=viols):
+                    out = F.lit(True)
+                    for v in viols:
+                        out = out & v(x)
+                    return out
+                msg = f"{dotted} has element field(s) matching none of {len(viols)} anyOf branches"
+            elif kw == "oneOf":
+                def bad(x, viols=viols):
+                    n_sat = F.lit(0)
+                    for v in viols:
+                        n_sat = n_sat + F.when(v(x), F.lit(0)).otherwise(F.lit(1))
+                    return n_sat != 1
+                msg = f"{dotted} has element field(s) not matching exactly one of {len(viols)} oneOf branches"
+            else:
+                def bad(x, viols=viols):
+                    return ~viols[0](x)
+                msg = f"{dotted} has element field(s) matching a forbidden (not) schema"
+
+            def pred(bad=bad, fp=fp):
+                return _nn_items(
+                    F.exists(
+                        F.col(col),
+                        lambda x: R._epath(x, fp).isNotNull() & bad(x),
+                    )
+                )
+
+            rs.add(R.Rule(S.rule_id(S.COMBINATOR, name), name, msg, pred))
 
     walk(items_spec, (), None)
 

@@ -555,3 +555,55 @@ def test_element_branch_nested_combinators_and_unsupported(spark):
     }
     with pytest.raises(ValueError, match="minProperties"):
         from_json_schema(bad, key_col="clip_id")
+
+
+def test_element_field_level_combinators(spark):
+    """Combinators on a scalar FIELD of an array element: evaluated only
+    when the field is present on the element; differential vs jsonschema."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "pts": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "properties": {
+                        "v": {"anyOf": [{"minimum": 100.0}, {"const": 0.0}]},
+                        "tag": {"not": {"enum": ["banned"]}},
+                        "m": {"oneOf": [{"minimum": 10.0}, {"maximum": 2.0}]},
+                    },
+                },
+            }
+        },
+    }
+    E = "struct<v: double, tag: string, m: double>"
+    rows = [
+        ("ok-high", [(150.0, "fine", 50.0)]),
+        ("ok-zero", [(0.0, None, 1.0)]),
+        ("ok-absent", [(None, None, None)]),
+        ("bad-mid-v", [(50.0, None, None)]),
+        ("bad-banned", [(None, "banned", None)]),
+        ("bad-oneof-both", [(None, None, 1.5)]),  # hmm: 1.5 <=2 and not >=10 -> one branch -> ok!
+        ("bad-oneof-neither", [(None, None, 5.0)]),
+    ]
+    got, _ = _spark_invalid_keys(
+        spark, schema, rows, f"clip_id string, pts array<{E}>"
+    )
+
+    def rec(row):
+        out = []
+        for v, tag, m in row[1]:
+            e = {}
+            if v is not None:
+                e["v"] = v
+            if tag is not None:
+                e["tag"] = tag
+            if m is not None:
+                e["m"] = m
+            out.append(e)
+        return {"pts": out}
+
+    expect = {r[0] for r in rows if not _ref_valid(schema, rec(r))}
+    assert got == expect
+    assert {"bad-mid-v", "bad-banned", "bad-oneof-neither"} <= expect
+    assert "ok-zero" not in expect and "ok-absent" not in expect
