@@ -101,19 +101,36 @@ def validate_stream_committed(
         if bid in log.committed_groups():
             return  # durable already; this is a post-crash replay
         target = os.path.join(out_dir, "violations", f"batch_id={bid}")
-        # one scan for both counts (verdict shape), one scan to write
-        stats = batch_df.select(
-            F.size(ruleset.hits_column()).alias("_n")
-        ).agg(
-            F.count(F.lit(1)).alias("n_rows"), F.sum("_n").alias("n_violations")
-        ).collect()[0]
+        # one scan for all counts — per input PARTITION (north rule:
+        # per-partition pass/fail), rolled up for the batch marker
+        per_part = (
+            batch_df.select(
+                F.col(ruleset.part_col).alias("part_id"),
+                F.size(ruleset.hits_column()).alias("_n"),
+            )
+            .groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_n").alias("n_violations"),
+            )
+            .collect()
+        )
+        n_rows = sum(int(r["n_rows"]) for r in per_part)
+        n_violations = sum(int(r["n_violations"] or 0) for r in per_part)
         ruleset.violations(batch_df).write.mode("overwrite").parquet(target)
         # marker doubles as the lineage/metrics row (batch-runner parity)
-        log.commit_group(bid, [], run_id=run_id, batch=bid,
-                         extra={"kind": "stream_batch",
-                                "checkpoint": ckpt_key,
-                                "n_rows": int(stats["n_rows"]),
-                                "n_violations": int(stats["n_violations"] or 0)})
+        log.commit_group(
+            bid, sorted(int(r["part_id"]) for r in per_part if r["part_id"] is not None),
+            run_id=run_id, batch=bid,
+            extra={"kind": "stream_batch",
+                   "checkpoint": ckpt_key,
+                   "n_rows": n_rows,
+                   "n_violations": n_violations,
+                   "per_part": {
+                       str(r["part_id"]): [int(r["n_rows"]),
+                                           int(r["n_violations"] or 0)]
+                       for r in per_part
+                   }})
 
     writer = (
         stream_df.writeStream.foreachBatch(process)
@@ -144,6 +161,32 @@ def committed_stream_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "batch_id long, status string, n_rows long, n_violations long, run_id string",
+    )
+
+
+def committed_stream_part_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-PARTITION verdicts across all committed batches (north rule:
+    per-partition pass/fail) — the streaming analog of the batch
+    runner's verdicts table, derived from marker metadata alone and
+    merged across batches (a partition whose rows arrived over many
+    micro-batches aggregates them all)."""
+    from collections import defaultdict
+
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    acc: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for _b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
+        for pid, (nr, nv) in (meta.get("per_part") or {}).items():
+            if pid == "None":
+                continue
+            acc[int(pid)][0] += int(nr)
+            acc[int(pid)][1] += int(nv)
+    rows = [
+        (pid, "fail" if nv > 0 else "pass", nr, nv)
+        for pid, (nr, nv) in sorted(acc.items())
+    ]
+    return spark.createDataFrame(
+        rows, "part_id int, status string, n_rows long, n_violations long"
     )
 
 

@@ -261,3 +261,38 @@ def test_committed_stream_rejects_foreign_checkpoint(spark, tmp_path):
     stream2 = spark.readStream.schema(ddl).parquet(str(src / "f*"))
     with pytest.raises(RuntimeError, match="different\\s+checkpoint"):
         STR.validate_stream_committed(stream2, rs, out, str(tmp_path / "ckpt_new"))
+
+
+def test_committed_stream_part_verdicts_merge_across_batches(spark, tmp_path):
+    """Per-PARTITION verdicts (north rule) across micro-batches: a
+    partition whose rows arrive over several batches aggregates them
+    all; verdict flips to fail iff any batch contributed violations."""
+    src = tmp_path / "psrc"
+    src.mkdir()
+    out = str(tmp_path / "pout")
+    ddl = "clip_id string, sr_hz int, part_id int"
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000]))
+    # batch 1: part 0 clean, part 1 has a violation
+    spark.createDataFrame(
+        [("a", 16000, 0), ("b", 11025, 1)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    # batch 2: part 0 gets a violation, part 2 clean
+    spark.createDataFrame(
+        [("c", 999, 0), ("d", 8000, 2)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f*"))
+    STR.validate_stream_committed(
+        stream, rs, out, str(tmp_path / "pckpt")
+    ).awaitTermination(120)
+
+    got = {
+        r.part_id: (r.status, r.n_rows, r.n_violations)
+        for r in STR.committed_stream_part_verdicts(spark, out).collect()
+    }
+    assert got == {
+        0: ("fail", 2, 1),  # clean in batch 1, violated in batch 2
+        1: ("fail", 1, 1),
+        2: ("pass", 1, 0),
+    }
