@@ -607,3 +607,65 @@ def test_element_field_level_combinators(spark):
     assert got == expect
     assert {"bad-mid-v", "bad-banned", "bad-oneof-neither"} <= expect
     assert "ok-zero" not in expect and "ok-absent" not in expect
+
+
+def test_randomized_array_contains_differential_vs_jsonschema(spark):
+    """100 seeded-random schemas over an ARRAY property mixing contains /
+    minItems / uniqueItems / items.enum with property-level combinators:
+    per-record validity must agree with jsonschema exactly."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(777)
+
+    def rand_schema():
+        arr: dict = {"type": "array"}
+        kind = rng.choice(["contains", "contains+size", "items-enum", "anyOf-arr"])
+        if kind == "contains":
+            arr["contains"] = rng.choice(
+                [{"minimum": float(rng.randint(1, 4))},
+                 {"enum": [float(v) for v in rng.sample(range(6), 2)]},
+                 {"const": float(rng.randint(0, 5))}]
+            )
+        elif kind == "contains+size":
+            arr["contains"] = {"minimum": float(rng.randint(1, 4))}
+            arr["minItems"] = rng.randint(1, 2)
+            if rng.random() < 0.5:
+                arr["uniqueItems"] = True
+        elif kind == "items-enum":
+            arr["items"] = {"enum": [float(v) for v in rng.sample(range(6), 3)]}
+            if rng.random() < 0.5:
+                arr["maxItems"] = rng.randint(1, 3)
+        else:
+            arr["anyOf"] = [
+                {"minItems": rng.randint(2, 3)},
+                {"contains": {"minimum": 4.0}},
+            ]
+        return {"type": "object", "properties": {"xs": arr}}
+
+    def rand_record():
+        if rng.random() < 0.15:
+            return {}
+        n = rng.randint(0, 4)
+        return {"xs": [float(rng.randint(0, 5)) for _ in range(n)]}
+
+    mismatches = []
+    for si in range(100):
+        schema = rand_schema()
+        records = [rand_record() for _ in range(30)]
+        rows = [(f"r{i}", r.get("xs")) for i, r in enumerate(records)]
+        rs, unsup = from_json_schema(schema, key_col="clip_id")
+        assert unsup == [], (schema, unsup)
+        df = spark.createDataFrame(
+            rows, "clip_id string, xs array<double>"
+        ).withColumn("part_id", F.lit(0))
+        bad = {
+            r.clip_id
+            for r in rs.violations(df).select("clip_id").distinct().collect()
+        }
+        v = jsonschema.Draft6Validator(schema)
+        for i, rec in enumerate(records):
+            if (not v.is_valid(rec)) != (f"r{i}" in bad):
+                mismatches.append((si, schema, rec, f"r{i}" in bad))
+    assert not mismatches, mismatches[:3]
