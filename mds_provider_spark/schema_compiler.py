@@ -678,6 +678,31 @@ def _compile_items(
                     pass  # handled together below
                 elif kw in ("allOf", "anyOf", "oneOf", "not"):
                     pass  # handled together below (field-level combinators)
+                elif kw == "contains":
+                    if isinstance(val, dict):
+                        sat, desc = _element_satisfies(val, dotted, unsupported)
+                        rs.add(
+                            R.Rule(
+                                S.rule_id(S.BAD_SHAPE, dotted),
+                                dotted,
+                                f"{dotted} has element array(s) with no entry matching: {desc}",
+                                # exists(outer array, element whose FIELD array
+                                # is present but contains no satisfying entry)
+                                lambda fp=fp, sat=sat: _nn_items(
+                                    F.exists(
+                                        F.col(col),
+                                        lambda x: R._epath(x, fp).isNotNull()
+                                        & ~F.exists(
+                                            R._epath(x, fp),
+                                            lambda e: e.isNotNull()
+                                            & F.coalesce(sat(e), F.lit(False)),
+                                        ),
+                                    )
+                                ),
+                            )
+                        )
+                    else:
+                        unsupported.append(f"{dotted}.contains:{val!r}")
                 elif kw == "type" or kw in _ANNOTATIONS:
                     pass
                 else:

@@ -669,3 +669,44 @@ def test_randomized_array_contains_differential_vs_jsonschema(spark):
             if (not v.is_valid(rec)) != (f"r{i}" in bad):
                 mismatches.append((si, schema, rec, f"r{i}" in bad))
     assert not mismatches, mismatches[:3]
+
+
+def test_element_field_contains(spark):
+    """`contains` on an ARRAY FIELD of array elements (features[].scores
+    must contain a value >= 90): evaluated only when the field is
+    present; differential vs jsonschema."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "features": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "properties": {
+                        "scores": {"type": "array", "contains": {"minimum": 90.0}}
+                    },
+                },
+            }
+        },
+    }
+    E = "struct<scores: array<double>>"
+    rows = [
+        ("ok-hit", [([10.0, 95.0],)]),
+        ("ok-absent", [((None,))]),
+        ("bad-low", [([10.0, 20.0],)]),
+        ("bad-empty", [([],)]),
+        ("bad-one-of-two", [([95.0],), ([1.0],)]),  # second element fails
+    ]
+    got, _ = _spark_invalid_keys(
+        spark, schema, rows, f"clip_id string, features array<{E}>"
+    )
+
+    def rec(row):
+        return {
+            "features": [
+                ({"scores": list(s[0])} if s[0] is not None else {}) for s in row[1]
+            ]
+        }
+
+    expect = {r[0] for r in rows if not _ref_valid(schema, rec(r))}
+    assert got == expect == {"bad-low", "bad-empty", "bad-one-of-two"}
