@@ -303,6 +303,38 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (curation staple): deterministic synthetic PII planted
+    into every 3rd document, redacted by the engine-portable pattern
+    chain; DuckDB replays the identical plant + counts + redaction
+    (regexp_extract_all / regexp_replace with 'g') and the redacted-text
+    md5 must hash-match — a full-fidelity transform oracle, not just
+    counts. Patterns live in operators/text.PII_PATTERNS (Java-regex /
+    RE2 common subset)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ip 10.0.0.1 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = TX.redact_pii(planted, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_ssn_like",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1109,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "ann_topk_embeddings": ann_topk_embeddings,
         "text_stats_documents": text_stats_documents,
+        "pii_redaction_documents": pii_redaction_documents,
         "lang_id_documents": lang_id_documents,
         "fingerprint_documents": fingerprint_documents,
         "doc_length_histogram": doc_length_histogram,
@@ -1424,6 +1457,34 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        # PII scrub replay: identical plant, counts on the ORIGINAL
+        # text, and the same sorted-kind regexp_replace chain ('g' flag:
+        # DuckDB replaces first-match-only by default, Spark replaces all)
+        "pii_redaction_documents": (lambda pats: f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' contact user' || doc_id::VARCHAR ||
+                               '@example.com or 555-123-4567 ip 10.0.0.1 ssn 123-45-6789'
+                          ELSE text END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{pats["email"]}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t, '{pats["ipv4"]}'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(t, '{pats["phone"]}'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(t, '{pats["ssn_like"]}'))::BIGINT AS n_ssn_like,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t, '{pats["email"]}', '[REDACTED-email]', 'g'),
+                           '{pats["ipv4"]}', '[REDACTED-ipv4]', 'g'),
+                         '{pats["phone"]}', '[REDACTED-phone]', 'g'),
+                       '{pats["ssn_like"]}', '[REDACTED-ssn_like]', 'g')
+                   ) AS redacted_md5
+            FROM planted
+        """)(TX.PII_PATTERNS),
         "text_stats_documents": f"""
             SELECT doc_id,
                    len({_TOKENS}) AS n_tokens,

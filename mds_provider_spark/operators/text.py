@@ -358,3 +358,50 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(text_col).alias("quality_score"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------ PII scrub
+
+# Engine-portable patterns: constructs in the common subset of Java
+# regex (Spark) and RE2 (DuckDB/Trino), so the identical redaction
+# replays in the oracle engine. Deliberately conservative, high-
+# precision patterns — a scrub pass wants no false redactions; plug
+# broader recognizers in the same dict shape.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED-{kind}]",
+) -> DataFrame:
+    """Curation-staple PII scrub: replace every pattern hit with a typed
+    placeholder and count hits per kind — one Catalyst projection
+    (regexp_replace/regexp_extract_all chain), no Python, scan-
+    proportional at any scale. Patterns apply in sorted-name order so
+    output is deterministic; counts are measured BEFORE any replacement
+    so overlapping kinds each report their own matches against the
+    original text."""
+    patterns = dict(PII_PATTERNS if patterns is None else patterns)
+    out = df
+    redacted = F.col(text_col)
+    for kind in sorted(patterns):
+        out = out.withColumn(
+            f"n_{kind}",
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(patterns[kind]), F.lit(0)))
+                .cast("long")
+            ),
+        )
+        redacted = F.regexp_replace(
+            redacted, patterns[kind], token.format(kind=kind)
+        )
+    return out.withColumn(f"{text_col}_redacted", redacted)

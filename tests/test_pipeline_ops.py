@@ -321,3 +321,26 @@ def test_resolve_groups_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.resolve_duplicate_groups(pairs, max_iters=2)
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    rows = [
+        (1, "mail me at a.b+x@test.io or call 555-123-4567"),
+        (2, "server 192.168.1.1 holds ssn 123-45-6789 twice: 987-65-4321"),
+        (3, "clean text, no pii at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.redact_pii(df, "text").collect()}
+    r1 = got[1]
+    assert (r1.n_email, r1.n_phone, r1.n_ipv4, r1.n_ssn_like) == (1, 1, 0, 0)
+    assert "[REDACTED-email]" in r1.text_redacted
+    assert "[REDACTED-phone]" in r1.text_redacted
+    assert "a.b+x@test.io" not in r1.text_redacted
+    r2 = got[2]
+    assert (r2.n_ipv4, r2.n_ssn_like) == (1, 2)
+    assert r2.text_redacted.count("[REDACTED-ssn_like]") == 2
+    r3 = got[3]
+    assert r3.text_redacted == rows[2][1]
+    assert (r3.n_email, r3.n_phone, r3.n_ipv4, r3.n_ssn_like) == (0, 0, 0, 0)
+    assert got[4].n_email is None and got[4].text_redacted is None
