@@ -259,6 +259,7 @@ def main() -> None:
             "drift_quantiles_lineitem",
             "ann_topk_embeddings",
             "text_stats_documents",
+            "pii_redaction_documents",
             "dedup_exact_documents",
             "simhash_dedup_documents",
             "minhash_dedup_documents",
@@ -298,6 +299,7 @@ def main() -> None:
                     "simhash_dedup_documents",
                     "contamination_documents",
                     "pack_documents",
+                    "pii_redaction_documents",
                     "embedding_near_dup",
                 ],
             )
