@@ -234,10 +234,11 @@ def contains_match(
 ) -> Rule:
     """JSON-Schema draft-06 ``contains``: the array is present but NO
     element satisfies the subschema. ``element_pred(x)`` is the deferred
-    per-element satisfaction predicate (built by the schema compiler);
-    one ``exists`` loop, same codegen projection as every other rule.
-    NULL elements never satisfy (jsonschema: null fails any non-null
-    subschema we compile)."""
+    per-element satisfaction predicate (built by the schema compiler —
+    its keyword fragments already encode jsonschema's null-entry
+    semantics: type-specific keywords are vacuous on null, enum/const
+    fail); one ``exists`` loop, same codegen projection as every other
+    rule."""
     return Rule(
         S.rule_id(S.BAD_SHAPE, col),
         col,
@@ -246,7 +247,7 @@ def contains_match(
             col,
             ~F.exists(
                 F.col(col),
-                lambda x: x.isNotNull() & F.coalesce(element_pred(x), F.lit(False)),
+                lambda x: F.coalesce(element_pred(x), F.lit(False)),
             ),
         ),
     )

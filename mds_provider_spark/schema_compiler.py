@@ -70,6 +70,40 @@ def _subrules(
     return rs.rules
 
 
+def _combinator_fold(kind: str, viols: list):
+    """The one place combinator semantics live: fold branch-VIOLATION
+    callables into the combinator's violation. Works for both deferred
+    record-level thunks (no args) and per-element predicates (x arg) —
+    every caller's branches are null-safe (coalesced), so the folds
+    never yield NULL. anyOf: violated iff ALL branches violated; oneOf:
+    violated iff #satisfied != 1; allOf: violated iff ANY branch
+    violated; not: violated iff the single branch is satisfied."""
+    if kind == "anyOf":
+        def bad(*a):
+            out = F.lit(True)
+            for v in viols:
+                out = out & v(*a)
+            return out
+    elif kind == "oneOf":
+        def bad(*a):
+            n_sat = F.lit(0)
+            for v in viols:
+                n_sat = n_sat + F.when(v(*a), F.lit(0)).otherwise(F.lit(1))
+            return n_sat != 1
+    elif kind == "allOf":
+        def bad(*a):
+            out = F.lit(False)
+            for v in viols:
+                out = out | v(*a)
+            return out
+    elif kind == "not":
+        def bad(*a):
+            return ~viols[0](*a)
+    else:  # pragma: no cover - internal misuse
+        raise ValueError(kind)
+    return bad
+
+
 def _branch_violation(rules: list):
     """Deferred Column: True iff the row violates ANY of the branch's
     rules (i.e. fails the branch subschema). Null-safe by construction —
@@ -139,52 +173,40 @@ def _compile_combinators(
     if "anyOf" in spec:
         viols = branch_viols(spec["anyOf"])
         name = f"{where}.anyOf"
-
-        def pred(viols=viols):
-            out = F.lit(True)
-            for v in viols:
-                out = out & v()
-            return out
-
         rs.add(
             R.Rule(
                 S.rule_id(S.COMBINATOR, name),
                 name,
                 f"{where} matches none of {len(viols)} anyOf branches",
-                wrap(pred),
+                wrap(_combinator_fold("anyOf", viols)),
             )
         )
 
     if "oneOf" in spec:
         viols = branch_viols(spec["oneOf"])
         name = f"{where}.oneOf"
-
-        def pred(viols=viols):
-            n_sat = F.lit(0)
-            for v in viols:
-                n_sat = n_sat + F.when(v(), F.lit(0)).otherwise(F.lit(1))
-            return n_sat != 1
-
         rs.add(
             R.Rule(
                 S.rule_id(S.COMBINATOR, name),
                 name,
                 f"{where} must match exactly one of {len(viols)} oneOf branches",
-                wrap(pred),
+                wrap(_combinator_fold("oneOf", viols)),
             )
         )
 
     if "not" in spec:
-        viol = _branch_violation(
-            _subrules(spec["not"], unsupported, prefix, parent, scalar_path)
-        )
+        viols = [
+            _branch_violation(
+                _subrules(spec["not"], unsupported, prefix, parent, scalar_path)
+            )
+        ]
         name = f"{where}.not"
         rs.add(
             R.Rule(
                 S.rule_id(S.COMBINATOR, name),
                 name,
                 f"{where} matches a forbidden (not) schema",
-                wrap(lambda: ~viol()),
+                wrap(_combinator_fold("not", viols)),
             )
         )
 
@@ -282,26 +304,49 @@ def _element_satisfies(spec: dict, where: str, unsupported: list[str]):
     """Deferred per-element satisfaction predicate for a scalar subschema
     (used by ``contains``): x -> Column. Conjunction of the keyword
     subset that makes sense per element; unsupported element keywords
-    propagate to the caller's list."""
+    propagate to the caller's list.
+
+    NULL-entry semantics follow jsonschema exactly: type-specific
+    keywords (bounds, pattern, length) are VACUOUS on a null entry —
+    draft-06 ``minimum`` only constrains numbers, so null satisfies
+    ``{minimum: 90}`` — while value-equality keywords (enum, const)
+    fail on null unless null is itself an allowed value."""
     from pyspark.sql import Column
+
+    def vac(cond):  # type-specific keyword: vacuously true on null
+        return lambda x, c=cond: F.coalesce(c(x), F.lit(True))
+
+    def strict(cond):  # value-equality keyword: null fails
+        return lambda x, c=cond: F.coalesce(c(x), F.lit(False))
 
     makers = []
     lo, lo_inc, hi, hi_inc = _bounds(spec)
     if lo is not None:
-        makers.append(lambda x: (x >= lo) if lo_inc else (x > lo))
+        makers.append(vac(lambda x: (x >= lo) if lo_inc else (x > lo)))
     if hi is not None:
-        makers.append(lambda x: (x <= hi) if hi_inc else (x < hi))
+        makers.append(vac(lambda x: (x <= hi) if hi_inc else (x < hi)))
     for kw, val in spec.items():
         if kw == "enum":
-            makers.append(lambda x, v=list(val): x.isin(v))
+            vals = list(val)
+            if any(v is None for v in vals):
+                non_null = [v for v in vals if v is not None]
+                makers.append(
+                    lambda x, v=non_null: F.coalesce(x.isin(v), F.lit(False))
+                    | x.isNull()
+                )
+            else:
+                makers.append(strict(lambda x, v=vals: x.isin(v)))
         elif kw == "const":
-            makers.append(lambda x, v=val: x == F.lit(v))
+            if val is None:
+                makers.append(lambda x: x.isNull())
+            else:
+                makers.append(strict(lambda x, v=val: x == F.lit(v)))
         elif kw == "pattern":
-            makers.append(lambda x, v=val: x.rlike(v))
+            makers.append(vac(lambda x, v=val: x.rlike(v)))
         elif kw == "minLength":
-            makers.append(lambda x, v=int(val): F.length(x) >= v)
+            makers.append(vac(lambda x, v=int(val): F.length(x) >= v))
         elif kw == "maxLength":
-            makers.append(lambda x, v=int(val): F.length(x) <= v)
+            makers.append(vac(lambda x, v=int(val): F.length(x) <= v))
         elif kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
             pass  # _bounds above
         elif kw == "type" or kw in _ANNOTATIONS:
@@ -467,40 +512,15 @@ def _element_branch_violation(obj_spec: dict, fpath: tuple, where: str,
         return RR._epath(x, fp)
 
     # nested combinators inside the branch recurse on the SAME element
-    for sub in obj_spec.get("allOf", []):
-        inner = _element_branch_violation(sub, fpath, f"{where}.allOf", unsupported)
-        makers.append(inner)
-    if "anyOf" in obj_spec:
+    for kind in ("allOf", "anyOf", "oneOf", "not"):
+        if kind not in obj_spec:
+            continue
+        branches = [obj_spec["not"]] if kind == "not" else obj_spec[kind]
         subs = [
-            _element_branch_violation(s, fpath, f"{where}.anyOf", unsupported)
-            for s in obj_spec["anyOf"]
+            _element_branch_violation(s, fpath, f"{where}.{kind}", unsupported)
+            for s in branches
         ]
-
-        def any_viol(x, subs=subs):
-            out = F.lit(True)
-            for s in subs:
-                out = out & s(x)
-            return out
-
-        makers.append(any_viol)
-    if "oneOf" in obj_spec:
-        subs = [
-            _element_branch_violation(s, fpath, f"{where}.oneOf", unsupported)
-            for s in obj_spec["oneOf"]
-        ]
-
-        def one_viol(x, subs=subs):
-            n_sat = F.lit(0)
-            for s in subs:
-                n_sat = n_sat + F.when(s(x), F.lit(0)).otherwise(F.lit(1))
-            return n_sat != 1
-
-        makers.append(one_viol)
-    if "not" in obj_spec:
-        sub = _element_branch_violation(
-            obj_spec["not"], fpath, f"{where}.not", unsupported
-        )
-        makers.append(lambda x, sub=sub: ~sub(x))
+        makers.append(_combinator_fold(kind, subs))
     for kw in obj_spec:
         if kw not in (
             "properties", "required", "type", "additionalProperties",
@@ -598,24 +618,12 @@ def _compile_items(
                 for b in branches
             ]
             name = f"{base}.{kw}"
-            if kw == "anyOf":
-                def bad(x, viols=viols):
-                    out = F.lit(True)
-                    for v in viols:
-                        out = out & v(x)
-                    return out
-                msg = f"{base} has element(s) matching none of {len(viols)} anyOf branches"
-            elif kw == "oneOf":
-                def bad(x, viols=viols):
-                    n_sat = F.lit(0)
-                    for v in viols:
-                        n_sat = n_sat + F.when(v(x), F.lit(0)).otherwise(F.lit(1))
-                    return n_sat != 1
-                msg = f"{base} has element(s) not matching exactly one of {len(viols)} oneOf branches"
-            else:
-                def bad(x, viols=viols):
-                    return ~viols[0](x)
-                msg = f"{base} has element(s) matching a forbidden (not) schema"
+            bad = _combinator_fold(kw, viols)
+            msg = {
+                "anyOf": f"{base} has element(s) matching none of {len(viols)} anyOf branches",
+                "oneOf": f"{base} has element(s) not matching exactly one of {len(viols)} oneOf branches",
+                "not": f"{base} has element(s) matching a forbidden (not) schema",
+            }[kw]
 
             def pred(bad=bad, fpath=fpath):
                 return _nn_items(
@@ -694,8 +702,11 @@ def _compile_items(
                                         lambda x: R._epath(x, fp).isNotNull()
                                         & ~F.exists(
                                             R._epath(x, fp),
-                                            lambda e: e.isNotNull()
-                                            & F.coalesce(sat(e), F.lit(False)),
+                                            # null entries per jsonschema:
+                                            # sat() fragments decide
+                                            lambda e: F.coalesce(
+                                                sat(e), F.lit(False)
+                                            ),
                                         ),
                                     )
                                 ),
@@ -745,31 +756,13 @@ def _compile_items(
             branches = [fs["not"]] if kw == "not" else fs[kw]
             viols = field_viols(branches)
             name = f"{dotted}.{kw}"
-            if kw == "allOf":
-                def bad(x, viols=viols):
-                    out = F.lit(False)
-                    for v in viols:
-                        out = out | v(x)
-                    return out
-                msg = f"{dotted} has element field(s) violating an allOf branch"
-            elif kw == "anyOf":
-                def bad(x, viols=viols):
-                    out = F.lit(True)
-                    for v in viols:
-                        out = out & v(x)
-                    return out
-                msg = f"{dotted} has element field(s) matching none of {len(viols)} anyOf branches"
-            elif kw == "oneOf":
-                def bad(x, viols=viols):
-                    n_sat = F.lit(0)
-                    for v in viols:
-                        n_sat = n_sat + F.when(v(x), F.lit(0)).otherwise(F.lit(1))
-                    return n_sat != 1
-                msg = f"{dotted} has element field(s) not matching exactly one of {len(viols)} oneOf branches"
-            else:
-                def bad(x, viols=viols):
-                    return ~viols[0](x)
-                msg = f"{dotted} has element field(s) matching a forbidden (not) schema"
+            bad = _combinator_fold(kw, viols)
+            msg = {
+                "allOf": f"{dotted} has element field(s) violating an allOf branch",
+                "anyOf": f"{dotted} has element field(s) matching none of {len(viols)} anyOf branches",
+                "oneOf": f"{dotted} has element field(s) not matching exactly one of {len(viols)} oneOf branches",
+                "not": f"{dotted} has element field(s) matching a forbidden (not) schema",
+            }[kw]
 
             def pred(bad=bad, fp=fp):
                 return _nn_items(

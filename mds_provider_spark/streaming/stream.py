@@ -82,6 +82,12 @@ def validate_stream_committed(
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
+    if ruleset.part_col not in stream_df.columns:
+        raise ValueError(
+            f"stream is missing the partition column {ruleset.part_col!r} "
+            "(violation rows and per-partition verdicts both need it; set "
+            "RuleSet.part_col to match the stream schema)"
+        )
     ckpt_key = os.path.abspath(checkpoint_dir)
     stale = {
         b: meta.get("checkpoint")
@@ -174,16 +180,28 @@ def committed_stream_part_verdicts(spark: SparkSession, out_dir: str) -> DataFra
 
     from mds_provider_spark.plans.checkpoint import CommitLog
 
-    acc: dict[int, list[int]] = defaultdict(lambda: [0, 0])
-    for _b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
-        for pid, (nr, nv) in (meta.get("per_part") or {}).items():
-            if pid == "None":
-                continue
-            acc[int(pid)][0] += int(nr)
-            acc[int(pid)][1] += int(nv)
+    acc: dict[int | None, list[int]] = defaultdict(lambda: [0, 0])
+    for b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
+        if "per_part" not in meta:
+            # loud like the checkpoint-mismatch guard: silently skipping
+            # a marked batch would under-count partitions with no signal
+            raise RuntimeError(
+                f"commit marker for batch {b} carries no per-partition "
+                "counts (written by an older sink); per-partition verdicts "
+                "cannot be reconstructed from it — recompute from "
+                "committed_stream_violations instead"
+            )
+        for pid, (nr, nv) in meta["per_part"].items():
+            # rows with NULL part_id are reported under part_id NULL,
+            # never dropped (batch totals and partition totals must agree)
+            key = None if pid == "None" else int(pid)
+            acc[key][0] += int(nr)
+            acc[key][1] += int(nv)
     rows = [
         (pid, "fail" if nv > 0 else "pass", nr, nv)
-        for pid, (nr, nv) in sorted(acc.items())
+        for pid, (nr, nv) in sorted(
+            acc.items(), key=lambda kv: (kv[0] is None, kv[0] if kv[0] is not None else 0)
+        )
     ]
     return spark.createDataFrame(
         rows, "part_id int, status string, n_rows long, n_violations long"

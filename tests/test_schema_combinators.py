@@ -710,3 +710,56 @@ def test_element_field_contains(spark):
 
     expect = {r[0] for r in rows if not _ref_valid(schema, rec(r))}
     assert got == expect == {"bad-low", "bad-empty", "bad-one-of-two"}
+
+
+def test_contains_null_entries_match_jsonschema(spark):
+    """NULL array entries under `contains`: draft-06 type-specific
+    keywords (minimum, pattern) are VACUOUS on null — an array of
+    [null] SATISFIES contains:{minimum:90} — while enum/const fail on
+    null. Differential vs jsonschema (review-pass regression)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "a": {"type": "array", "contains": {"minimum": 90.0}},
+            "b": {"type": "array", "contains": {"enum": [1.0, 2.0]}},
+        },
+    }
+    rows = [
+        ("null-sats-min", [None], None),       # [null] satisfies minimum (vacuous)
+        ("null-fails-enum", None, [None]),     # [null] fails enum
+        ("mixed-ok", [5.0, None], [None, 2.0]),
+        ("both-fail", [5.0], [9.0]),
+    ]
+    ddl = "clip_id string, a array<double>, b array<double>"
+    got, _ = _spark_invalid_keys(spark, schema, rows, ddl)
+    expect = set()
+    for key, a, b in rows:
+        rec = {}
+        if a is not None:
+            rec["a"] = a
+        if b is not None:
+            rec["b"] = b
+        if not _ref_valid(schema, rec):
+            expect.add(key)
+    assert got == expect == {"null-fails-enum", "both-fail"}
+
+    # element-FIELD contains has the same null-entry semantics
+    schema2 = {
+        "type": "object",
+        "properties": {
+            "fs": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "properties": {
+                        "scores": {"type": "array", "contains": {"minimum": 90.0}}
+                    },
+                },
+            }
+        },
+    }
+    rows2 = [("ok-null-entry", [([None],)]), ("bad", [([5.0],)])]
+    got2, _ = _spark_invalid_keys(
+        spark, schema2, rows2, "clip_id string, fs array<struct<scores: array<double>>>"
+    )
+    assert got2 == {"bad"}
