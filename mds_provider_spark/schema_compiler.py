@@ -16,6 +16,16 @@ enums), minLength (non-empty strings), and — round 4 — the combinators
 ``if``/``then``/``else`` (the draft-07 spelling), at both record and
 property level. Combinator branches compile to deferred predicates and
 fuse into the SAME single-projection pass as every other rule.
+
+Round 5 completes the draft-06 structural surface: internal
+``$ref``/``definitions`` pointers are inlined up front (``resolve_refs``
+— raw fetched MDS schema documents compile unmodified), ``type`` inside
+combinator branches compiles to a runtime typeof()+nullness predicate
+(the nullable-via-oneOf idiom), ``items`` as a LIST (tuple validation)
+with ``additionalItems``, ``patternProperties``/``propertyNames``/
+``minProperties``/``maxProperties`` against the static declared-name
+universe the strict read schema guarantees.
+
 Unsupported keywords are returned, not silently dropped — callers
 decide whether that's an error.
 
@@ -25,6 +35,7 @@ reference gets it from the Postgres PK instead, mds/db.py).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import functions as F
@@ -38,6 +49,56 @@ _JSON_TO_SPARK_TYPE = {
     "boolean": "boolean",
     "string": "string",
 }
+
+# JSON-Schema ``type`` -> regex over Spark's typeof() name for the value.
+# Used ONLY inside combinator branches, where ``type`` is discriminating
+# (oneOf:[{type:string},{type:null}] is the canonical nullable idiom) —
+# in the main compile path ``type`` stays structural (the strict read
+# schema enforces it; rule P2 ``castable`` covers string-typed reads).
+# The check is column-typed: a value's JSON type is decided by the
+# column's Spark type plus nullness. Divergence from draft-06, documented:
+# ``integer`` does not accept float/double columns that happen to hold
+# zero-fraction values (jsonschema's 2.0-is-an-integer nicety needs value
+# introspection that would break analysis on non-numeric branches).
+_TYPE_RE = {
+    "string": r"^(string|varchar|char)",
+    "integer": r"^(tinyint|smallint|int|bigint)$",
+    "number": r"^(tinyint|smallint|int|bigint|float|double)$|^decimal",
+    "boolean": r"^boolean$",
+    "array": r"^array<",
+    "object": r"^(struct|map)<",
+}
+
+
+def _type_sat(types):
+    """Deferred x -> Column: True iff the value satisfies JSON-Schema
+    ``type`` (string or list form). Null-safe by construction: nullness
+    is decided explicitly (SQL NULL plays JSON null), non-null values
+    match on ``typeof()`` — constant per column, so Catalyst folds the
+    comparison. Callers must pre-validate names against _TYPE_RE."""
+    tl = [types] if isinstance(types, str) else list(types)
+    pats = [_TYPE_RE[t] for t in tl if t != "null"]
+
+    def sat(x):
+        out = F.lit(False)
+        if "null" in tl:
+            out = out | x.isNull()
+        if pats:
+            out = out | (x.isNotNull() & F.typeof(x).rlike("|".join(pats)))
+        return out
+
+    return sat
+
+
+def _check_type_names(val, where: str, unsupported: list[str]) -> list | None:
+    """Validate a ``type`` keyword value; returns the type list or None
+    (with an ``unsupported`` entry) when a name has no typeof mapping."""
+    tl = [val] if isinstance(val, str) else list(val)
+    bad = [t for t in tl if t != "null" and t not in _TYPE_RE]
+    if bad:
+        unsupported.append(f"{where}.type:{bad}")
+        return None
+    return tl
 
 
 _ANNOTATIONS = ("description", "title", "default", "examples", "$comment", "$schema", "$id")
@@ -61,12 +122,34 @@ def _subrules(
     rules — only their deferred predicates are reused; the branch's own
     rule ids/messages never surface (jsonschema likewise reports the
     combinator, not the branch internals). Unsupported keywords inside a
-    branch propagate to the caller's list (strict mode still raises)."""
+    branch propagate to the caller's list (strict mode still raises).
+
+    ``type`` is compiled HERE (in_branch=True below) because inside a
+    branch it discriminates — a type-only branch like {type: "string"}
+    must be satisfied exactly by string values, not vacuously by
+    everything (the round-4 bug: such branches compiled to zero rules and
+    counted as always-satisfied, so oneOf:[string,null] flagged every
+    present value and not:{type:...} always fired). At an object-position
+    branch the instance is a record/struct, so ``type`` is a constant:
+    satisfied iff the list admits "object"."""
     rs = R.RuleSet(key_col="", part_col="")
     if scalar_path is not None:
-        _compile_scalar(rs, unsupported, scalar_path, spec)
+        _compile_scalar(rs, unsupported, scalar_path, spec, in_branch=True)
     else:
-        _compile_object(rs, unsupported, spec, prefix=prefix, parent=parent)
+        _compile_object(
+            rs, unsupported, spec, prefix=prefix, parent=parent, in_branch=True
+        )
+        if "type" in spec:
+            tl = _check_type_names(spec["type"], prefix.rstrip(".") or "$", unsupported)
+            if tl is not None and "object" not in tl:
+                rs.add(
+                    R.Rule(
+                        S.rule_id(S.BAD_TYPE, prefix.rstrip(".") or "$"),
+                        prefix.rstrip(".") or "$",
+                        f"instance is an object; branch requires type {tl}",
+                        lambda: F.lit(True),
+                    )
+                )
     return rs.rules
 
 
@@ -349,7 +432,13 @@ def _element_satisfies(spec: dict, where: str, unsupported: list[str]):
             makers.append(vac(lambda x, v=int(val): F.length(x) <= v))
         elif kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
             pass  # _bounds above
-        elif kw == "type" or kw in _ANNOTATIONS:
+        elif kw == "type":
+            # real check (draft-06: null VIOLATES e.g. {type: number}) —
+            # column-typed via typeof(), see _TYPE_RE
+            tl = _check_type_names(val, where, unsupported)
+            if tl is not None:
+                makers.append(_type_sat(tl))
+        elif kw in _ANNOTATIONS:
             pass
         else:
             unsupported.append(f"{where}.contains.{kw}")
@@ -366,8 +455,96 @@ def _element_satisfies(spec: dict, where: str, unsupported: list[str]):
     return pred, desc
 
 
-def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: dict) -> None:
-    """Keyword loop for one non-object property at dotted path ``path``."""
+def _compile_tuple_items(
+    rs: "R.RuleSet",
+    unsupported: list[str],
+    col: str,
+    specs: list,
+    additional,
+) -> None:
+    """Draft-06 tuple validation: ``items`` as a LIST of positional
+    subschemas plus ``additionalItems`` (false = length cap; schema =
+    constraint on the tail). Compiles to positional ``get()`` checks and
+    one ``exists`` over the tail slice — all inside the same projection,
+    no explode. A position is only checked when the array is long enough
+    (jsonschema: shorter arrays are vacuously valid per position)."""
+    sats = []
+    for i, s in enumerate(specs):
+        if not isinstance(s, dict):
+            unsupported.append(f"{col}.items[{i}]")
+            sats.append(None)
+            continue
+        sat, _ = _element_satisfies(s, f"{col}.items[{i}]", unsupported)
+        sats.append(sat)
+    n = len(specs)
+
+    def pred():
+        c = F.col(col)
+        out = F.lit(False)
+        for i, sat in enumerate(sats):
+            if sat is None:
+                continue
+            # F.get is always null-on-out-of-bounds (ANSI-safe); the size
+            # guard decides presence, the sat fragments decide null entries
+            out = out | (
+                (F.size(c) > i) & ~F.coalesce(sat(F.get(c, i)), F.lit(False))
+            )
+        return c.isNotNull() & out
+
+    rs.add(
+        R.Rule(
+            S.rule_id(S.BAD_SHAPE, f"{col}.items"),
+            f"{col}.items",
+            f"{col} has tuple position(s) violating their item schemas",
+            pred,
+        )
+    )
+
+    if additional is False:
+        rs.add(
+            R.Rule(
+                S.rule_id(S.BAD_SHAPE, f"{col}.additionalItems"),
+                f"{col}.additionalItems",
+                f"{col} longer than its {n} tuple positions (additionalItems: false)",
+                lambda: F.col(col).isNotNull() & (F.size(F.col(col)) > n),
+            )
+        )
+    elif isinstance(additional, dict):
+        sat, desc = _element_satisfies(
+            additional, f"{col}.additionalItems", unsupported
+        )
+        rs.add(
+            R.Rule(
+                S.rule_id(S.BAD_SHAPE, f"{col}.additionalItems"),
+                f"{col}.additionalItems",
+                f"{col} has tail element(s) beyond position {n} violating: {desc}",
+                lambda: F.col(col).isNotNull()
+                & F.exists(
+                    F.slice(
+                        F.col(col),
+                        F.lit(n + 1),
+                        F.greatest(F.size(F.col(col)) - n, F.lit(0)),
+                    ),
+                    lambda e: ~F.coalesce(sat(e), F.lit(False)),
+                ),
+            )
+        )
+    elif additional not in (None, True):
+        unsupported.append(f"{col}.additionalItems:{additional!r}")
+
+
+def _compile_scalar(
+    rs: "R.RuleSet",
+    unsupported: list[str],
+    path: str,
+    spec: dict,
+    in_branch: bool = False,
+) -> None:
+    """Keyword loop for one non-object property at dotted path ``path``.
+
+    ``in_branch=True`` (combinator branch compilation) additionally
+    compiles ``type`` into a runtime typeof()+nullness predicate — see
+    ``_subrules`` for why branches need it and the main path doesn't."""
     for kw, val in spec.items():
         if kw == "enum":
             rs.add(R.is_in(path, val))
@@ -404,7 +581,13 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
             if val:
                 rs.add(R.unique_items(path))
         elif kw == "items":
-            if isinstance(val, dict) and set(val) <= {"enum", "type"}:
+            if isinstance(val, list):
+                # tuple validation (draft-06 positional items) — compiled
+                # together with additionalItems below
+                _compile_tuple_items(
+                    rs, unsupported, path, val, spec.get("additionalItems")
+                )
+            elif isinstance(val, dict) and set(val) <= {"enum", "type"}:
                 if "enum" in val:
                     rs.add(R.elements_in(path, val["enum"]))
             elif (
@@ -419,8 +602,26 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
                 _compile_items(rs, unsupported, path, val)
             else:
                 unsupported.append(f"{path}.items")
+        elif kw == "additionalItems":
+            # draft-06: only meaningful next to items-as-list (consumed by
+            # _compile_tuple_items above); with single-schema or absent
+            # ``items`` the keyword is DEFINED to be ignored — this pass
+            # is faithful semantics, not a silent drop.
+            pass
         elif kw == "type":
-            pass  # structural: enforced by the read schema, not a rule
+            if in_branch:
+                tl = _check_type_names(val, path, unsupported)
+                if tl is not None:
+                    sat = _type_sat(tl)
+                    rs.add(
+                        R.Rule(
+                            S.rule_id(S.BAD_TYPE, path),
+                            path,
+                            f"{path} is not of JSON type {tl}",
+                            lambda sat=sat: ~sat(F.col(path)),
+                        )
+                    )
+            # main path: structural — enforced by the strict read schema
         elif kw in _COMBINATOR_KEYS:
             pass  # handled together below (_compile_combinators)
         elif kw in _ANNOTATIONS:
@@ -441,12 +642,58 @@ def _compile_scalar(rs: "R.RuleSet", unsupported: list[str], path: str, spec: di
         _compile_combinators(rs, unsupported, spec, "", None, scalar_path=path)
 
 
+# object-level keywords _compile_object consumes (or legitimately treats
+# as structural/annotation). Anything else is reported in ``unsupported``
+# — never silently dropped.
+_OBJECT_KEYS = (
+    "type",
+    "properties",
+    "required",
+    "additionalProperties",  # enforced by the strict read schema (P7)
+    "definitions",  # inert after resolve_refs() inlining
+    "patternProperties",
+    "propertyNames",
+    "minProperties",
+    "maxProperties",
+    *_COMBINATOR_KEYS,
+    *_ANNOTATIONS,
+)
+
+
+def _name_satisfies(pn: dict, name: str, where: str, unsupported: list[str]) -> bool:
+    """Evaluate a ``propertyNames`` subschema against one property NAME at
+    COMPILE time — names are static under a strict read schema, so no
+    runtime expression is needed; an offending name compiles to a
+    presence-is-violation rule."""
+    ok = True
+    for kw, val in pn.items():
+        if kw == "pattern":
+            ok = ok and re.search(val, name) is not None
+        elif kw == "minLength":
+            ok = ok and len(name) >= int(val)
+        elif kw == "maxLength":
+            ok = ok and len(name) <= int(val)
+        elif kw == "enum":
+            ok = ok and name in list(val)
+        elif kw == "const":
+            ok = ok and name == val
+        elif kw == "type":
+            tl = [val] if isinstance(val, str) else list(val)
+            ok = ok and "string" in tl  # property names are always strings
+        elif kw in _ANNOTATIONS:
+            pass
+        else:
+            unsupported.append(f"{where}.propertyNames.{kw}")
+    return ok
+
+
 def _compile_object(
     rs: "R.RuleSet",
     unsupported: list[str],
     schema: dict,
     prefix: str,
     parent: str | None,
+    in_branch: bool = False,
 ) -> None:
     """Recurse an object schema: dotted-path rules for nested properties.
 
@@ -456,9 +703,21 @@ def _compile_object(
     ``event_location.geometry.type`` prunes and codegens exactly like a
     top-level column. Nested ``required`` is guarded on the enclosing
     object being present (jsonschema only evaluates subschemas against
-    instances that HAVE the property)."""
+    instances that HAVE the property).
+
+    ``patternProperties`` / ``propertyNames`` / ``minProperties`` /
+    ``maxProperties`` compile against the DECLARED property-name universe:
+    under the engine's strict read schema the struct fields are exactly
+    the declared properties, so name-keyed keywords resolve statically
+    (patterns evaluated with Python ``re`` at compile time) and only the
+    per-row presence (non-null) is decided at runtime."""
     props: dict = schema.get("properties", {})
     required = schema.get("required", [])
+    where = prefix.rstrip(".") or "$"
+
+    for kw in schema:
+        if kw not in _OBJECT_KEYS:
+            unsupported.append(f"{where}.{kw}")
 
     if any(k in schema for k in _COMBINATOR_KEYS):
         _compile_combinators(rs, unsupported, schema, prefix, parent)
@@ -467,31 +726,99 @@ def _compile_object(
         path = f"{prefix}{name}"
         rs.add(R.not_null(path) if parent is None else R.nested_required(path, parent))
 
+    # name-keyed keywords against the static declared-name universe
+    pat_props = schema.get("patternProperties")
+    if isinstance(pat_props, dict):
+        if not props:
+            unsupported.append(f"{where}.patternProperties")
+        else:
+            for pat, subspec in pat_props.items():
+                if not isinstance(subspec, dict):
+                    unsupported.append(f"{where}.patternProperties:{pat}")
+                    continue
+                for name in props:
+                    if re.search(pat, name) is None:
+                        continue
+                    path = f"{prefix}{name}"
+                    # applies IN ADDITION to the properties subschema
+                    if subspec.get("type") == "object":
+                        _compile_object(
+                            rs, unsupported, subspec,
+                            prefix=f"{path}.", parent=path, in_branch=in_branch,
+                        )
+                    else:
+                        _compile_scalar(
+                            rs, unsupported, path, subspec, in_branch=in_branch
+                        )
+    elif pat_props is not None:
+        unsupported.append(f"{where}.patternProperties")
+
+    pn = schema.get("propertyNames")
+    if isinstance(pn, dict):
+        if not props:
+            unsupported.append(f"{where}.propertyNames")
+        for name in props:
+            if _name_satisfies(pn, name, where, unsupported):
+                continue
+            path = f"{prefix}{name}"
+            rs.add(
+                R.Rule(
+                    S.rule_id(S.BAD_FORMAT, path),
+                    path,
+                    f"property name {name!r} violates propertyNames schema",
+                    lambda path=path: F.col(path).isNotNull(),
+                )
+            )
+    elif pn is not None and pn is not True:
+        unsupported.append(f"{where}.propertyNames")
+
+    if "minProperties" in schema or "maxProperties" in schema:
+        if not props:
+            unsupported.append(f"{where}.minProperties")
+        else:
+            lo = schema.get("minProperties")
+            hi = schema.get("maxProperties")
+            paths = [f"{prefix}{n}" for n in props]
+
+            def n_present():
+                out = F.lit(0)
+                for p in paths:
+                    out = out + F.col(p).isNotNull().cast("int")
+                return out
+
+            def pred(lo=lo, hi=hi):
+                cond = F.lit(False)
+                if lo is not None:
+                    cond = cond | (n_present() < int(lo))
+                if hi is not None:
+                    cond = cond | (n_present() > int(hi))
+                if parent is not None:
+                    cond = F.col(parent).isNotNull() & cond
+                return cond
+
+            rs.add(
+                R.Rule(
+                    S.rule_id(S.BAD_SHAPE, f"{where}.properties"),
+                    f"{where}.properties",
+                    f"{where} present-property count outside [{lo},{hi}]",
+                    pred,
+                )
+            )
+
     for name, spec in props.items():
         path = f"{prefix}{name}"
         if not isinstance(spec, dict):
             unsupported.append(path)
             continue
         if spec.get("type") == "object":
-            # recurse when there is ANYTHING row-compilable inside —
-            # 'required' without 'properties' is legal JSON Schema and
-            # must still emit the nested_required rules
-            if "properties" in spec or "required" in spec:
-                _compile_object(rs, unsupported, spec, prefix=f"{path}.", parent=path)
-            elif any(k in spec for k in _COMBINATOR_KEYS):
-                # combinator-only object subschema (no direct properties):
-                # still compile the combinators, guarded on `path` present
-                _compile_combinators(rs, unsupported, spec, f"{path}.", path)
-            for kw in spec:
-                # additionalProperties is enforced by the strict read
-                # schema (a struct column can't carry undeclared fields)
-                if kw not in (
-                    "type", "properties", "required", "additionalProperties",
-                    *_COMBINATOR_KEYS, *_ANNOTATIONS,
-                ):
-                    unsupported.append(f"{path}.{kw}")
+            # recurse — the object-level keyword sweep and every
+            # name-keyed keyword are handled inside the recursion
+            _compile_object(
+                rs, unsupported, spec,
+                prefix=f"{path}.", parent=path, in_branch=in_branch,
+            )
             continue
-        _compile_scalar(rs, unsupported, path, spec)
+        _compile_scalar(rs, unsupported, path, spec, in_branch=in_branch)
 
 
 def _element_branch_violation(obj_spec: dict, fpath: tuple, where: str,
@@ -521,6 +848,15 @@ def _element_branch_violation(obj_spec: dict, fpath: tuple, where: str,
             for s in branches
         ]
         makers.append(_combinator_fold(kind, subs))
+    # branch-root ``type``: discriminating inside combinators (same fix
+    # as _subrules) — the instance is the element (or its sub-struct)
+    if "type" in obj_spec:
+        tl = _check_type_names(obj_spec["type"], where, unsupported)
+        if tl is not None:
+            root_sat = _type_sat(tl)
+            makers.append(
+                lambda x, sat=root_sat: ~sat(x if not fpath else field(x, fpath))
+            )
     for kw in obj_spec:
         if kw not in (
             "properties", "required", "type", "additionalProperties",
@@ -561,7 +897,17 @@ def _element_branch_violation(obj_spec: dict, fpath: tuple, where: str,
                 pass  # together below
             elif kw in ("minItems", "maxItems"):
                 pass  # together below
-            elif kw == "type" or kw in _ANNOTATIONS:
+            elif kw == "type":
+                # field-level type inside a branch: evaluated only when
+                # the field is present (matching every other field
+                # keyword here — present-null conflation documented)
+                tl = _check_type_names(val, f"{where}.{f}", unsupported)
+                if tl is not None:
+                    makers.append(
+                        lambda x, fp=fp, sat=_type_sat(tl):
+                        field(x, fp).isNotNull() & ~sat(field(x, fp))
+                    )
+            elif kw in _ANNOTATIONS:
                 pass
             else:
                 unsupported.append(f"{where}.{f}.{kw}")
@@ -777,6 +1123,83 @@ def _compile_items(
     walk(items_spec, (), None)
 
 
+# dict-valued keywords whose VALUES are name->schema maps (keys are data,
+# not schemas — a property literally named "$ref" must not be resolved)
+_SCHEMA_MAPS = ("properties", "patternProperties", "definitions")
+
+
+def resolve_refs(schema: dict, max_depth: int = 64) -> dict:
+    """Inline internal JSON-Pointer references (``#/definitions/...`` and
+    any other ``#/``-rooted pointer) so the rest of the compiler never
+    sees ``$ref``. The raw MDS schema documents the reference fetches
+    (mds/schemas.py ≈L30–90 — raw GitHub JSON) carry a ``definitions``
+    section addressed this way.
+
+    Draft-06 semantics, matching ``jsonschema.Draft6Validator``: a schema
+    object containing ``$ref`` IS the referenced schema — sibling
+    keywords are ignored. Cyclic references raise (a recursive schema has
+    no bounded row-rule form — better loud than a silently-partial rule
+    set), as do external (non-``#``) references and pointers with no
+    target. ``enum``/``const``/``default``/``examples`` values are data
+    and are copied verbatim, never dereferenced.
+    """
+
+    def deref(ptr: str):
+        if not ptr.startswith("#"):
+            raise ValueError(f"external $ref not resolvable: {ptr}")
+        node = schema
+        for tok in ptr[1:].split("/"):
+            if not tok:
+                continue
+            tok = tok.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                try:
+                    node = node[int(tok)]
+                except (ValueError, IndexError):
+                    raise ValueError(f"$ref target not found: {ptr}") from None
+            elif isinstance(node, dict) and tok in node:
+                node = node[tok]
+            else:
+                raise ValueError(f"$ref target not found: {ptr}")
+        return node
+
+    def walk(node, active: frozenset, depth: int, is_schema: bool):
+        if depth > max_depth:
+            raise ValueError(f"$ref expansion exceeds depth {max_depth}")
+        if isinstance(node, dict):
+            if is_schema and isinstance(node.get("$ref"), str):
+                ptr = node["$ref"]
+                if ptr in active:
+                    raise ValueError(f"cyclic $ref: {ptr}")
+                return walk(deref(ptr), active | {ptr}, depth + 1, True)
+            out = {}
+            for k, v in node.items():
+                if is_schema and k in _SCHEMA_MAPS and isinstance(v, dict):
+                    out[k] = {
+                        pk: walk(pv, active, depth + 1, True)
+                        for pk, pv in v.items()
+                    }
+                elif is_schema and k == "dependencies" and isinstance(v, dict):
+                    out[k] = {
+                        pk: (
+                            walk(pv, active, depth + 1, True)
+                            if isinstance(pv, dict)
+                            else pv
+                        )
+                        for pk, pv in v.items()
+                    }
+                elif is_schema and k in ("enum", "const", "default", "examples"):
+                    out[k] = v  # data, not schema
+                else:
+                    out[k] = walk(v, active, depth + 1, is_schema)
+            return out
+        if isinstance(node, list):
+            return [walk(v, active, depth + 1, is_schema) for v in node]
+        return node
+
+    return walk(schema, frozenset(), 0, True)
+
+
 def from_json_schema(
     schema: dict,
     key_col: str,
@@ -785,7 +1208,9 @@ def from_json_schema(
     strict: bool = True,
 ) -> tuple[R.RuleSet, list[str]]:
     """Compile an object schema (nested objects and object-arrays
-    included) into a RuleSet.
+    included) into a RuleSet. Internal ``$ref``s are inlined first
+    (``resolve_refs``), so RAW fetched MDS schema documents — which carry
+    ``definitions`` + ``#/definitions/...`` pointers — compile unmodified.
 
     Returns (ruleset, unsupported) where ``unsupported`` lists keyword
     paths that have no row-level Catalyst mapping. ``strict=True`` raises
@@ -794,6 +1219,7 @@ def from_json_schema(
     if schema.get("type") not in (None, "object"):
         raise ValueError("top-level schema must be an object schema")
 
+    schema = resolve_refs(schema)
     rs = R.RuleSet(key_col=key_col, part_col=part_col)
     unsupported: list[str] = []
     _compile_object(rs, unsupported, schema, prefix="", parent=None)
