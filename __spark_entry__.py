@@ -555,12 +555,12 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * recall on identical documents is exactly 1 — a verbatim copy gets
       the identical minhash signature, so it collides with its original
-      in EVERY band and the (i, i+100000) planted pair (jaccard 1.0)
+      in EVERY band and the (i, i+offset) planted pair (jaccard 1.0)
       cannot be missed;
     * precision is exact — every emitted pair passed the exact-Jaccard
       verify, so no pair sits below the threshold.
 
-    The query plants copies of doc_id<50 at doc_id+100000, runs the full
+    The query plants copies of doc_id<50 at doc_id+offset, runs the full
     LSH pipeline (signatures -> bands -> capped buckets -> exact
     verify), and emits the planted-recall and precision counters; the
     oracle recomputes n_planted from the table and expects full
@@ -569,16 +569,18 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle preconditions (hold for every committed documents table, by
     construction — verified at sf0.001/0.01/0.1 and the derived sf1):
-    every doc_id<50 text has >= w tokens (non-empty shingle set), ids
-    stay clear of the +100000 plant range, and no band bucket reaches
-    max_bucket_size (which would legitimately drop pairs via the cap).
-    Pointing this query at a dup-heavy foreign corpus can therefore
-    flip all_planted_found without an engine bug — it is an oracle for
-    THESE tables, not a universal invariant."""
+    every doc_id<50 text has >= w tokens (non-empty shingle set), and no
+    band bucket reaches max_bucket_size (which would legitimately drop
+    pairs via the cap). The plant offset is DERIVED as max(doc_id)+1
+    (one column-pruned aggregate), so the planted range is empty by
+    construction on ANY table — a foreign or future sf10 corpus cannot
+    collide with the plants (round-4 advice: the fixed +100000 offset
+    was an unchecked convention)."""
     K = 50
     docs = _t_wide(spark, sf_dir, "documents")
+    offset = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     planted = docs.where(F.col("doc_id") < K).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(100000)
+        "doc_id", F.col("doc_id") + F.lit(offset)
     )
     pairs = D.minhash_lsh_dedup(
         docs.unionByName(planted), "doc_id", "text", threshold=0.5
@@ -587,7 +589,7 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(
                 F.when(
-                    (F.col("id_b") == F.col("id_a") + 100000)
+                    (F.col("id_b") == F.col("id_a") + offset)
                     & (F.col("id_a") < K)
                     & (F.col("jaccard") == 1.0),
                     1,
@@ -632,20 +634,23 @@ def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     same planted-copy construction as minhash_dedup_documents: a verbatim
     copy has the identical 64-bit simhash (hamming 0), agrees with its
     original on every pigeonhole chunk, and therefore MUST appear as a
-    (i, i+100000, hamming=0) pair; and no emitted pair can exceed the
+    (i, i+offset, hamming=0) pair; and no emitted pair can exceed the
     hamming bound (bit_count verify). Pair-set agreement vs exhaustive
-    Hamming ground truth stays covered by property pytest."""
+    Hamming ground truth stays covered by property pytest. The plant
+    offset is derived as max(doc_id)+1 so the planted range is empty on
+    any table (same round-4-advice fix as minhash)."""
     K = 50
     docs = _t_wide(spark, sf_dir, "documents")
+    offset = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     planted = docs.where(F.col("doc_id") < K).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(100000)
+        "doc_id", F.col("doc_id") + F.lit(offset)
     )
     pairs = D.simhash_dedup(docs.unionByName(planted), "doc_id", "text", 3)
     stats = pairs.agg(
         F.coalesce(
             F.sum(
                 F.when(
-                    (F.col("id_b") == F.col("id_a") + 100000)
+                    (F.col("id_b") == F.col("id_a") + offset)
                     & (F.col("id_a") < K)
                     & (F.col("hamming") == 0),
                     1,
@@ -671,7 +676,8 @@ def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH top-k — ORACLED via planted exact copies (the trick that
     oracles embedding_near_dup): the corpus is the embeddings table plus
-    exact copies of vec_id<10 at vec_id+100000, and those copies are the
+    exact copies of vec_id<10 at vec_id+offset (offset = max(vec_id)+1,
+    derived so the plant range is empty on any table), and those are the
     queries. An identical vector gets identical sign bits in EVERY LSH
     table, so each planted query's bucket always contains its original,
     and the exact-cosine rank-1 is deterministically (query, original,
@@ -682,8 +688,9 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = 256 buckets/table (production 16 planes = 65536 buckets is
     right at 10^8+ vectors but yields empty candidate sets at sf<=0.1)."""
     emb = _t(spark, sf_dir, "embeddings")
+    offset = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     planted = emb.where(F.col("vec_id") < 10).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(100000)
+        "vec_id", F.col("vec_id") + F.lit(offset)
     )
     topk = SIM.lsh_topk(emb.unionByName(planted), planted, k=5, dim=64,
                         n_planes=8, n_tables=4)
@@ -702,14 +709,16 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup over the embeddings table UNIONED with exact copies
-    (vec_id + 100000). Identical vectors produce identical sign bits in
+    (vec_id + offset, offset = max(vec_id)+1 so the plant range is empty
+    on any table). Identical vectors produce identical sign bits in
     every LSH table, so recall on the planted pairs is exactly 1 and
     the result is deterministic and oracle-able: the natural max
     pairwise cosine in the synthetic table is ~0.51, so the output is
-    precisely the planted (i, i+100000, 1.0) pairs — false positives
+    precisely the planted (i, i+offset, 1.0) pairs — false positives
     from bucket collisions are eliminated by the exact-cosine verify."""
     emb = _t_wide(spark, sf_dir, "embeddings")
-    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    offset = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(offset))
     return SIM.embedding_near_duplicates(emb.unionByName(dup), threshold=0.9)
 
 
@@ -904,11 +913,12 @@ def embedding_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC-dedup keep-one, end to end: SRP-LSH near-dup pairs over
     the embeddings table + planted exact copies -> connected components
     -> anti-join materialization. The planted copies make the whole
-    chain deterministic (pairs are exactly (i, i+100000); natural max
+    chain deterministic (pairs are exactly (i, i+offset); natural max
     pairwise cosine ~0.51 < 0.9 threshold), so the oracle is simply the
     original table — the copies must ALL be dropped and nothing else."""
     emb = _t_wide(spark, sf_dir, "embeddings")
-    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    offset = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(offset))
     union = emb.unionByName(dup)
     pairs = SIM.embedding_near_duplicates(union, threshold=0.9).select("id_a", "id_b")
     return D.deduplicate(union, pairs, "vec_id").select("vec_id")
@@ -1672,7 +1682,9 @@ def oracle_sql() -> dict[str, str]:
         # Planted exact copies: recall 1 by construction (identical sign
         # bits in every LSH table), natural pairs all below threshold.
         "embedding_near_dup": """
-            SELECT vec_id AS id_a, (vec_id + 100000)::BIGINT AS id_b,
+            SELECT vec_id AS id_a,
+                   (vec_id + (SELECT max(vec_id) + 1 FROM embeddings))::BIGINT
+                       AS id_b,
                    1.0::DOUBLE AS cosine_sim
             FROM embeddings
         """,
@@ -1876,7 +1888,8 @@ def oracle_sql() -> dict[str, str]:
         # deterministically its original at cosine 1.0 (identical sign
         # bits in every LSH table; natural max pairwise ~0.51).
         "lsh_ann_embeddings": """
-            SELECT (vec_id + 100000)::BIGINT AS query_id,
+            SELECT (vec_id + (SELECT max(vec_id) + 1 FROM embeddings))::BIGINT
+                       AS query_id,
                    vec_id AS neighbor_id,
                    1.0::DOUBLE AS cosine_sim,
                    1 AS rank

@@ -357,7 +357,12 @@ def simhash_dedup(
 # --------------------------------------------- duplicate-group resolution
 
 
-def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def resolve_duplicate_groups(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    reliable_checkpoint_dir: str | None = None,
+    reliable_every: int = 4,
+) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, group_id).
 
     group_id = min id reachable through the pair graph (so a chain
@@ -379,7 +384,21 @@ def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame
     Edge and label tables are O(pairs), never O(corpus): only ids that
     appear in a pair get a row; everything else is its own group by
     definition.
+
+    Fault tolerance vs plan hygiene (SCALE.md §Dedup): each round cuts
+    lineage with ``localCheckpoint`` — executor-LOCAL, non-replicated
+    blocks, so on a real cluster an executor loss mid-resolve kills the
+    job instead of recomputing. Right default here (the analyzer blow-up
+    it prevents is measured, and a dedup resolve is cheap to rerun), but
+    for 10^12-row pair graphs pass ``reliable_checkpoint_dir`` (a
+    cluster-visible path, e.g. HDFS/S3): every ``reliable_every``-th
+    round then uses a RELIABLE ``checkpoint()`` to that directory, so an
+    executor loss replays at most ``reliable_every - 1`` cheap local
+    rounds instead of the whole resolve.
     """
+    if reliable_checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+    rounds_done = [0]
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -421,15 +440,22 @@ def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame
                     F.col("group_id"), F.coalesce("_pp", F.col("group_id"))
                 ).alias("group_id"),
             )
-            # lineage MUST be cut every round: the doubling step
-            # self-joins `pulled`, so an uncut logical plan doubles per
-            # iteration (2^rounds nodes — measured analyzer blow-up at
-            # ~15 rounds even on a 60-row graph). localCheckpoint
-            # materializes the round's labels and restarts the plan;
-            # for cluster fault tolerance swap in checkpoint() with a
-            # reliable checkpoint dir (SCALE.md §Dedup).
-            .localCheckpoint(eager=True)
         )
+        # lineage MUST be cut every round: the doubling step self-joins
+        # `pulled`, so an uncut logical plan doubles per iteration
+        # (2^rounds nodes — measured analyzer blow-up at ~15 rounds even
+        # on a 60-row graph). localCheckpoint materializes the round's
+        # labels and restarts the plan; with reliable_checkpoint_dir set,
+        # every reliable_every-th round persists to the cluster FS
+        # instead so executor loss replays a bounded suffix.
+        rounds_done[0] += 1
+        if (
+            reliable_checkpoint_dir is not None
+            and rounds_done[0] % reliable_every == 0
+        ):
+            updated = updated.checkpoint(eager=True)
+        else:
+            updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -439,17 +465,35 @@ def resolve_duplicate_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame
         )
         return updated, changed
 
+    free_blocks_warned = [False]
+
     def free_blocks(df: DataFrame) -> None:
         """Release a previous round's localCheckpoint blocks NOW instead
         of waiting for JVM GC + ContextCleaner — at 20 rounds over an
         O(pairs) table, lazily-freed rounds would otherwise stack up in
-        the block manager."""
+        the block manager. The checkpoint RDD has no public Python
+        handle (``df.rdd`` wraps a DIFFERENT conversion RDD whose
+        unpersist would not touch the checkpoint blocks), so this
+        reaches the LogicalRDD via py4j; if a Spark version changes the
+        analyzed-plan shape, the failure is LOGGED once — block buildup
+        stays observable instead of silently returning."""
         try:
             # a localCheckpointed Dataset's analyzed plan is
             # LogicalRDD(rdd) — that rdd holds the blocks
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # best-effort; GC/ContextCleaner remains the backstop
+        except Exception as exc:  # noqa: BLE001 — best-effort, but loud once
+            if not free_blocks_warned[0]:
+                free_blocks_warned[0] = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "resolve_duplicate_groups: eager release of a round's "
+                    "localCheckpoint blocks failed (%s: %s) — falling back "
+                    "to JVM GC/ContextCleaner; expect block-manager growth "
+                    "across rounds on this Spark version",
+                    type(exc).__name__,
+                    exc,
+                )
 
     changed = 1
     prev: DataFrame | None = None

@@ -8,6 +8,7 @@ readStream aggregation for continuous verdict monitoring.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable
 
@@ -15,6 +16,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mds_provider_spark.rules import RuleSet
+
+
+def _checkpoint_identity(checkpoint_dir: str) -> str | None:
+    """Streaming query id (UUID) from ``<checkpoint_dir>/metadata`` —
+    Spark writes it once at the first start of a checkpoint instance, so
+    it uniquely identifies the instance even across delete-and-recreate
+    at the same path. None when the instance hasn't started yet."""
+    meta = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as f:
+            d = json.load(f)
+        qid = d.get("id") if isinstance(d, dict) else None
+        return str(qid) if qid else None
+    except (OSError, ValueError):
+        return None
 
 
 def validate_stream(
@@ -73,12 +89,18 @@ def validate_stream_committed(
     At cluster scale the marker+overwrite pair maps to one Iceberg
     ``overwrite(batch_id = b)`` snapshot commit (SCALE.md §Checkpoint).
 
-    A batch id only identifies data RELATIVE to its checkpoint — a fresh
-    checkpoint restarts ids at 0, and matching those against an old
-    run's markers would silently skip every new batch as "already
-    durable". The markers therefore record the checkpoint they belong
-    to, and starting a stream whose checkpoint doesn't match the
-    out_dir's markers RAISES: pair a new checkpoint with a new out_dir."""
+    A batch id only identifies data RELATIVE to its checkpoint INSTANCE —
+    a fresh checkpoint restarts ids at 0, and matching those against an
+    old run's markers would silently skip every new batch as "already
+    durable". Markers are therefore keyed on the streaming query id from
+    ``<checkpoint_dir>/metadata`` (a UUID unique per checkpoint
+    instance), NOT the path: deleting and recreating the checkpoint dir
+    at the same path yields a new UUID, so the old markers stop matching
+    and the guard below RAISES instead of skipping (the silent-data-loss
+    mode a path key reintroduced). Markers written before query-id
+    keying (path-keyed or unkeyed) are honored only when the checkpoint
+    metadata already existed when this stream started — a pre-existing
+    metadata file proves the dir was never recreated."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
@@ -88,23 +110,44 @@ def validate_stream_committed(
             "(violation rows and per-partition verdicts both need it; set "
             "RuleSet.part_col to match the stream schema)"
         )
-    ckpt_key = os.path.abspath(checkpoint_dir)
+    path_key = os.path.abspath(checkpoint_dir)
+    pre_qid = _checkpoint_identity(checkpoint_dir)
+    committed = log.committed_groups()
+    if pre_qid is None and committed:
+        raise RuntimeError(
+            f"out_dir {out_dir!r} holds commit markers but the checkpoint "
+            f"at {checkpoint_dir!r} is a brand-new instance (no metadata "
+            "yet): its batch ids restart at 0 and matching them against "
+            "the existing markers would silently skip new batches — use a "
+            "fresh out_dir (or the original checkpoint_dir)"
+        )
+    # legacy (path-keyed / unkeyed) markers are only trusted when the
+    # checkpoint instance predates this start — see docstring
+    legacy_keys = {path_key, None} if pre_qid is not None else set()
+    accept_keys = legacy_keys | {pre_qid}
     stale = {
         b: meta.get("checkpoint")
-        for b, meta in log.committed_groups().items()
-        if meta.get("checkpoint") not in (None, ckpt_key)
+        for b, meta in committed.items()
+        if meta.get("checkpoint") not in accept_keys
     }
     if stale:
         raise RuntimeError(
             f"out_dir {out_dir!r} holds commit markers from a different "
-            f"checkpoint ({next(iter(stale.values()))!r}); batch ids are "
-            "checkpoint-relative, so resuming here would silently skip new "
-            "batches — use a fresh out_dir (or the original checkpoint_dir)"
+            f"checkpoint instance ({next(iter(stale.values()))!r}); batch "
+            "ids are checkpoint-relative, so resuming here would silently "
+            "skip new batches — use a fresh out_dir (or the original "
+            "checkpoint_dir)"
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        if bid in log.committed_groups():
+        # the query id exists once the stream has started; path fallback
+        # only covers an (unexpected) metadata-less runtime
+        ckpt_key = _checkpoint_identity(checkpoint_dir) or path_key
+        meta = log.committed_groups().get(bid)
+        if meta is not None and meta.get("checkpoint") in (
+            {ckpt_key} | legacy_keys
+        ):
             return  # durable already; this is a post-crash replay
         target = os.path.join(out_dir, "violations", f"batch_id={bid}")
         # one scan for all counts — per input PARTITION (north rule:
@@ -154,16 +197,27 @@ def committed_stream_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     no violation data is scanned."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
-    rows = [
-        (
-            int(b),
-            "fail" if int(meta.get("n_violations", 0)) > 0 else "pass",
-            int(meta.get("n_rows", 0)),
-            int(meta.get("n_violations", 0)),
-            str(meta.get("run_id", "")),
+    rows = []
+    for b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
+        if "n_rows" not in meta or "n_violations" not in meta:
+            # loud, matching committed_stream_part_verdicts: defaulting a
+            # legacy/malformed marker to 0 would report the batch as a
+            # PASSING one with no signal that the counts are missing
+            raise RuntimeError(
+                f"commit marker for batch {b} carries no row/violation "
+                "counts (written by an older sink); batch verdicts cannot "
+                "be reconstructed from it — recompute from "
+                "committed_stream_violations instead"
+            )
+        rows.append(
+            (
+                int(b),
+                "fail" if int(meta["n_violations"]) > 0 else "pass",
+                int(meta["n_rows"]),
+                int(meta["n_violations"]),
+                str(meta.get("run_id", "")),
+            )
         )
-        for b, meta in sorted(CommitLog(out_dir).committed_groups().items())
-    ]
     return spark.createDataFrame(
         rows,
         "batch_id long, status string, n_rows long, n_violations long, run_id string",

@@ -323,6 +323,31 @@ def test_resolve_groups_nonconvergence_raises(spark):
         D.resolve_duplicate_groups(pairs, max_iters=2)
 
 
+def test_resolve_groups_reliable_checkpoint_dir(spark, tmp_path):
+    """The cluster fault-tolerance knob: with reliable_checkpoint_dir
+    set, every reliable_every-th round uses a RELIABLE checkpoint()
+    (recomputable after executor loss) instead of executor-local blocks.
+    Results must be identical and the directory must actually receive
+    checkpoint data."""
+    import os
+
+    ckpt = tmp_path / "rckpt"
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in D.resolve_duplicate_groups(
+            pairs, reliable_checkpoint_dir=str(ckpt), reliable_every=2
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
+    walked = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert walked, "reliable checkpoint dir received no checkpoint files"
+
+
 def test_redact_pii_counts_and_placeholders(spark):
     rows = [
         (1, "mail me at a.b+x@test.io or call 555-123-4567"),

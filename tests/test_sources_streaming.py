@@ -259,8 +259,53 @@ def test_committed_stream_rejects_foreign_checkpoint(spark, tmp_path):
         stream, rs, out, str(tmp_path / "ckpt_old")
     ).awaitTermination(120)
     stream2 = spark.readStream.schema(ddl).parquet(str(src / "f*"))
-    with pytest.raises(RuntimeError, match="different\\s+checkpoint"):
+    # a brand-new checkpoint instance (no metadata yet) against existing
+    # markers is rejected up front — its batch ids restart at 0
+    with pytest.raises(RuntimeError, match="brand-new instance"):
         STR.validate_stream_committed(stream2, rs, out, str(tmp_path / "ckpt_new"))
+
+
+def test_committed_stream_rejects_recreated_checkpoint_same_path(spark, tmp_path):
+    """The round-4 advice scenario: delete and recreate the checkpoint
+    dir at the SAME path. Batch ids restart at 0 but path-keyed markers
+    would still match, silently skipping every new batch as 'already
+    durable'. Markers are keyed on the streaming query id (a UUID per
+    checkpoint instance), so the recreated instance is detected and the
+    start RAISES."""
+    import shutil
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    out = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+    ddl = "clip_id string, sr_hz int, part_id int"
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000]))
+    spark.createDataFrame([("a", 11025, 0)], ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    STR.validate_stream_committed(stream, rs, out, ckpt).awaitTermination(120)
+    assert STR.committed_stream_violations(spark, out).count() == 1
+
+    # recreate the checkpoint at the same path -> new instance, ids
+    # restart at 0; the old markers must NOT satisfy it
+    shutil.rmtree(ckpt)
+    stream2 = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    with pytest.raises(RuntimeError, match="brand-new instance"):
+        STR.validate_stream_committed(stream2, rs, out, ckpt)
+
+
+def test_committed_stream_verdicts_raise_on_countless_marker(spark, tmp_path):
+    """A marker without n_rows/n_violations (older sink) must raise in
+    committed_stream_verdicts, matching committed_stream_part_verdicts —
+    defaulting to 0 would report the batch as silently passing."""
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    out = str(tmp_path / "mout")
+    CommitLog(out).commit_group(0, [0], run_id="legacy", batch=0,
+                                extra={"kind": "stream_batch"})
+    with pytest.raises(RuntimeError, match="no row/violation counts"):
+        STR.committed_stream_verdicts(spark, out).collect()
 
 
 def test_committed_stream_part_verdicts_merge_across_batches(spark, tmp_path):
