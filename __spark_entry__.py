@@ -305,12 +305,16 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (curation staple): deterministic synthetic PII planted
-    into every 3rd document, redacted by the engine-portable pattern
-    chain; DuckDB replays the identical plant + counts + redaction
-    (regexp_extract_all / regexp_replace with 'g') and the redacted-text
-    md5 must hash-match — a full-fidelity transform oracle, not just
-    counts. Patterns live in operators/text.PII_PATTERNS (Java-regex /
-    RE2 common subset)."""
+    into every 3rd document (email/phone/ip/ssn) and every 5th (intl
+    phone + one Luhn-valid card + one Luhn-FAILING card-shaped decoy),
+    redacted by the engine-portable fused scrub; DuckDB replays the
+    identical plant + counts + redaction — including the Luhn checksum
+    as list_transform/list_sum arithmetic and the card replacement as
+    list_reduce — and the redacted-text md5 must hash-match: a
+    full-fidelity transform oracle, not just counts. The decoy proves
+    the Luhn gate engine-portably (it must survive redaction). Patterns
+    live in operators/text.PII_PATTERNS (Java-regex / RE2 common
+    subset)."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -323,11 +327,23 @@ def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("@example.com or 555-123-4567 ip 10.0.0.1 ssn 123-45-6789"),
             ),
         ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" intl +44 20 7946 0958 card 4111-1111-1111-1111"
+                      " ord 1234-5678-9012-3456"),
+            ),
+        ).otherwise(F.col("text")),
     )
     out = TX.redact_pii(planted, "text")
     return out.select(
         "doc_id",
+        "n_credit_card",
         "n_email",
+        "n_intl_phone",
         "n_ipv4",
         "n_phone",
         "n_ssn_like",
@@ -1468,19 +1484,42 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         # PII scrub replay: identical plant, counts on the ORIGINAL
-        # text, and the same sorted-kind regexp_replace chain ('g' flag:
-        # DuckDB replaces first-match-only by default, Spark replaces all)
-        "pii_redaction_documents": (lambda pats: f"""
+        # text, Luhn checksum as list arithmetic, card replacement as a
+        # list_reduce fold seeded with the text, then the same
+        # sorted-kind regexp_replace chain ('g' flag: DuckDB replaces
+        # first-match-only by default, Spark replaces all). The gate is
+        # a per-row evaluation-order optimization, not a semantic one
+        # (pytest proves gated == ungated), so the oracle replays the
+        # plain chain.
+        "pii_redaction_documents": (lambda pats, cc: f"""
             WITH planted AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 3 = 0
                           THEN text || ' contact user' || doc_id::VARCHAR ||
                                '@example.com or 555-123-4567 ip 10.0.0.1 ssn 123-45-6789'
-                          ELSE text END AS t
+                          ELSE text END
+                     ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ' intl +44 20 7946 0958 card 4111-1111-1111-1111 ord 1234-5678-9012-3456'
+                          ELSE '' END AS t
               FROM documents
+            ), carded AS (
+              SELECT doc_id, t,
+                     list_filter(regexp_extract_all(t, '{cc}'), c ->
+                       (list_sum(list_transform(range(1, length(replace(replace(c,'-',''),' ','')) + 1), i ->
+                          CASE WHEN (length(replace(replace(c,'-',''),' ','')) - i) % 2 = 1
+                               THEN CASE WHEN substring(replace(replace(c,'-',''),' ',''), i, 1)::INT * 2 > 9
+                                         THEN substring(replace(replace(c,'-',''),' ',''), i, 1)::INT * 2 - 9
+                                         ELSE substring(replace(replace(c,'-',''),' ',''), i, 1)::INT * 2 END
+                               ELSE substring(replace(replace(c,'-',''),' ',''), i, 1)::INT END
+                        )) % 10) = 0
+                     ) AS valid_cards
+              FROM planted
             )
             SELECT doc_id,
+                   len(valid_cards)::BIGINT AS n_credit_card,
                    len(regexp_extract_all(t, '{pats["email"]}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t, '{pats["intl_phone"]}'))::BIGINT AS n_intl_phone,
                    len(regexp_extract_all(t, '{pats["ipv4"]}'))::BIGINT AS n_ipv4,
                    len(regexp_extract_all(t, '{pats["phone"]}'))::BIGINT AS n_phone,
                    len(regexp_extract_all(t, '{pats["ssn_like"]}'))::BIGINT AS n_ssn_like,
@@ -1488,13 +1527,18 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(
                        regexp_replace(
                          regexp_replace(
-                           regexp_replace(t, '{pats["email"]}', '[REDACTED-email]', 'g'),
+                           regexp_replace(
+                             regexp_replace(
+                               list_reduce(list_prepend(t, valid_cards),
+                                 (acc, c) -> replace(acc, c, '[REDACTED-credit_card]')),
+                               '{pats["email"]}', '[REDACTED-email]', 'g'),
+                             '{pats["intl_phone"]}', '[REDACTED-intl_phone]', 'g'),
                            '{pats["ipv4"]}', '[REDACTED-ipv4]', 'g'),
                          '{pats["phone"]}', '[REDACTED-phone]', 'g'),
                        '{pats["ssn_like"]}', '[REDACTED-ssn_like]', 'g')
                    ) AS redacted_md5
-            FROM planted
-        """)(TX.PII_PATTERNS),
+            FROM carded
+        """)(TX.PII_PATTERNS, TX.CREDIT_CARD_PATTERN),
         "text_stats_documents": f"""
             SELECT doc_id,
                    len({_TOKENS}) AS n_tokens,

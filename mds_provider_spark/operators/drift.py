@@ -55,6 +55,7 @@ def drift_violations(
     quantile_rel_threshold: float = 0.25,
     null_rate_abs_threshold: float = 0.05,
     distinct_rel_threshold: float = 0.5,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Compare two snapshot tables -> drift findings (rule_id drift:<col>).
 
@@ -63,6 +64,10 @@ def drift_violations(
     or null_rate moved by more than the absolute threshold, or distinct
     count changed by more than the relative threshold. Both inputs are
     one-row-per-column — broadcast join, trivially cheap at any scale.
+
+    ``keep_cols`` are passed through from ``current`` to the findings —
+    e.g. ``["batch_id"]`` when ``current`` carries one snapshot per
+    streaming micro-batch, yielding per-batch findings in one comparison.
     """
     b = F.broadcast(
         baseline.select(
@@ -96,6 +101,7 @@ def drift_violations(
             | (F.col("d_shift") > distinct_rel_threshold)
         )
         .select(
+            *keep_cols,
             F.concat(F.lit(S.DRIFT + ":"), F.col("column_name")).alias("rule_id"),
             "column_name",
             F.round("max_q_shift", 6).alias("max_q_shift"),

@@ -67,6 +67,7 @@ def validate_stream_committed(
     checkpoint_dir: str,
     trigger_once: bool = True,
     run_id: str = "stream",
+    drift_cols: "list[str] | None" = None,
 ) -> StreamingQuery:
     """Streaming validation routed through the SAME ``CommitLog`` protocol
     as batch resume (round-4 unification) -> exactly-once violation rows
@@ -100,7 +101,16 @@ def validate_stream_committed(
     mode a path key reintroduced). Markers written before query-id
     keying (path-keyed or unkeyed) are honored only when the checkpoint
     metadata already existed when this stream started — a pre-existing
-    metadata file proves the dir was never recreated."""
+    metadata file proves the dir was never recreated.
+
+    ``drift_cols``: when set, each micro-batch additionally computes a
+    per-column quantile-sketch snapshot (``operators.stats.profile`` —
+    one wide partial+final agg over the batch) and embeds it in the
+    batch's commit marker, so drift detection inherits the exactly-once
+    guarantee for free: a replayed batch is skipped before the snapshot
+    recomputes, and ``committed_stream_drift`` reads snapshots from
+    markers alone (metadata-only, no data rescan). The marker payload is
+    O(|drift_cols| x |probs|) — independent of batch size."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
@@ -150,6 +160,10 @@ def validate_stream_committed(
         ):
             return  # durable already; this is a post-crash replay
         target = os.path.join(out_dir, "violations", f"batch_id={bid}")
+        if drift_cols:
+            # drift mode adds a third pass over the batch; cache it so
+            # counts + violations + snapshot share one materialization
+            batch_df.persist()
         # one scan for all counts — per input PARTITION (north rule:
         # per-partition pass/fail), rolled up for the batch marker
         per_part = (
@@ -167,19 +181,40 @@ def validate_stream_committed(
         n_rows = sum(int(r["n_rows"]) for r in per_part)
         n_violations = sum(int(r["n_violations"] or 0) for r in per_part)
         ruleset.violations(batch_df).write.mode("overwrite").parquet(target)
+        extra = {"kind": "stream_batch",
+                 "checkpoint": ckpt_key,
+                 "n_rows": n_rows,
+                 "n_violations": n_violations,
+                 "per_part": {
+                     str(r["part_id"]): [int(r["n_rows"]),
+                                         int(r["n_violations"] or 0)]
+                     for r in per_part
+                 }}
+        if drift_cols:
+            from mds_provider_spark.operators.stats import profile
+
+            def _f(v):
+                return None if v is None else float(v)
+
+            extra["drift"] = {
+                r["column_name"]: {
+                    "quantiles": (
+                        None if r["quantiles"] is None
+                        else [_f(q) for q in r["quantiles"]]
+                    ),
+                    "null_rate": _f(r["null_rate"]),
+                    "approx_distinct": int(r["approx_distinct"]),
+                    "min_val": _f(r["min_val"]),
+                    "max_val": _f(r["max_val"]),
+                }
+                for r in profile(batch_df, drift_cols).collect()
+            }
+            batch_df.unpersist()
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(
             bid, sorted(int(r["part_id"]) for r in per_part if r["part_id"] is not None),
             run_id=run_id, batch=bid,
-            extra={"kind": "stream_batch",
-                   "checkpoint": ckpt_key,
-                   "n_rows": n_rows,
-                   "n_violations": n_violations,
-                   "per_part": {
-                       str(r["part_id"]): [int(r["n_rows"]),
-                                           int(r["n_violations"] or 0)]
-                       for r in per_part
-                   }})
+            extra=extra)
 
     writer = (
         stream_df.writeStream.foreachBatch(process)
@@ -260,6 +295,62 @@ def committed_stream_part_verdicts(spark: SparkSession, out_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "part_id int, status string, n_rows long, n_violations long"
     )
+
+
+def committed_stream_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-batch per-column sketch snapshots from commit markers alone
+    (metadata-only) — SNAPSHOT_SCHEMA shape plus ``batch_id``. Raises
+    loudly on a marked batch without drift metadata (sink ran without
+    ``drift_cols``): silently skipping it would hide a monitoring gap,
+    matching the policy of the other marker readers."""
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    rows = []
+    for b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
+        if "drift" not in meta:
+            raise RuntimeError(
+                f"commit marker for batch {b} carries no drift snapshot "
+                "(the sink ran without drift_cols); per-batch drift cannot "
+                "be reconstructed from markers — rerun the stream with "
+                "drift_cols set, or snapshot committed_stream_* output "
+                "with operators.drift.snapshot instead"
+            )
+        for col, s in sorted(meta["drift"].items()):
+            rows.append((
+                int(b), col,
+                None if s["quantiles"] is None
+                else [float(q) for q in s["quantiles"]],
+                s["null_rate"], int(s["approx_distinct"]),
+                s["min_val"], s["max_val"],
+            ))
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, column_name string, quantiles array<double>, "
+        "null_rate double, approx_distinct long, min_val double, max_val double",
+    )
+
+
+def committed_stream_drift(
+    spark: SparkSession,
+    out_dir: str,
+    baseline: DataFrame,
+    **thresholds,
+) -> DataFrame:
+    """Per-micro-batch drift findings vs a baseline snapshot — the
+    streaming twin of ``operators.drift.drift_violations``, derived from
+    marker-borne snapshots alone. Exactly-once per batch follows from
+    the commit protocol: a batch's snapshot is written with its marker
+    (never on replay), and this reader is a deterministic function of
+    markers + baseline, so kill/restart cannot duplicate or drop a
+    finding. A distribution shift seeded mid-stream surfaces in exactly
+    the batch where it lands. ``thresholds`` forward to
+    ``drift_violations`` (quantile_rel/null_rate_abs/distinct_rel)."""
+    from mds_provider_spark.operators.drift import drift_violations
+
+    current = committed_stream_snapshots(spark, out_dir)
+    return drift_violations(
+        current, baseline, keep_cols=["batch_id"], **thresholds
+    ).orderBy("batch_id", "column_name")
 
 
 def committed_stream_violations(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -369,3 +369,65 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert r3.text_redacted == rows[2][1]
     assert (r3.n_email, r3.n_phone, r3.n_ipv4, r3.n_ssn_like) == (0, 0, 0, 0)
     assert got[4].n_email is None and got[4].text_redacted is None
+    assert got[4].n_credit_card is None
+
+
+def test_redact_pii_luhn_gate_and_new_kinds(spark):
+    rows = [
+        # Luhn-valid test number (redacted) + Luhn-failing decoy (kept)
+        (1, "pay 4111-1111-1111-1111 not order 1234-5678-9012-3456"),
+        (2, "call +44 20 7946 0958 or +1 555-123-4567"),
+        # contiguous 16 digits, Luhn-valid (5500000000000004)
+        (3, "mc 5500000000000004 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.redact_pii(df, "text").collect()}
+    r1 = got[1]
+    assert r1.n_credit_card == 1
+    assert "[REDACTED-credit_card]" in r1.text_redacted
+    assert "1234-5678-9012-3456" in r1.text_redacted  # Luhn-failing decoy survives
+    assert "4111" not in r1.text_redacted
+    r2 = got[2]
+    # the +1 number matches intl_phone first (sorted order); n_phone still
+    # counts its own hit against the ORIGINAL text
+    assert (r2.n_intl_phone, r2.n_phone) == (2, 1)
+    assert r2.text_redacted.count("[REDACTED-intl_phone]") == 2
+    assert got[3].n_credit_card == 1
+    assert "5500000000000004" not in got[3].text_redacted
+
+
+def test_redact_pii_gated_equals_ungated_on_overlap_corpus(spark):
+    """The combined-alternation gate is an evaluation-order optimization
+    only: on a corpus engineered so kinds overlap (emails with digit
+    local parts, ipv4 prefixes of emails, ssn inside phone-adjacent
+    runs, cards beside phones, clean rows, nulls), the gated scrub must
+    be row-for-row identical to the plain per-pattern chain."""
+    rows = [
+        (1, "12.3.4.56@x.co and 5.6.7.8@y.org"),          # ipv4-shaped email local parts
+        (2, "123-456-7890-12-3456 and 123-45-6789"),      # phone/ssn adjacency
+        (3, "4111 1111 1111 1111 555-123-4567"),           # card + phone
+        (4, "+1 555-123-4567 club 1.2.3.4"),               # intl/us overlap + ipv4
+        (5, "totally clean row"),
+        (6, None),
+        (7, ""),
+        (8, "a@b.co a@b.co a@b.co"),                       # repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gated = TX.redact_pii(df, "text").orderBy("doc_id").collect()
+    plain = TX.redact_pii(df, "text", gate=False).orderBy("doc_id").collect()
+    assert [r.asDict() for r in gated] == [r.asDict() for r in plain]
+
+
+def test_luhn_valid_column(spark):
+    import mds_provider_spark.operators.text as T
+
+    rows = [
+        ("4111-1111-1111-1111", True),
+        ("4111 1111 1111 1111", True),
+        ("5500000000000004", True),
+        ("1234-5678-9012-3456", False),
+        ("4111-1111-1111-1112", False),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in rows], "card string")
+    got = df.select("card", T.luhn_valid(F.col("card")).alias("ok")).collect()
+    assert {r.card: r.ok for r in got} == dict(rows)

@@ -341,3 +341,83 @@ def test_committed_stream_part_verdicts_merge_across_batches(spark, tmp_path):
         1: ("fail", 1, 1),
         2: ("pass", 1, 0),
     }
+
+
+def test_committed_stream_drift_detects_shift_exactly_once(spark, tmp_path):
+    """Streaming drift through the commit protocol: a mid-stream
+    distribution shift is detected in exactly the batch where it lands,
+    snapshots ride in the markers (metadata-only reader), and a
+    kill/restart replay neither duplicates nor drops a finding."""
+    from mds_provider_spark.operators import drift as DR
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    ddl = "clip_id string, dur_ms int, part_id int"
+    rs = R.RuleSet().add(R.in_range("dur_ms", lo=1))
+
+    base_rows = [(f"b{i}", 1000 + (i % 100), 0) for i in range(200)]
+    baseline = DR.snapshot(
+        spark.createDataFrame(base_rows, ddl), ["dur_ms"], "baseline"
+    )
+
+    # batch 0: same distribution as baseline -> no drift
+    spark.createDataFrame(base_rows, ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f_a"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream, rs, out, ckpt, drift_cols=["dur_ms"]
+    ).awaitTermination(120)
+
+    assert STR.committed_stream_drift(spark, out, baseline).count() == 0
+
+    # batch 1 (after restart): shifted distribution -> drift in batch 1
+    spark.createDataFrame(
+        [(f"s{i}", 50000 + i, 0) for i in range(200)], ddl
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f_b"))
+    stream2 = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream2, rs, out, ckpt, drift_cols=["dur_ms"]
+    ).awaitTermination(120)
+
+    found = STR.committed_stream_drift(spark, out, baseline).collect()
+    assert [(r.batch_id, r.rule_id) for r in found] == [(1, "drift:dur_ms")]
+    assert found[0].max_q_shift > 0.25
+
+    # restart with no new data: a replayed/no-op run must change nothing
+    stream3 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream3, rs, out, ckpt, drift_cols=["dur_ms"]
+    ).awaitTermination(120)
+    again = STR.committed_stream_drift(spark, out, baseline).collect()
+    assert [(r.batch_id, r.rule_id) for r in again] == [(1, "drift:dur_ms")]
+
+    # snapshots are marker-borne: two batches x one column
+    snaps = STR.committed_stream_snapshots(spark, out)
+    assert snaps.count() == 2
+
+
+def test_committed_stream_drift_raises_without_snapshots(spark, tmp_path):
+    """Markers written without drift_cols must raise in the drift reader
+    (loud policy, matching the other marker readers)."""
+    from mds_provider_spark.plans.checkpoint import CommitLog
+    from mds_provider_spark.operators import drift as DR
+
+    out = str(tmp_path / "ndout")
+    CommitLog(out).commit_group(
+        0, [0], run_id="r", batch=0,
+        extra={"kind": "stream_batch", "n_rows": 1, "n_violations": 0,
+               "per_part": {"0": [1, 0]}},
+    )
+    baseline = DR.snapshot(
+        spark.createDataFrame([("a", 1, 0)], "clip_id string, dur_ms int, part_id int"),
+        ["dur_ms"], "baseline",
+    )
+    with pytest.raises(RuntimeError, match="no drift snapshot"):
+        STR.committed_stream_drift(spark, out, baseline).collect()
