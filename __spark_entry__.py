@@ -809,6 +809,18 @@ def hll_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DIR = "/root/repo/.oracle"
 
 
+def _scale_mult(sf_dir: str) -> int:
+    """Input multiplier for the ledger-oracled clip/item families (their
+    inputs are seeded fixtures, not the sf_dir tables): 10x when pointed
+    at the derived ``.scale/sf1`` set so the audio/video/image families
+    re-oracle at 10x data alongside the table-backed queries; 1x on the
+    driver's testdata dirs, so CORRECTNESS (sf0.01) and BENCH (sf0.1)
+    inputs are byte-identical to previous rounds."""
+    import os
+
+    return 10 if os.path.basename(os.path.normpath(sf_dir)) == "sf1" else 1
+
+
 def clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship audio pipeline on the synthetic clips table — ORACLED.
 
@@ -821,7 +833,7 @@ def clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection-vs-injection cross-check (false positives and misses both
     hash-mismatch). Violation messages are dropped from the output (SNR
     text is float-formatting-sensitive across engines)."""
-    n = 2000
+    n = 2000 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     ts = FX.generate_transcripts(spark, n, n_parts=8, seed=42)
@@ -880,7 +892,7 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift all hash-mismatch."""
     import numpy as np
 
-    n = 500
+    n = 500 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
     expected = [
         (
@@ -946,7 +958,7 @@ def audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_features_clips: the expected values come from the shared
     numpy kernel applied to generator-replayed waveforms, so the engine
     must reproduce them by decoding the table's binary column."""
-    n = 400
+    n = 400 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
     expected = [
         (cid, *audio.quality_features_of(w, sr))
@@ -965,7 +977,7 @@ def segment_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length clip segmentation (frame-sampling shape: one binary
     row in, many typed segment rows out) — ORACLED via the shared-kernel
     ledger like audio_quality_clips."""
-    n = 300
+    n = 300 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
     expected = [
         (cid, seg_idx, start_ms, n_samples, rms)
@@ -987,7 +999,7 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be bit-exact, not just feature-exact."""
     import hashlib
 
-    n = 300
+    n = 300 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
     expected = []
     for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
@@ -1014,7 +1026,7 @@ def augment_clips_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same overwrite-based checkpoint protocol as raw data."""
     import hashlib
 
-    n = 300
+    n = 300 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
     expected = []
     for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
@@ -1053,7 +1065,7 @@ def video_frames_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h, w = 12, 16
     vids, expected = [], []
-    for i in range(24):
+    for i in range(24 * _scale_mult(sf_dir)):
         n_frames = 4 + i % 5
         need = n_frames * h * w
         seed_bytes = b"".join(
@@ -1118,7 +1130,7 @@ def image_features_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shapes = [(8, 8, 1), (16, 12, 3), (9, 7, 4)]
     rows, expected = [], []
-    for i in range(48):
+    for i in range(48 * _scale_mult(sf_dir)):
         h, w, ch = shapes[i % 3]
         need = h * w * ch
         seed_bytes = b"".join(

@@ -55,8 +55,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) or None
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:]) or None
 
     import __spark_entry__ as entrymod
     from mds_provider_spark.session import get_spark
@@ -77,6 +83,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    ledger: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,6 +94,8 @@ def main() -> int:
         spark_s = time.monotonic() - t0
         if name not in oracles:
             print(f"ROWS-ONLY  {name:32s} rows={len(rows):7d}  ({spark_s:5.1f}s)")
+            ledger[name] = {"rows_only": True, "spark_rows": len(rows),
+                            "spark_sec": round(spark_s, 3)}
             continue
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
@@ -97,6 +106,11 @@ def main() -> int:
         status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        ledger[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(rows),
+            "oracle_rows": len(orows), "spark_sec": round(spark_s, 3),
+        }
         print(
             f"{status}       {name:32s} rows={len(rows):7d}/{len(orows):<7d} "
             f"cols={'Y' if ok_cols else 'N'} hash={'Y' if ok_hash else 'N'} ({spark_s:5.1f}s)"
@@ -114,6 +128,13 @@ def main() -> int:
                 print(f"           spark: {a[:160]}")
                 print(f"           duck : {b[:160]}")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "queries": ledger}, f, indent=1)
+        print("ledger:", json_out)
     print("FAILURES:", failures)
     return 1 if failures else 0
 
