@@ -414,6 +414,22 @@ def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratios (looping-text quality signal):
+    duplicate 2-gram / 3-gram fractions per doc, with a repeated phrase
+    planted into every 7th document so nonzero ratios are exercised;
+    DuckDB replays the identical plant + tokenization + n-gram fold."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"),
+                     F.lit(" the cat sat the cat sat the cat sat")),
+        ).otherwise(F.col("text")),
+    )
+    return TX.repetition_profile(docs, "doc_id", "text")
+
+
 def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over winnowing fingerprints: training
     docs (doc_id < 300) sharing >= 2 fingerprints with a pretend
@@ -1186,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample_documents": deterministic_sample_documents,
         "winnowing_documents": winnowing_documents,
         "text_profile_documents": text_profile_documents,
+        "repetition_documents": repetition_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "contamination_documents": contamination_documents,
         "pack_documents": pack_documents,
@@ -1625,6 +1642,39 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT doc_id, unnest(fps) AS fingerprint FROM w
+        """,
+        # repetition: identical plant + tokenization; n-grams as a
+        # list_transform over inclusive list_slice windows (Spark's
+        # F.slice(t, i, n) == DuckDB list_slice(t, i, i+n-1))
+        "repetition_documents": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' the cat sat the cat sat the cat sat'
+                          ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, {_TOKENS} AS t FROM planted
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)), i ->
+                         array_to_string(list_slice(t, i, i + 1), ' '))
+                     ELSE [] END AS g2,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1), i ->
+                         array_to_string(list_slice(t, i, i + 2), ' '))
+                     ELSE [] END AS g3
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN len(g2) > 0 THEN
+                     round((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 6)
+                   ELSE 0.0 END AS dup2gram_ratio,
+                   CASE WHEN len(g3) > 0 THEN
+                     round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
+                   ELSE 0.0 END AS dup3gram_ratio
+            FROM grams
         """,
         "text_profile_documents": f"""
             SELECT doc_id,

@@ -360,6 +360,61 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- within-doc repetition
+
+def ngram_array(tokens_col: Column, n: int) -> Column:
+    """Word n-grams of a BOUND token-array column (space-joined strings).
+
+    Takes a materialized column, not a raw expression, on purpose:
+    higher-order functions are excluded from subexpression elimination,
+    so embedding the tokenizer inside the per-window lambda would
+    re-derive the whole token array per window — the same O(len^2) trap
+    measured and documented at ``winnowing_fingerprint_rows``."""
+    m = F.size(tokens_col)
+    return F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple = (2, 3)
+) -> DataFrame:
+    """Within-document repetition ratios — the looping-text quality
+    signal large-corpus curation filters on (the duplicate-n-gram
+    fraction used by public web-corpus quality pipelines): for each n,
+    1 - distinct_ngrams/total_ngrams (0.0 for docs shorter than n
+    words). Three chained projections (tokens -> n-gram arrays ->
+    ratios) so each HOF references a bound attribute — one scan, no
+    shuffle, no Python; CollapseProject keeps expensive multiply-
+    referenced arrays materialized instead of inlining them."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    grams = toks.select(
+        F.col(id_col),
+        *[ngram_array(F.col("_t"), n).alias(f"_g{n}") for n in ns],
+    )
+    out = [F.col(id_col)]
+    for n in ns:
+        g = F.col(f"_g{n}")
+        total = F.size(g)
+        out.append(
+            F.when(
+                total > 0,
+                F.round(
+                    (total - F.size(F.array_distinct(g)))
+                    / total.cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup{n}gram_ratio")
+        )
+    return grams.select(*out)
+
+
 # ------------------------------------------------------------ PII scrub
 
 # Engine-portable patterns: constructs in the common subset of Java

@@ -431,3 +431,22 @@ def test_luhn_valid_column(spark):
     df = spark.createDataFrame([(c,) for c, _ in rows], "card string")
     got = df.select("card", T.luhn_valid(F.col("card")).alias("ok")).collect()
     assert {r.card: r.ok for r in got} == dict(rows)
+
+
+def test_repetition_profile_known_values(spark):
+    rows = [
+        (1, "a b a b a b"),          # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+        (2, "all words unique here"),
+        (3, "one"),                  # shorter than n -> 0.0
+        (4, ""),
+        (5, "x x x x"),              # maximal repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.repetition_profile(df, "doc_id", "text").collect()}
+    assert got[1].dup2gram_ratio == round(1 - 2 / 5, 6)
+    assert got[1].dup3gram_ratio == round(1 - 2 / 4, 6)  # aba bab aba bab
+    assert got[2].dup2gram_ratio == 0.0 and got[2].dup3gram_ratio == 0.0
+    assert got[3].dup2gram_ratio == 0.0
+    assert got[4].dup2gram_ratio == 0.0
+    assert got[5].dup2gram_ratio == round(1 - 1 / 3, 6)
+    assert got[5].dup3gram_ratio == 0.5

@@ -168,6 +168,27 @@ def main() -> None:
             min_shared=2)),
     ))
     sections.append((
+        "Gated PII scrub (text, round 5)",
+        "ONE whole-stage-codegen projection, no Exchange, no Python: the "
+        "combined-alternation gate, per-kind counts, the replace chain, "
+        "and the Luhn card filter (sequence/aggregate arithmetic) are all "
+        "expressions in a single scan-stage projection. The gate is a "
+        "per-row CaseWhen branch, so the chain's cost is only paid by "
+        "PII-bearing rows — invisible in the plan shape, proven by the "
+        "gated==ungated pytest and the flat bench time with 6 vs 4 "
+        "recognizers.",
+        formatted(TX.redact_pii(docs, "text")),
+    ))
+    sections.append((
+        "Within-doc repetition profile (text, round 5)",
+        "three chained projections (tokens -> n-gram arrays -> ratios), "
+        "one scan, no Exchange: each higher-order function references a "
+        "bound attribute from the previous projection (same CSE-trap "
+        "avoidance as winnowing; CollapseProject keeps multiply-referenced "
+        "expensive arrays materialized).",
+        formatted(TX.repetition_profile(docs, "doc_id", "text")),
+    ))
+    sections.append((
         "IVF list assignment (similarity)",
         "centroids are PLAN LITERALS: corpus->list assignment is a "
         "projection on the scan (no shuffle, no join); only the "
