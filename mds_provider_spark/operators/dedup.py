@@ -391,14 +391,62 @@ def resolve_duplicate_groups(
     job instead of recomputing. Right default here (the analyzer blow-up
     it prevents is measured, and a dedup resolve is cheap to rerun), but
     for 10^12-row pair graphs pass ``reliable_checkpoint_dir`` (a
-    cluster-visible path, e.g. HDFS/S3): every ``reliable_every``-th
-    round then uses a RELIABLE ``checkpoint()`` to that directory, so an
-    executor loss replays at most ``reliable_every - 1`` cheap local
-    rounds instead of the whole resolve.
+    cluster-visible path, e.g. HDFS/S3). In that mode ``localCheckpoint``
+    never runs: every ``reliable_every``-th round cuts lineage with a
+    RELIABLE ``checkpoint()`` to that directory, and the rounds BETWEEN
+    cuts keep their lineage INTACT (``persist()`` there is only a cost
+    cache, not a recovery point), so an executor loss recomputes at most
+    ``reliable_every - 1`` rounds from the last durable checkpoint — a
+    local truncation between cuts would make those rounds unrecoverable
+    and void the durability the directory is meant to buy. The price is
+    bounded plan growth between cuts (< 2^reliable_every plan nodes, vs
+    the unbounded 2^rounds the per-round cut prevents). Files of a
+    superseded checkpoint are swept best-effort once the next one lands
+    (local-FS paths; object stores fall back to the directory's own
+    lifecycle, logged once); the FINAL checkpoint's files back the
+    returned DataFrame — the caller owns the directory and deletes it
+    after consuming the result.
     """
+    sc = pairs.sparkSession.sparkContext
     if reliable_checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        sc.setCheckpointDir(reliable_checkpoint_dir)
     rounds_done = [0]
+    _reliable = {"seen": set(), "prev": set(), "warned": False}
+
+    def _sweep_superseded() -> None:
+        """After a new reliable checkpoint materializes, nothing
+        references the PREVIOUS one (every live plan roots at the new
+        cut or later) — delete its rdd-* files so a long resolve holds
+        at most two checkpoints of FS footprint."""
+        import os
+        import shutil
+
+        try:
+            base = sc.getCheckpointDir()
+            if not base:
+                return
+            if base.startswith("file:"):
+                # getCheckpointDir returns a Hadoop URI; os needs a path
+                from urllib.parse import urlparse
+
+                base = urlparse(base).path
+            current = {d for d in os.listdir(base) if d.startswith("rdd-")}
+            for d in _reliable["prev"]:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            _reliable["prev"] = current - _reliable["seen"]
+            _reliable["seen"] = current
+        except Exception as exc:  # noqa: BLE001 — e.g. non-POSIX object store
+            if not _reliable["warned"]:
+                _reliable["warned"] = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "resolve_duplicate_groups: superseded-checkpoint sweep "
+                    "failed (%s: %s) — checkpoint files will accumulate for "
+                    "the duration of the resolve; rely on the checkpoint "
+                    "directory's own lifecycle",
+                    type(exc).__name__, exc,
+                )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -441,19 +489,22 @@ def resolve_duplicate_groups(
                 ).alias("group_id"),
             )
         )
-        # lineage MUST be cut every round: the doubling step self-joins
-        # `pulled`, so an uncut logical plan doubles per iteration
-        # (2^rounds nodes — measured analyzer blow-up at ~15 rounds even
-        # on a 60-row graph). localCheckpoint materializes the round's
-        # labels and restarts the plan; with reliable_checkpoint_dir set,
-        # every reliable_every-th round persists to the cluster FS
-        # instead so executor loss replays a bounded suffix.
+        # default mode: lineage cut EVERY round — the doubling step
+        # self-joins `pulled`, so an uncut logical plan doubles per
+        # iteration (2^rounds nodes — measured analyzer blow-up at ~15
+        # rounds even on a 60-row graph). Reliable mode must NOT cut
+        # locally between durable cuts (a localCheckpoint truncates the
+        # recipe an executor loss needs, making the round unrecoverable
+        # and voiding the durability bought by the directory): it cuts
+        # with checkpoint() every reliable_every-th round and only
+        # persist()s in between — growth < 2^reliable_every is bounded.
         rounds_done[0] += 1
-        if (
-            reliable_checkpoint_dir is not None
-            and rounds_done[0] % reliable_every == 0
-        ):
-            updated = updated.checkpoint(eager=True)
+        if reliable_checkpoint_dir is not None:
+            if rounds_done[0] % reliable_every == 0:
+                updated = updated.checkpoint(eager=True)
+                _sweep_superseded()
+            else:
+                updated = updated.persist()
         else:
             updated = updated.localCheckpoint(eager=True)
         changed = (
@@ -495,12 +546,22 @@ def resolve_duplicate_groups(
                     exc,
                 )
 
+    def release(df: DataFrame) -> None:
+        """Free a superseded round's storage: reliable mode used plain
+        persist() (public unpersist handle; a no-op on the checkpointed
+        rounds), default mode used localCheckpoint (py4j block release
+        above)."""
+        if reliable_checkpoint_dir is not None:
+            df.unpersist()
+        else:
+            free_blocks(df)
+
     changed = 1
     prev: DataFrame | None = None
     for _ in range(max_iters):
         updated, changed = round_once(labels)
         if prev is not None:
-            free_blocks(prev)
+            release(prev)
         prev, labels = labels, updated
         if changed == 0:
             break
@@ -510,11 +571,11 @@ def resolve_duplicate_groups(
         # decides; only a genuinely still-moving graph raises.
         updated, changed = round_once(labels)
         if prev is not None:
-            free_blocks(prev)
+            release(prev)
         prev, labels = labels, updated
     edges.unpersist()
     if prev is not None:
-        free_blocks(prev)  # only the FINAL labels' blocks stay resident
+        release(prev)  # only the FINAL labels' blocks stay resident
     if changed != 0:
         raise RuntimeError(
             f"resolve_duplicate_groups did not converge in {max_iters} rounds "

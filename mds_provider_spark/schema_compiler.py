@@ -130,8 +130,14 @@ def _subrules(
     everything (the round-4 bug: such branches compiled to zero rules and
     counted as always-satisfied, so oneOf:[string,null] flagged every
     present value and not:{type:...} always fired). At an object-position
-    branch the instance is a record/struct, so ``type`` is a constant:
-    satisfied iff the list admits "object"."""
+    branch ``type`` compiles to a constant (satisfied iff the list admits
+    "object") — sound because the instance is provably a non-null struct
+    whenever the combinator fires: the record root always exists, and a
+    NESTED object's combinators carry an ``F.col(parent).isNotNull()``
+    guard (``_compile_combinators``), under the compiler-wide contract
+    that SQL NULL at a property position means the property is ABSENT
+    (the differential harness drops None keys for jsonschema the same
+    way), and draft-06 applies a subschema only to present instances."""
     rs = R.RuleSet(key_col="", part_col="")
     if scalar_path is not None:
         _compile_scalar(rs, unsupported, scalar_path, spec, in_branch=True)
@@ -441,7 +447,7 @@ def _element_satisfies(spec: dict, where: str, unsupported: list[str]):
         elif kw in _ANNOTATIONS:
             pass
         else:
-            unsupported.append(f"{where}.contains.{kw}")
+            unsupported.append(f"{where}.{kw}")
 
     def pred(x: "Column") -> "Column":
         out = F.lit(True)
@@ -573,7 +579,8 @@ def _compile_scalar(
             pass  # handled together below
         elif kw == "contains":
             if isinstance(val, dict):
-                pred, desc = _element_satisfies(val, path, unsupported)
+                pred, desc = _element_satisfies(
+                    val, f"{path}.contains", unsupported)
                 rs.add(R.contains_match(path, pred, desc))
             else:
                 unsupported.append(f"{path}.contains:{val!r}")
@@ -774,7 +781,11 @@ def _compile_object(
 
     if "minProperties" in schema or "maxProperties" in schema:
         if not props:
-            unsupported.append(f"{where}.minProperties")
+            # report exactly the keyword(s) actually present — naming a
+            # keyword the schema doesn't contain sends the author hunting
+            for kw in ("minProperties", "maxProperties"):
+                if kw in schema:
+                    unsupported.append(f"{where}.{kw}")
         else:
             lo = schema.get("minProperties")
             hi = schema.get("maxProperties")
@@ -1034,7 +1045,8 @@ def _compile_items(
                     pass  # handled together below (field-level combinators)
                 elif kw == "contains":
                     if isinstance(val, dict):
-                        sat, desc = _element_satisfies(val, dotted, unsupported)
+                        sat, desc = _element_satisfies(
+                            val, f"{dotted}.contains", unsupported)
                         rs.add(
                             R.Rule(
                                 S.rule_id(S.BAD_SHAPE, dotted),
@@ -1164,25 +1176,30 @@ def resolve_refs(schema: dict, max_depth: int = 64) -> dict:
         return node
 
     def walk(node, active: frozenset, depth: int, is_schema: bool):
-        if depth > max_depth:
-            raise ValueError(f"$ref expansion exceeds depth {max_depth}")
+        # ``depth`` counts $ref EXPANSIONS only (never plain tree
+        # nesting): a deeply-nested but ref-free schema must not trip
+        # the guard — it bounds chained expansions that the cycle set
+        # cannot (a->b->c->... of distinct pointers).
         if isinstance(node, dict):
             if is_schema and isinstance(node.get("$ref"), str):
                 ptr = node["$ref"]
                 if ptr in active:
                     raise ValueError(f"cyclic $ref: {ptr}")
+                if depth >= max_depth:
+                    raise ValueError(
+                        f"$ref expansion exceeds depth {max_depth}: {ptr}")
                 return walk(deref(ptr), active | {ptr}, depth + 1, True)
             out = {}
             for k, v in node.items():
                 if is_schema and k in _SCHEMA_MAPS and isinstance(v, dict):
                     out[k] = {
-                        pk: walk(pv, active, depth + 1, True)
+                        pk: walk(pv, active, depth, True)
                         for pk, pv in v.items()
                     }
                 elif is_schema and k == "dependencies" and isinstance(v, dict):
                     out[k] = {
                         pk: (
-                            walk(pv, active, depth + 1, True)
+                            walk(pv, active, depth, True)
                             if isinstance(pv, dict)
                             else pv
                         )
@@ -1191,10 +1208,10 @@ def resolve_refs(schema: dict, max_depth: int = 64) -> dict:
                 elif is_schema and k in ("enum", "const", "default", "examples"):
                     out[k] = v  # data, not schema
                 else:
-                    out[k] = walk(v, active, depth + 1, is_schema)
+                    out[k] = walk(v, active, depth, is_schema)
             return out
         if isinstance(node, list):
-            return [walk(v, active, depth + 1, is_schema) for v in node]
+            return [walk(v, active, depth, is_schema) for v in node]
         return node
 
     return walk(schema, frozenset(), 0, True)

@@ -100,8 +100,11 @@ def validate_stream_committed(
     and the guard below RAISES instead of skipping (the silent-data-loss
     mode a path key reintroduced). Markers written before query-id
     keying (path-keyed or unkeyed) are honored only when the checkpoint
-    metadata already existed when this stream started — a pre-existing
-    metadata file proves the dir was never recreated.
+    metadata file is OLDER than the oldest such marker — metadata is
+    written once at an instance's first start, so that ordering proves
+    the markers were written against this very instance (merely
+    pre-existing metadata would not: the dir could have been recreated
+    after the markers and before this start).
 
     ``drift_cols``: when set, each micro-batch additionally computes a
     per-column quantile-sketch snapshot (``operators.stats.profile`` —
@@ -132,8 +135,35 @@ def validate_stream_committed(
             "fresh out_dir (or the original checkpoint_dir)"
         )
     # legacy (path-keyed / unkeyed) markers are only trusted when the
-    # checkpoint instance predates this start — see docstring
-    legacy_keys = {path_key, None} if pre_qid is not None else set()
+    # checkpoint INSTANCE verifiably predates them: metadata merely
+    # existing at start does not prove the dir was never deleted and
+    # recreated after the markers were written (a recreated instance
+    # restarts batch ids at 0, and matching those against old markers
+    # silently skips new batches). The metadata file is written once at
+    # an instance's first start, so instance-predates-markers holds iff
+    # its mtime <= the oldest legacy marker's commit time.
+    legacy_keys: set = set()
+    if pre_qid is not None:
+        legacy = [m for m in committed.values()
+                  if m.get("checkpoint") in (path_key, None)]
+        if legacy:
+            try:
+                meta_mtime = os.path.getmtime(
+                    os.path.join(checkpoint_dir, "metadata"))
+            except OSError:
+                meta_mtime = float("inf")
+            oldest = min(float(m.get("committed_unix", 0)) for m in legacy)
+            if meta_mtime <= oldest:
+                legacy_keys = {path_key, None}
+            else:
+                raise RuntimeError(
+                    f"out_dir {out_dir!r} holds legacy (pre-query-id) "
+                    f"commit markers older than the checkpoint instance at "
+                    f"{checkpoint_dir!r} — the dir was deleted and "
+                    "recreated after those markers were written, so its "
+                    "batch ids restarted and matching them would silently "
+                    "skip new batches; use a fresh out_dir"
+                )
     accept_keys = legacy_keys | {pre_qid}
     stale = {
         b: meta.get("checkpoint")
@@ -159,11 +189,21 @@ def validate_stream_committed(
             {ckpt_key} | legacy_keys
         ):
             return  # durable already; this is a post-crash replay
-        target = os.path.join(out_dir, "violations", f"batch_id={bid}")
         if drift_cols:
             # drift mode adds a third pass over the batch; cache it so
-            # counts + violations + snapshot share one materialization
+            # counts + violations + snapshot share one materialization.
+            # Released in the finally below — a failed write/profile must
+            # not leave the batch pinned in executor storage across
+            # foreachBatch retries.
             batch_df.persist()
+        try:
+            _process_batch(batch_df, bid, ckpt_key)
+        finally:
+            if drift_cols:
+                batch_df.unpersist()
+
+    def _process_batch(batch_df: DataFrame, bid: int, ckpt_key: str) -> None:
+        target = os.path.join(out_dir, "violations", f"batch_id={bid}")
         # one scan for all counts — per input PARTITION (north rule:
         # per-partition pass/fail), rolled up for the batch marker
         per_part = (
@@ -209,7 +249,6 @@ def validate_stream_committed(
                 }
                 for r in profile(batch_df, drift_cols).collect()
             }
-            batch_df.unpersist()
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(
             bid, sorted(int(r["part_id"]) for r in per_part if r["part_id"] is not None),

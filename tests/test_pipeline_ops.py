@@ -326,9 +326,11 @@ def test_resolve_groups_nonconvergence_raises(spark):
 def test_resolve_groups_reliable_checkpoint_dir(spark, tmp_path):
     """The cluster fault-tolerance knob: with reliable_checkpoint_dir
     set, every reliable_every-th round uses a RELIABLE checkpoint()
-    (recomputable after executor loss) instead of executor-local blocks.
-    Results must be identical and the directory must actually receive
-    checkpoint data."""
+    (recomputable after executor loss), rounds between cuts keep their
+    lineage (no localCheckpoint — a local truncation would make them
+    unrecoverable and void the durability the directory buys), and a
+    superseded checkpoint's files are swept once the next one lands.
+    Results must be identical to the default mode."""
     import os
 
     ckpt = tmp_path / "rckpt"
@@ -346,6 +348,14 @@ def test_resolve_groups_reliable_checkpoint_dir(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert walked, "reliable checkpoint dir received no checkpoint files"
+    # a 30-edge chain resolves in ~6-8 rounds -> >= 3 reliable cuts at
+    # every_2; the sweep must leave at most the final cut plus the one
+    # in flight when the loop exited
+    from urllib.parse import urlparse
+
+    base = urlparse(spark.sparkContext.getCheckpointDir()).path
+    rdd_dirs = [d for d in os.listdir(base) if d.startswith("rdd-")]
+    assert len(rdd_dirs) <= 2, rdd_dirs
 
 
 def test_redact_pii_counts_and_placeholders(spark):

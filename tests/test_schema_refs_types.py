@@ -467,3 +467,88 @@ def test_unknown_object_keyword_reported_not_dropped():
             {"type": "object", "properties": {"a": {}}, "minContains": 1},
             key_col="k",
         )
+
+
+def test_deeply_nested_ref_free_schema_compiles():
+    """Depth guard counts $ref EXPANSIONS only: a mechanically deep but
+    ref-free schema (here 80 nesting levels, above max_depth=64) must
+    resolve and compile — raising on raw tree depth was a regression."""
+    leaf = {"type": "string"}
+    node = leaf
+    for _ in range(80):
+        node = {"type": "object", "properties": {"c": node}}
+    out = resolve_refs(node)
+    assert out == node  # no refs -> structurally unchanged
+
+
+def test_ref_chain_depth_guard_still_bounds_expansions():
+    defs = {f"d{i}": {"$ref": f"#/definitions/d{i+1}"} for i in range(70)}
+    defs["d70"] = {"type": "string"}
+    schema = {"type": "object",
+              "properties": {"a": {"$ref": "#/definitions/d0"}},
+              "definitions": defs}
+    with pytest.raises(ValueError, match="depth"):
+        resolve_refs(schema)
+
+
+def test_nested_nullable_struct_type_branch_parity(spark):
+    """Object-position type branches on a NULLABLE nested struct: under
+    the compiler-wide contract that SQL NULL at a property position is
+    an ABSENT property (the jsonschema side drops None keys likewise),
+    a null struct must produce NO combinator verdict — parity with
+    jsonschema on the absent-mapped instance, for both a type-excluding
+    'not' branch and a null-admitting 'anyOf' branch."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "clip_id": {"type": "string"},
+            "loc": {
+                "type": "object",
+                "not": {"type": "object"},
+                "anyOf": [{"type": "object"}, {"type": "null"}],
+                "properties": {"lat": {"type": "number"}},
+            },
+        },
+    }
+    rs, unsupported = from_json_schema(schema, key_col="clip_id", strict=False)
+    assert unsupported == []
+    rows = [("present", (1.0,)), ("absent", None)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, loc struct<lat: double>"
+    ).withColumn("part_id", F.lit(0))
+    got = {r.clip_id for r in rs.violations(df).collect()}
+
+    v = jsonschema.Draft6Validator(schema)
+    expect = set()
+    for cid, loc in rows:
+        inst = {"clip_id": cid}
+        if loc is not None:
+            inst["loc"] = {"lat": loc[0]}
+        if not v.is_valid(inst):
+            expect.add(cid)
+    assert got == expect == {"present"}  # not:{type:object} fires on
+    # the present struct exactly like jsonschema; the absent one is
+    # silent on BOTH engines (null -> absent contract)
+
+
+def test_unsupported_labels_name_the_real_keyword():
+    # element subschema inside tuple items: label carries items[i], not
+    # a phantom .contains. segment
+    schema = {
+        "type": "object",
+        "properties": {
+            "clip_id": {"type": "string"},
+            "a": {"type": "array",
+                  "items": [{"properties": {"x": {}}}]},
+        },
+    }
+    _, unsupported = from_json_schema(schema, key_col="clip_id", strict=False)
+    assert any(u.startswith("a.items[0].properties") for u in unsupported), unsupported
+    assert not any(".contains." in u for u in unsupported), unsupported
+
+    # maxProperties alone on a property-less object names maxProperties
+    schema2 = {"type": "object", "maxProperties": 3,
+               "properties": {}}
+    _, unsup2 = from_json_schema(schema2, key_col="clip_id", strict=False)
+    assert any(u.endswith("maxProperties") for u in unsup2), unsup2
+    assert not any("minProperties" in u for u in unsup2), unsup2

@@ -421,3 +421,64 @@ def test_committed_stream_drift_raises_without_snapshots(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="no drift snapshot"):
         STR.committed_stream_drift(spark, out, baseline).collect()
+
+
+def test_legacy_markers_need_metadata_older_than_markers(spark, tmp_path):
+    """Legacy (path-keyed) markers are trusted ONLY when the checkpoint
+    metadata file is older than the oldest such marker — metadata that
+    is NEWER means the dir was deleted and recreated after the markers
+    were written (batch ids restarted), so the start must raise instead
+    of silently skipping new batches."""
+    import json as _json
+    import os
+    import time
+    import uuid
+
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    ddl = "clip_id string, sr_hz int, part_id int"
+    rs = R.RuleSet().add(R.is_in("sr_hz", [8000, 16000]))
+    spark.createDataFrame([("a", 11025, 0)], ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+
+    def mk_ckpt(path, mtime):
+        os.makedirs(path)
+        meta = os.path.join(path, "metadata")
+        with open(meta, "w") as f:
+            _json.dump({"id": str(uuid.uuid4())}, f)
+        os.utime(meta, (mtime, mtime))
+
+    # NEWER metadata than the legacy marker -> recreated instance -> raise
+    out_bad = str(tmp_path / "lout_bad")
+    ckpt_bad = str(tmp_path / "lckpt_bad")
+    CommitLog(out_bad).commit_group(
+        0, [0], run_id="legacy", batch=0,
+        extra={"kind": "stream_batch",
+               "checkpoint": os.path.abspath(ckpt_bad),
+               "n_rows": 1, "n_violations": 1, "per_part": {"0": [1, 1]}},
+    )
+    mk_ckpt(ckpt_bad, time.time() + 3600)
+    stream = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    with pytest.raises(RuntimeError, match="legacy"):
+        STR.validate_stream_committed(stream, rs, out_bad, ckpt_bad)
+
+    # OLDER metadata -> markers belong to this instance -> accepted, and
+    # the marked batch id is honored (skipped as already durable)
+    out_ok = str(tmp_path / "lout_ok")
+    ckpt_ok = str(tmp_path / "lckpt_ok")
+    mk_ckpt(ckpt_ok, time.time() - 3600)
+    CommitLog(out_ok).commit_group(
+        0, [0], run_id="legacy", batch=0,
+        extra={"kind": "stream_batch",
+               "checkpoint": os.path.abspath(ckpt_ok),
+               "n_rows": 1, "n_violations": 1, "per_part": {"0": [1, 1]}},
+    )
+    stream2 = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    STR.validate_stream_committed(
+        stream2, rs, out_ok, ckpt_ok
+    ).awaitTermination(120)
+    # batch 0 was marker-skipped: no violations dir was ever written
+    assert STR.committed_stream_violations(spark, out_ok).count() == 0

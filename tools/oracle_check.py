@@ -59,6 +59,10 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: oracle_check.py [sf_dir] [--json LEDGER_PATH] [query ...]",
+                  file=sys.stderr)
+            return 2
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
