@@ -1170,6 +1170,122 @@ def image_features_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_features(items)
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (operators/
+    sessions.py): 6-hour inactivity cut, one row per (user, session).
+    Durations and id spans instead of absolute epochs, so the result is
+    timezone-representation-proof; gap math runs on epoch-second
+    differences, identical in Spark and ANSI SQL."""
+    from mds_provider_spark.operators import sessions as SES
+
+    ev = _t(spark, sf_dir, "events")
+    return SES.session_stats(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id", gap_s=21600
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events", "duration_s", "first_id", "last_id",
+    )
+
+
+def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-found, exactly-verified heavy hitters (operators/stats.py
+    frequent_items): users covering >= 0.75% of events, discovered via
+    per-partition Misra-Gries summaries (no global distinct groupBy)
+    and then exactly counted over the bounded candidate set. The oracle
+    recomputes the same set exactly — a sketch false-negative, a wrong
+    threshold, or an estimate leaking into the output all hash-mismatch."""
+    ev = _t(spark, sf_dir, "events")
+    out = ST.frequent_items(ev, "user_id", threshold_frac=0.0075, mg_capacity=256)
+    return out.select(F.col("value").alias("user_id"), "cnt")
+
+
+def clip_consistency_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FIELD consistency rules on the audio table — the checks
+    that fire when each column passes its own enum/range but the PAIR is
+    impossible: transcript speaking rate outside [30, 500] chars/sec for
+    the clip's duration, and codec 'opus' at a sample rate Opus cannot
+    produce ({8000, 16000, 24000, 48000} only — the real-world codec
+    constraint). Layered: rows whose base fields are already invalid
+    (null/empty transcript, non-positive duration) are not re-flagged
+    here. ORACLED like clips_validation: the pruned generated input is
+    materialized for DuckDB to replay both predicates in plain SQL."""
+    n = 1500 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    clips.select(
+        "clip_id", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
+    ).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/clip_consistency_input")
+    rs = R.RuleSet(key_col="clip_id", part_col="part_id").add(
+        R.rate_band("transcript", "dur_ms", lo=30.0, hi=500.0),
+        R.allowed_when("sr_hz", "codec", "opus", [8000, 16000, 24000, 48000]),
+    )
+    return rs.violations(clips).select(
+        "rule_id", "clip_id", "column_name", "part_id"
+    )
+
+
+def loudness_normalize_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization to -20 dBFS RMS — ORACLED TO THE BYTE like
+    augment_clips_speed: the ledger stores md5 of the re-encoded s16le
+    bytes plus before/after RMS from the same float64 kernel
+    (audio.normalize_wave), replayed driver-side from the seeded
+    generator. Pure function of the input bytes — retry-stable under
+    the overwrite checkpoint protocol."""
+    import hashlib
+
+    import numpy as np
+
+    n = 300 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for cid, w, _sr in _replayed_clips(n, faults, require_sr=False):
+        if cid is None:  # UDF skips unidentified clips (missing_field's finding)
+            continue
+        x = w.astype(np.float64)
+        before = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+        out = audio.normalize_wave(w, -20.0)
+        o = out.astype(np.float64)
+        after = float(np.sqrt(np.mean(o * o))) if o.size else 0.0
+        enc = audio.encode_pcm_s16le(out)
+        expected.append(
+            (cid, int(out.size), before, after, hashlib.md5(enc).hexdigest())
+        )
+    spark.createDataFrame(
+        expected,
+        "clip_id string, n_samples long, rms_before double, "
+        "rms_after double, bytes_md5 string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/loudness_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    out = audio.normalize_clips(clips, target_rms_dbfs=-20.0)
+    return out.select(
+        "clip_id", "n_samples", "rms_before", "rms_after",
+        F.md5(F.col("bytes")).alias("bytes_md5"),
+    )
+
+
+def filterbank_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed log-mel filterbank extraction (the ASR front-end) — ORACLED
+    via the shared-kernel ledger like segment_clips_features: expected
+    per-frame (log_energy, fb_md5) replayed driver-side from the seeded
+    generator through audio.filterbank_of; the engine must reproduce
+    them by decoding the binary column inside mapInPandas. The md5 is
+    over the float64 filterbank vector bytes, so every frame's full
+    n_mels energies are checked, not a summary."""
+    n = 250 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    expected = []
+    for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
+        for i, le, dg in audio.filterbank_of(w, sr):
+            expected.append((cid, i, le, dg))
+    spark.createDataFrame(
+        expected,
+        "clip_id string, frame_idx int, log_energy double, fb_md5 string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/filterbank_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    return audio.filterbank_clips(clips)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1190,6 +1306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worst_partitions_events": worst_partitions_events,
         "event_type_distribution": event_type_distribution,
         "drift_check_lineitem": drift_check_lineitem,
+        "sessionize_events": sessionize_events,
+        "heavy_hitters_events": heavy_hitters_events,
+        "clip_consistency_rules": clip_consistency_rules,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -1223,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_clips_features": segment_clips_features,
         "resample_clips_16k": resample_clips_16k,
         "augment_clips_speed": augment_clips_speed,
+        "loudness_normalize_clips": loudness_normalize_clips,
+        "filterbank_clips": filterbank_clips_features,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -1985,6 +2106,69 @@ def oracle_sql() -> dict[str, str]:
         "augment_clips_speed": f"""
             SELECT clip_id, n_samples, bytes_md5
             FROM read_parquet('{_ORACLE_DIR}/augment_ledger/*.parquet')
+        """,
+        "loudness_normalize_clips": f"""
+            SELECT clip_id, n_samples, rms_before, rms_after, bytes_md5
+            FROM read_parquet('{_ORACLE_DIR}/loudness_ledger/*.parquet')
+        """,
+        "filterbank_clips": f"""
+            SELECT clip_id, frame_idx, log_energy, fb_md5
+            FROM read_parquet('{_ORACLE_DIR}/filterbank_ledger/*.parquet')
+        """,
+        "clip_consistency_rules": f"""
+            WITH inp AS (
+              SELECT * FROM read_parquet(
+                '{_ORACLE_DIR}/clip_consistency_input/*.parquet')
+            )
+            SELECT 'inconsistent:transcript' AS rule_id, clip_id,
+                   'transcript' AS column_name, part_id
+            FROM inp
+            WHERE transcript IS NOT NULL AND length(transcript) > 0
+              AND dur_ms IS NOT NULL AND dur_ms > 0
+              AND (length(transcript) / (dur_ms / 1000.0) < 30.0
+                   OR length(transcript) / (dur_ms / 1000.0) > 500.0)
+            UNION ALL
+            SELECT 'inconsistent:sr_hz', clip_id, 'sr_hz', part_id
+            FROM inp
+            WHERE codec = 'opus' AND sr_hz IS NOT NULL
+              AND sr_hz NOT IN (8000, 16000, 24000, 48000)
+        """,
+        "sessionize_events": """
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(tsu) - min(tsu) AS duration_s,
+                   min(event_id) AS first_id, max(event_id) AS last_id
+            FROM (
+              SELECT user_id, event_id, tsu,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS UNBOUNDED PRECEDING) - 1
+                       AS session_idx
+              FROM (
+                SELECT user_id, event_id, ts, tsu,
+                       CASE WHEN lag(tsu) OVER (PARTITION BY user_id
+                                                ORDER BY ts ASC, event_id ASC)
+                                 IS NULL
+                              OR tsu - lag(tsu) OVER (PARTITION BY user_id
+                                                      ORDER BY ts ASC,
+                                                               event_id ASC)
+                                 > 21600
+                            THEN 1 ELSE 0 END AS is_new
+                FROM (
+                  SELECT user_id, event_id, ts,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS tsu
+                  FROM events WHERE user_id IS NOT NULL
+                )
+              )
+            )
+            GROUP BY user_id, session_idx
+        """,
+        "heavy_hitters_events": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING count(*) >= CAST(ceil(0.0075 * (
+              SELECT count(user_id) FROM events)) AS BIGINT)
         """,
         "video_frames_items": f"""
             SELECT item_id, frame_idx, height, width, frame_md5

@@ -268,6 +268,11 @@ def main() -> None:
             "pack_documents",
             "audio_quality_clips",
             "segment_clips_features",
+            "sessionize_events",
+            "heavy_hitters_events",
+            "clip_consistency_rules",
+            "loudness_normalize_clips",
+            "filterbank_clips",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]

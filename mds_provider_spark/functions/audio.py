@@ -793,3 +793,180 @@ def augment_clips(
         work,
         "clip_id string, sr_hz int, n_samples long, rms double, bytes binary",
     )
+
+
+# ------------------------------------------------------------- loudness
+
+
+def normalize_wave(w: np.ndarray, target_rms_dbfs: float = -20.0) -> np.ndarray:
+    """Deterministic loudness normalization kernel (float64 math, shared
+    by the Spark UDF and the oracle ledger — byte-exact discipline like
+    resample_linear/augment_wave): scale the waveform so its RMS hits
+    ``target_rms_dbfs`` dB full-scale, then clip to [-1, 1] (s16le
+    headroom contract; a very peaky clip saturates rather than exceeding
+    full scale — the standard peak-unaware RMS normalizer). All-zero
+    input is returned unchanged (no gain can fix digital silence; the
+    silence_ratio screen owns that finding)."""
+    x = w.astype(np.float64)
+    if x.size == 0:
+        return x.astype(np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    if rms == 0.0:
+        return x.astype(np.float32)
+    gain = (10.0 ** (target_rms_dbfs / 20.0)) / rms
+    return np.clip(x * gain, -1.0, 1.0).astype(np.float32)
+
+
+def normalize_clips(
+    clips: DataFrame,
+    target_rms_dbfs: float = -20.0,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Corpus-scale loudness normalization: decode -> normalize_wave ->
+    re-encode s16le in one Arrow pass (the training-data step that makes
+    a corpus gain-comparable before augmentation/featurization). Same
+    pruned-select mapInPandas contract as augment_clips; undecodable
+    rows are skipped (layered contract). Pure function of (bytes,
+    target) — retry-stable under the overwrite checkpoint protocol.
+    Emits (clip_id, n_samples, rms_before, rms_after, bytes)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rb, ra, bufs = [], [], [], [], []
+            for cid, buf, codec in zip(pdf[key_col], pdf["bytes"], pdf["codec"]):
+                if cid is None or buf is None or codec not in DECODERS:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                x = w.astype(np.float64)
+                before = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                out = normalize_wave(w, target_rms_dbfs)
+                o = out.astype(np.float64)
+                after = float(np.sqrt(np.mean(o * o))) if o.size else 0.0
+                ids.append(cid)
+                ns.append(int(out.size))
+                rb.append(before)
+                ra.append(after)
+                bufs.append(encode_pcm_s16le(out))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "rms_before": pd.array(rb, dtype="float64"),
+                    "rms_after": pd.array(ra, dtype="float64"),
+                    "bytes": pd.array(bufs, dtype=object),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec")
+    return pruned.mapInPandas(
+        work,
+        "clip_id string, n_samples long, rms_before double, "
+        "rms_after double, bytes binary",
+    )
+
+
+# ----------------------------------------------------------- filterbank
+
+
+def _mel(hz: np.ndarray | float) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+def _mel_inv(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def filterbank_of(
+    w: np.ndarray,
+    sr_hz: int,
+    n_mels: int = 8,
+    frame: int = 256,
+    hop: int = 128,
+) -> list[tuple]:
+    """Framed log-mel filterbank energies — the front-end features an ASR
+    training pipeline extracts at corpus scale. Pure numpy float64 (no
+    torch/librosa in this container; the triangular-filter construction
+    is the textbook HTK formulation), shared verbatim by the Spark UDF
+    and the driver-side oracle ledger, so the whole decode -> frame ->
+    rfft -> mel-project -> log chain must be bit-identical.
+
+    Per frame (rectangular window, no padding — trailing samples beyond
+    the last full frame are dropped):
+      (frame_idx, log_energy, fb_md5)
+    where log_energy = log10(sum |X|^2 + 1e-10) and fb_md5 is the md5 of
+    the n_mels float64 filterbank energies' little-endian bytes — an
+    engine-portable digest of the full vector (the ledger compares
+    digests, not arrays, so the oracle stays a plain string equality in
+    any SQL engine)."""
+    import hashlib
+
+    x = w.astype(np.float64)
+    if sr_hz <= 0 or x.size < frame:
+        return []
+    n_bins = frame // 2 + 1
+    mel_pts = _mel_inv(np.linspace(0.0, float(_mel(sr_hz / 2.0)), n_mels + 2))
+    bin_hz = np.fft.rfftfreq(frame, d=1.0 / float(sr_hz))
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for m in range(n_mels):
+        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (bin_hz - lo) / (ctr - lo) if ctr > lo else np.zeros(n_bins)
+        down = (hi - bin_hz) / (hi - ctr) if hi > ctr else np.zeros(n_bins)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    n_frames = (x.size - frame) // hop + 1
+    out = []
+    for i in range(n_frames):
+        seg = x[i * hop : i * hop + frame]
+        power = np.abs(np.fft.rfft(seg)) ** 2
+        energies = fb @ power
+        log_e = float(np.log10(power.sum() + 1e-10))
+        digest = hashlib.md5(energies.astype("<f8").tobytes()).hexdigest()
+        out.append((i, log_e, digest))
+    return out
+
+
+def filterbank_clips(
+    clips: DataFrame,
+    n_mels: int = 8,
+    frame: int = 256,
+    hop: int = 128,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Corpus-scale filterbank extraction: one binary row in, one typed
+    row per frame out (the segment_clips shape). Same layered skip
+    contract as audio_quality_features (sr required — mel spacing
+    depends on it). Emits (clip_id, frame_idx, log_energy, fb_md5)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, loge, digs = [], [], [], []
+            for cid, buf, codec, sr in zip(
+                pdf[key_col], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                if buf is None or codec not in DECODERS or pd.isna(sr) or int(sr) <= 0:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                for i, le, dg in filterbank_of(w, int(sr), n_mels, frame, hop):
+                    ids.append(cid)
+                    fidx.append(i)
+                    loge.append(le)
+                    digs.append(dg)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "log_energy": pd.array(loge, dtype="float64"),
+                    "fb_md5": pd.array(digs, dtype="string"),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(
+        work,
+        "clip_id string, frame_idx int, log_energy double, fb_md5 string",
+    )

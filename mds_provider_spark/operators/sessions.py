@@ -1,0 +1,91 @@
+"""Gap-based sessionization — the telemetry/training-pipeline operator
+that turns a raw event stream into per-user sessions.
+
+The reference has no sessionization (mds-provider is a client/validation
+library), but its trip/status_change streams are exactly the kind of
+per-device event sequences a session cut applies to; this is the
+batch twin of Structured Streaming's ``session_window`` (which
+``streaming/stream.py`` can use directly on the same columns).
+
+Spark-first shape — ONE shuffle for the whole operator:
+
+    events
+      -> window lag(ts) over (partitionBy key, orderBy ts, tiebreak)
+      -> is_new = gap > threshold (or first event)
+      -> session_idx = running sum of is_new over the SAME window spec
+      -> groupBy(key, session_idx) aggregate
+
+The window's ``hashpartitioning(key)`` satisfies the downstream
+group-by's ClusteredDistribution((key, session_idx)) — subset clustering
+— so Catalyst plans NO second exchange: lag, running sum, and the final
+hash aggregate all run inside the one post-shuffle stage (asserted in
+tests/test_sessions_sketches.py on the physical plan). At 100 TB the
+operator is therefore scan + one key-hash shuffle; skewed users are the
+same risk surface as any key shuffle and ride AQE skew splitting
+(session ordering only needs per-key locality, which AQE preserves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = 21600,
+) -> DataFrame:
+    """Tag every event with its session index (0-based per key).
+
+    A new session starts when the gap to the previous event of the same
+    key exceeds ``gap_s`` seconds. Ordering ties on ``ts`` break by
+    ``order_col`` so the cut is deterministic under any partitioning.
+    Rows with NULL key are dropped (a session of nobody is nothing; the
+    rule layer's ``not_null`` owns that finding). Gap arithmetic uses
+    epoch SECONDS (timestamp cast to long — timezone-independent instant
+    math, and exactly reproducible in ANSI SQL oracles).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(order_col))
+    # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP.
+    # The session-tz offset that cast introduces cancels in every use
+    # below (gaps and durations are DIFFERENCES of these values).
+    tsu = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(tsu).over(w)
+    is_new = F.when(prev.isNull() | ((tsu - prev) > F.lit(gap_s)), 1).otherwise(0)
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .withColumn("_ts_unix", tsu)
+        .withColumn(
+            "session_idx",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.lit(1),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = 21600,
+) -> DataFrame:
+    """One row per (key, session): size, duration, and the id span.
+
+    Output: (key, session_idx, n_events, duration_s, first_id, last_id)
+    — durations instead of absolute epochs so the result is
+    timezone-representation-proof across engines. first/last_id are
+    min/max of ``order_col`` within the session (deterministic without
+    an ordered-aggregate dependency).
+    """
+    tagged = sessionize(events, key_col, ts_col, order_col, gap_s)
+    return tagged.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("_ts_unix") - F.min("_ts_unix")).alias("duration_s"),
+        F.min(order_col).alias("first_id"),
+        F.max(order_col).alias("last_id"),
+    )

@@ -148,3 +148,120 @@ def merge_hll(sketches: DataFrame) -> DataFrame:
         "sketch",
         F.hll_sketch_estimate("sketch").alias("estimate"),
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float,
+    mg_capacity: int = 256,
+    max_candidates: int = 65536,
+) -> DataFrame:
+    """EXACT heavy hitters at sketch cost: every value whose frequency is
+    >= ``threshold_frac`` of the column's non-null count, with its exact
+    count — found via per-partition Misra–Gries summaries so the full
+    groupBy over all distinct values (the thing that dies on a 100 TB
+    high-cardinality column) never runs.
+
+    The hot-codec / hot-provider detector BASELINE.json's skew handling
+    implies: heavy keys found here feed ``salted_group_count`` and the
+    AQE skew knobs. mds-provider has no analog (per-record walks can't
+    see frequency at all).
+
+    Three stages, two scans, all bounds explicit:
+
+    1. SKETCH (one scan): ``mapInPandas`` keeps a Misra–Gries summary of
+       ``mg_capacity`` counters per input partition (vectorized via
+       pandas value_counts per Arrow batch; the trim subtracts the
+       (cap+1)-th largest weight from all counters, destroying >=
+       (cap+1)*d count per trim, so each partition undercounts any value
+       by at most n_part/(cap+1) — the classic mergeable-summaries
+       bound). Each partition also emits one NULL-value row carrying its
+       non-null row count.
+    2. MERGE (shuffle of <= partitions * (cap+1) tiny rows): summing
+       summary weights per value gives est(v) >= count(v) - n/(cap+1) —
+       NO false negatives above the cutoff. Candidates are values with
+       est >= threshold - n/(cap+1); their number is capped by
+       ``max_candidates`` and a breach RAISES (the hot-set-cap
+       discipline: loud, never silently wrong).
+    3. VERIFY (one scan): exact counts for the candidate subset via a
+       broadcast semi-join (bounded by the cap), filtered to the true
+       threshold. Output: (value <original dtype>, cnt).
+
+    Soundness precondition (checked, raises): threshold must exceed the
+    sketch slack n/(cap+1) — i.e. ``threshold_frac > 1/(mg_capacity+1)``
+    — otherwise a heavy value could be trimmed out of every summary.
+    """
+    import math
+
+    import pandas as pd
+
+    if threshold_frac <= 0 or threshold_frac > 1:
+        raise ValueError(f"threshold_frac must be in (0, 1]: {threshold_frac}")
+    if threshold_frac <= 1.0 / (mg_capacity + 1):
+        raise ValueError(
+            f"threshold_frac={threshold_frac} is within the Misra-Gries "
+            f"slack 1/(mg_capacity+1)={1.0 / (mg_capacity + 1):.6f}: a "
+            "heavy value could be trimmed from every partition summary. "
+            "Raise mg_capacity above 1/threshold_frac - 1."
+        )
+    cap = int(mg_capacity)
+
+    def mg(batches) -> "pd.DataFrame":
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["v"].dropna().value_counts()
+            n += int(vc.sum())
+            for value, c in vc.items():
+                counters[value] = counters.get(value, 0) + int(c)
+            if len(counters) > cap:
+                ws = sorted(counters.values(), reverse=True)
+                d = ws[cap]  # (cap+1)-th largest
+                counters = {k: w - d for k, w in counters.items() if w > d}
+        yield pd.DataFrame(
+            {
+                "value": pd.array(list(counters) + [None], dtype="string"),
+                "weight": pd.array(
+                    list(counters.values()) + [n], dtype="int64"
+                ),
+            }
+        )
+
+    summaries = df.select(F.col(col).cast("string").alias("v")).mapInPandas(
+        mg, "value string, weight long"
+    )
+    merged = summaries.groupBy("value").agg(F.sum("weight").alias("est")).collect()
+    n_total = sum(int(r["est"]) for r in merged if r["value"] is None)
+    if n_total == 0:
+        return df.select(F.col(col).alias("value")).limit(0).withColumn(
+            "cnt", F.lit(0).cast("long")
+        )
+    threshold = int(math.ceil(threshold_frac * n_total))
+    cutoff = threshold - n_total // (cap + 1)
+    cands = [r["value"] for r in merged
+             if r["value"] is not None and int(r["est"]) >= cutoff]
+    if len(cands) > max_candidates:
+        raise RuntimeError(
+            f"frequent_items: {len(cands)} candidates exceed "
+            f"max_candidates={max_candidates} — the column is too "
+            "high-entropy for this threshold; raise the threshold or the cap"
+        )
+    # NOTE on the merge shuffle size: summaries hold <= (cap+1) rows per
+    # input partition, so even 10^6 partitions merge in one small stage;
+    # the driver collect above is that merged set, bounded the same way.
+    spark = df.sparkSession
+    # "_fi_cand" dodges collisions with the caller's own columns (the
+    # left_semi join resolves both sides' names in one scope)
+    cand_df = spark.createDataFrame([(c,) for c in cands], "_fi_cand string")
+    return (
+        df.where(F.col(col).isNotNull())
+        .join(
+            F.broadcast(cand_df),  # bounded by max_candidates
+            F.col(col).cast("string") == F.col("_fi_cand"),
+            "left_semi",
+        )
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )

@@ -457,6 +457,66 @@ def required_if(col: str, when_col: str, when_values: Sequence) -> Rule:
     )
 
 
+def rate_band(
+    text_col: str,
+    dur_ms_col: str,
+    lo: float,
+    hi: float,
+) -> Rule:
+    """Cross-field consistency: characters-per-second of ``text_col``
+    against ``dur_ms_col`` must sit inside [lo, hi] — the speech-corpus
+    sanity check that a transcript plausibly fits its clip (a 200 ms
+    clip cannot carry a paragraph; an hour of audio with three words is
+    a pairing bug upstream, not a transcription).
+
+    Layered like the PCM check: fires only when BOTH fields are
+    individually valid (non-null, non-empty text, positive duration) —
+    rows already flagged by not_null/non_empty/in_range are not
+    double-reported here. Band endpoints are INCLUSIVE (rate == lo or
+    hi passes). Pure Catalyst arithmetic; the division is IEEE double
+    on every engine, so oracles replay it exactly.
+    """
+    rate = F.length(F.col(text_col)) / (F.col(dur_ms_col) / F.lit(1000.0))
+    return Rule(
+        S.rule_id(S.INCONSISTENT, text_col),
+        text_col,
+        f"chars/sec outside [{lo}, {hi}] vs {dur_ms_col}",
+        lambda: (
+            F.col(text_col).isNotNull()
+            & (F.length(F.col(text_col)) > 0)
+            & F.col(dur_ms_col).isNotNull()
+            & (F.col(dur_ms_col) > 0)
+            & ((rate < F.lit(lo)) | (rate > F.lit(hi)))
+        ),
+    )
+
+
+def allowed_when(
+    col: str,
+    when_col: str,
+    when_value,
+    allowed: Sequence,
+) -> Rule:
+    """Value-dependent enum (JSON-Schema if/then over two properties —
+    the idiom mds-provider's MDS schemas express as conditional
+    subschemas): when ``when_col`` equals ``when_value``, ``col`` must
+    be in ``allowed``. E.g. codec 'opus' only exists at
+    {8000, 16000, 24000, 48000} Hz — any other pairing is metadata
+    corruption even though both values pass their own enums. NULL in
+    either column never fires (not_null owns absence)."""
+    vals = list(allowed)
+    return Rule(
+        S.rule_id(S.INCONSISTENT, col),
+        col,
+        f"{col} must be in {vals} when {when_col} == {when_value!r}",
+        lambda: (
+            (F.col(when_col) == F.lit(when_value))
+            & F.col(col).isNotNull()
+            & ~F.col(col).isin(vals)
+        ),
+    )
+
+
 def unique_key(cols: str | Sequence[str]) -> "UniqueKey":
     return UniqueKey(tuple([cols] if isinstance(cols, str) else cols))
 

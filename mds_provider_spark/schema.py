@@ -97,6 +97,7 @@ TRANSCRIPT_MISMATCH = "transcript_mismatch"
 BAD_PCM = "bad_pcm"
 DRIFT = "drift"
 COMBINATOR = "combinator"  # anyOf/oneOf/not/dependencies-schema mismatches
+INCONSISTENT = "inconsistent"  # cross-field consistency (rate bands, value-dependent enums)
 
 
 def rule_id(kind: str, column: str) -> str:

@@ -1,0 +1,186 @@
+"""Sessionization + sketch-verified heavy hitters + round-5 rule/audio
+additions: correctness against hand-computed expectations AND physical-
+plan shape (the 100 TB claims — one shuffle for sessionize, bounded
+broadcast for frequent_items — are asserted, not asserted-in-prose)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mds_provider_spark import rules as R
+from mds_provider_spark.functions import audio
+from mds_provider_spark.operators import sessions as SES
+from mds_provider_spark.operators import stats as ST
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u)
+         for i, (u, s) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+
+
+# --------------------------------------------------------- sessionize
+
+
+def test_sessionize_gap_cut_and_stats(spark):
+    # user 1: events at t=0, 10, 20_000 (gap 19_990 > 3600 -> new session)
+    # user 2: single event; user NULL: dropped
+    rows = [(1, 0), (1, 10), (1, 20_000), (2, 5), (None, 7)]
+    out = SES.session_stats(_ev(spark, rows), gap_s=3600).collect()
+    got = {(r.user_id, r.session_idx): (r.n_events, r.duration_s, r.first_id, r.last_id)
+           for r in out}
+    assert got == {
+        (1, 0): (2, 10, 0, 1),
+        (1, 1): (1, 0, 2, 2),
+        (2, 0): (1, 0, 3, 3),
+    }
+
+
+def test_sessionize_tie_break_deterministic(spark):
+    # two events with IDENTICAL ts: ordering falls back to event_id, so
+    # the session tag is stable under any input partitioning
+    rows = [(7, 100), (7, 100), (7, 100 + 7200)]
+    tagged = SES.sessionize(_ev(spark, rows).repartition(4), gap_s=3600)
+    got = sorted((r.event_id, r.session_idx) for r in tagged.collect())
+    assert got == [(0, 0), (1, 0), (2, 1)]
+
+
+def test_sessionize_exactly_one_exchange(spark):
+    """The scale claim: lag + running sum + final aggregate all share the
+    window's hashpartitioning(key) — Catalyst must plan exactly ONE
+    Exchange (subset clustering satisfies the group-by's distribution)."""
+    plan = SES.session_stats(_ev(spark, [(1, 0), (2, 5)]), gap_s=60)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_boundary_inclusive(spark):
+    # gap EXACTLY equal to gap_s does NOT cut (strict > in the operator)
+    rows = [(3, 0), (3, 3600)]
+    out = SES.session_stats(_ev(spark, rows), gap_s=3600).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+# ------------------------------------------------------ frequent items
+
+
+def test_frequent_items_exact_counts(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string").repartition(6)
+    out = {r.value: r.cnt
+           for r in ST.frequent_items(df, "k", threshold_frac=0.3).collect()}
+    # n (non-null) = 85; threshold = ceil(25.5) = 26 -> a and b qualify
+    assert out == {"a": 50, "b": 30}
+
+
+def test_frequent_items_small_capacity_still_no_false_negatives(spark):
+    # 40% heavy value hidden among 60 distinct light values, capacity 8:
+    # MG trimming may estimate low but the cutoff slack guarantees the
+    # heavy value survives to the exact-verify stage
+    rows = [("hot",)] * 200 + [(f"v{i}",) for i in range(60)] * 5
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    out = {r.value: r.cnt
+           for r in ST.frequent_items(df, "k", threshold_frac=0.35,
+                                      mg_capacity=8).collect()}
+    assert out == {"hot": 200}
+
+
+def test_frequent_items_threshold_below_slack_raises(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="slack"):
+        ST.frequent_items(df, "k", threshold_frac=0.001, mg_capacity=10)
+
+
+def test_frequent_items_candidate_cap_raises(spark):
+    rows = [(f"v{i}",) for i in range(40)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    with pytest.raises(RuntimeError, match="max_candidates"):
+        # every value is heavy at this threshold; cap of 5 must trip
+        ST.frequent_items(df, "k", threshold_frac=0.02, max_candidates=5)
+
+
+def test_frequent_items_broadcast_in_plan(spark):
+    rows = [("x",)] * 20 + [("y",)] * 3
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    out = ST.frequent_items(df, "k", threshold_frac=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+    assert [(r.value, r.cnt) for r in out.collect()] == [("x", 20)]
+
+
+# ----------------------------------------------------- cross-field rules
+
+
+def test_rate_band_layered_and_inclusive(spark):
+    df = spark.createDataFrame(
+        [
+            ("slow", "ab", 1000, 0),        # 2 cps < 30 -> fires
+            ("ok_lo", "abc", 100, 0),       # exactly 30 cps -> passes
+            ("fast", "a" * 200, 100, 0),    # 2000 cps > 500 -> fires
+            ("null_t", None, 100, 0),       # base-invalid -> silent
+            ("empty_t", "", 100, 0),        # base-invalid -> silent
+            ("bad_dur", "abc", -5, 0),      # base-invalid -> silent
+        ],
+        "clip_id string, transcript string, dur_ms int, part_id int",
+    )
+    rs = R.RuleSet(key_col="clip_id", part_col="part_id").add(
+        R.rate_band("transcript", "dur_ms", lo=30.0, hi=500.0)
+    )
+    got = {r.clip_id for r in rs.violations(df).collect()}
+    assert got == {"slow", "fast"}
+
+
+def test_allowed_when_value_dependent_enum(spark):
+    df = spark.createDataFrame(
+        [("a", "opus", 48000, 0), ("b", "opus", 44100, 0),
+         ("c", "flac", 44100, 0), ("d", "opus", None, 0)],
+        "clip_id string, codec string, sr_hz int, part_id int",
+    )
+    rs = R.RuleSet(key_col="clip_id", part_col="part_id").add(
+        R.allowed_when("sr_hz", "codec", "opus", [8000, 16000, 24000, 48000])
+    )
+    got = {r.clip_id for r in rs.violations(df).collect()}
+    assert got == {"b"}  # null sr is not_null's finding; flac unconstrained
+
+
+# ------------------------------------------------------- audio additions
+
+
+def test_normalize_wave_hits_target_and_clips():
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    w = (0.001 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = audio.normalize_wave(w, target_rms_dbfs=-20.0)
+    rms = float(np.sqrt(np.mean(out.astype(np.float64) ** 2)))
+    assert abs(rms - 10 ** (-20 / 20)) < 1e-6
+    # silence is returned unchanged, and a spike saturates at 1.0
+    assert audio.normalize_wave(np.zeros(16, np.float32)).max() == 0.0
+    spike = np.zeros(1000, np.float32)
+    spike[0] = 1.0
+    assert float(np.abs(audio.normalize_wave(spike, -3.0)).max()) == 1.0
+
+
+def test_filterbank_frame_count_and_determinism():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal(1000).astype(np.float32)
+    rows = audio.filterbank_of(w, 8000, n_mels=8, frame=256, hop=128)
+    assert len(rows) == (1000 - 256) // 128 + 1
+    assert rows == audio.filterbank_of(w, 8000, n_mels=8, frame=256, hop=128)
+    # too-short input yields no frames; bad sr yields none
+    assert audio.filterbank_of(w[:100], 8000) == []
+    assert audio.filterbank_of(w, 0) == []
+
+
+def test_normalize_clips_skip_contract(spark):
+    wav = audio.encode_wav(np.full(800, 0.01, np.float32), 8000)
+    df = spark.createDataFrame(
+        [("a", bytearray(wav), "wav"), ("b", None, "wav"),
+         ("c", bytearray(b"junk"), "nope"), (None, bytearray(wav), "wav")],
+        "clip_id string, bytes binary, codec string",
+    )
+    out = audio.normalize_clips(df).collect()
+    assert [r.clip_id for r in out] == ["a"]
+    assert abs(out[0].rms_after - 0.1) < 1e-3
