@@ -1286,6 +1286,96 @@ def filterbank_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.filterbank_clips(clips)
 
 
+def grouped_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP drift (the hot-codec pattern): exact per-returnflag
+    median shifts, baseline = shipdate < 1996-01-01 vs the rest — a
+    shift confined to one group is visible here even when the global
+    profile barely moves. Production path is the sketch-based
+    drift.grouped_snapshot + drift_violations(join_cols=(group, col))
+    (pytest-covered); this exact variant oracles the grouped comparison
+    arithmetic itself, like drift_check_lineitem does for the global
+    one."""
+    l = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    halves = {"base": l.where(F.col("l_shipdate") < cut),
+              "cur": l.where(F.col("l_shipdate") >= cut)}
+    sides = {}
+    for tag, df in halves.items():
+        aggs = []
+        for short, c in [("qty", "l_quantity"), ("prc", "l_extendedprice")]:
+            q = F.percentile(F.col(c), F.lit(0.5))
+            aggs += [
+                F.round(q, 6).alias(f"q50_{short}_{tag}"),
+                F.round(F.min(F.col(c).cast("double")), 6).alias(f"min_{short}_{tag}"),
+                F.round(F.max(F.col(c).cast("double")), 6).alias(f"max_{short}_{tag}"),
+            ]
+        sides[tag] = df.groupBy("l_returnflag").agg(*aggs)
+    j = sides["cur"].join(F.broadcast(sides["base"]), "l_returnflag")
+    outs = []
+    for short, c in [("qty", "l_quantity"), ("prc", "l_extendedprice")]:
+        span = F.greatest(
+            F.col(f"max_{short}_base") - F.col(f"min_{short}_base"), F.lit(1e-12)
+        )
+        shift = F.abs(F.col(f"q50_{short}_cur") - F.col(f"q50_{short}_base")) / span
+        outs.append(
+            j.select(
+                "l_returnflag",
+                F.lit(c).alias("column_name"),
+                F.round(shift, 6).alias("q50_shift"),
+                F.when(shift > 0.25, F.lit("drift")).otherwise(F.lit("ok")).alias(
+                    "verdict"
+                ),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequent_items at its REAL cardinality: heavy vocabulary tokens
+    over the exploded corpus (the thing a global token groupBy cannot
+    afford at 100 TB). Whitespace tokenization on lowercased text —
+    ASCII-identical in Java and RE2 regex engines, so the oracle
+    recomputes the same token stream and the same exact threshold."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    out = ST.frequent_items(toks, "tok", threshold_frac=0.002, mg_capacity=2048)
+    return out.select(F.col("value").alias("token"), "cnt")
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/diff.py): old = orders (unique
+    pk — lineitem's planted duplicates would multiply the full-outer
+    join, exactly the precondition the operator docstring states), new =
+    a deterministically derived next version (md5-bucket of the pk:
+    buckets 0-2 deleted, 3-7 get o_totalprice+1, a copy of buckets 0-1
+    re-inserted under shifted keys). The engine must recover added /
+    removed / changed via the full-outer join + eqNullSafe column
+    compare; the oracle independently derives the SAME expected set
+    from the bucket arithmetic alone — a missed change, a false change,
+    or a presence mix-up all hash-mismatch."""
+    from mds_provider_spark.operators import diff as DIF
+
+    o = _t(spark, sf_dir, "orders")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    shift = int(o.agg(F.max("o_orderkey")).first()[0]) + 1
+    survivors = o.where(bkt >= 3).withColumn(
+        "o_totalprice",
+        F.when(bkt < 8, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    )
+    added = o.where(bkt < 2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(shift)
+    )
+    new = survivors.unionByName(added)
+    return DIF.snapshot_diff(o, new, ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1309,6 +1399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "heavy_hitters_events": heavy_hitters_events,
         "clip_consistency_rules": clip_consistency_rules,
+        "grouped_drift_lineitem": grouped_drift_lineitem,
+        "token_heavy_hitters_documents": token_heavy_hitters_documents,
+        "snapshot_diff_orders": snapshot_diff_orders,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2169,6 +2262,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING count(*) >= CAST(ceil(0.0075 * (
               SELECT count(user_id) FROM events)) AS BIGINT)
+        """,
+        "grouped_drift_lineitem": """
+            WITH sides AS (
+              SELECT l_returnflag, c.column_name,
+                     round(quantile_cont(CASE c.column_name
+                        WHEN 'l_quantity' THEN l_quantity
+                        ELSE l_extendedprice END::DOUBLE, 0.5), 6) AS q50,
+                     round(min(CASE c.column_name
+                        WHEN 'l_quantity' THEN l_quantity
+                        ELSE l_extendedprice END::DOUBLE), 6) AS min_v,
+                     round(max(CASE c.column_name
+                        WHEN 'l_quantity' THEN l_quantity
+                        ELSE l_extendedprice END::DOUBLE), 6) AS max_v,
+                     CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                          THEN 'base' ELSE 'cur' END AS side
+              FROM lineitem
+              CROSS JOIN (SELECT unnest(['l_quantity','l_extendedprice'])
+                          AS column_name) c
+              GROUP BY l_returnflag, c.column_name, side
+            )
+            SELECT cur.l_returnflag, cur.column_name,
+                   round(abs(cur.q50 - base.q50)
+                         / greatest(base.max_v - base.min_v, 1e-12), 6)
+                     AS q50_shift,
+                   CASE WHEN abs(cur.q50 - base.q50)
+                             / greatest(base.max_v - base.min_v, 1e-12) > 0.25
+                        THEN 'drift' ELSE 'ok' END AS verdict
+            FROM (SELECT * FROM sides WHERE side='cur') cur
+            JOIN (SELECT * FROM sides WHERE side='base') base
+              USING (l_returnflag, column_name)
+        """,
+        "token_heavy_hitters_documents": r"""
+            WITH t AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), toks AS (SELECT token FROM t WHERE token <> '')
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY token
+            HAVING count(*) >= CAST(ceil(0.002 * (
+              SELECT count(*) FROM toks)) AS BIGINT)
+        """,
+        "snapshot_diff_orders": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT
+                       % 100 AS bkt
+              FROM orders
+            )
+            SELECT o_orderkey, 'removed' AS status FROM b WHERE bkt < 3
+            UNION ALL
+            SELECT o_orderkey, 'changed' FROM b WHERE bkt >= 3 AND bkt < 8
+            UNION ALL
+            SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+                   'added'
+            FROM b WHERE bkt < 2
         """,
         "video_frames_items": f"""
             SELECT item_id, frame_idx, height, width, frame_md5

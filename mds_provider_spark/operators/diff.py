@@ -1,0 +1,103 @@
+"""Snapshot diff — added / removed / changed rows between two versions
+of a keyed table.
+
+The validation-engine use: mds-provider's stage-table + upsert load
+(mds/db.py ≈L100–250, ``Database.load`` with ``before_load``/on-conflict
+semantics) never tells you WHAT an upsert changed; at 10^12-row scale,
+"what moved between yesterday's snapshot and today's" IS the drift/audit
+question (Iceberg exposes the file-level delta; this computes the
+row-level one over any two readable versions).
+
+Spark-first shape: ONE full outer join on the key columns — the single
+unavoidable shuffle — with change detection as a null-safe column
+comparison (``eqNullSafe`` per compared column, no row serialization, no
+fingerprint stringification: float/decimal/timestamp compare in their
+own types, so engine-specific casts can never lie about a change).
+Unchanged rows are dropped BEFORE the result materializes. At 100 TB the
+join co-locates for free when both snapshots are bucketed by the key
+(the Iceberg layout the checkpoint runner writes); otherwise it is a
+standard shuffled hash/sort-merge join that AQE sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff: one row per key whose presence or content differs.
+
+    Output: (*keys, status) with status in {'added', 'removed',
+    'changed'}. ``compare_cols`` defaults to every shared non-key
+    column. Rows identical on all compared columns are absent from the
+    result (the overwhelmingly common case — the filter runs inside the
+    join's output projection, so only differences survive the stage).
+
+    Keys are assumed unique per side (it is a snapshot of a keyed
+    table); duplicate keys join multiplicatively like in any SQL diff —
+    run the uniqueness operator first if that invariant is in doubt.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    compare_cols = list(compare_cols)
+
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_o_present"),  # robust even if a key is NULL
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_n_present"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+
+    old_present = F.col("_o_present").isNotNull()
+    new_present = F.col("_n_present").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )  # NULL (identical) rows are filtered below
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "status",
+        )
+    )
+
+
+def snapshot_diff_counts(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The audit summary: (status, n) over the row-level diff."""
+    return (
+        snapshot_diff(old, new, keys, compare_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -49,6 +49,71 @@ def snapshot(
     )
 
 
+def grouped_snapshot(
+    df: DataFrame,
+    group_col: str,
+    cols: Sequence[str],
+    snapshot_id: str,
+    probs: Sequence[float] = DEFAULT_PROBS,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-GROUP sketch rows — the hot-codec drift surface: one snapshot
+    row per (group value, column), so a distribution shift confined to
+    one codec/provider is visible even when the global profile barely
+    moves (a 70%-hot codec drowns the others in an ungrouped sketch).
+
+    Same single-job shape as ``stats.profile`` with the group key in the
+    groupBy: ONE hash aggregate over ONE scan (partial+final two-stage,
+    sketches mergeable), then an explode of per-column structs — shuffle
+    carries one partial row per (input partition, group), independent of
+    data size. Skewed group values are exactly the partial-aggregation
+    case Spark handles map-side; AQE covers the residual reduce skew.
+
+    Compare two of these with
+    ``drift_violations(..., join_cols=(group_col, "column_name"))``.
+    """
+    from mds_provider_spark.operators.stats import _is_numeric
+
+    cols = list(cols)
+    aggs: list = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_null_{c}")
+        )
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_dist_{c}"))
+        if _is_numeric(df, c):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c).cast("double"), list(probs), 10000
+                ).alias(f"_q_{c}")
+            )
+    wide = df.groupBy(group_col).agg(*aggs)
+    structs = []
+    for c in cols:
+        numeric = _is_numeric(df, c)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                F.try_divide(F.col(f"_null_{c}"), F.col("_n")).alias("null_rate"),
+                (F.col(f"_min_{c}") if numeric else F.lit(None).cast("double")).alias("min_val"),
+                (F.col(f"_max_{c}") if numeric else F.lit(None).cast("double")).alias("max_val"),
+                F.col(f"_dist_{c}").cast("long").alias("approx_distinct"),
+                (F.col(f"_q_{c}") if numeric
+                 else F.lit(None).cast("array<double>")).alias("quantiles"),
+            )
+        )
+    return wide.select(
+        F.lit(snapshot_id).alias("snapshot_id"),
+        F.col(group_col),
+        F.explode(F.array(*structs)).alias("s"),
+    ).select("snapshot_id", group_col, "s.*")
+
+
 def drift_violations(
     current: DataFrame,
     baseline: DataFrame,
@@ -56,6 +121,7 @@ def drift_violations(
     null_rate_abs_threshold: float = 0.05,
     distinct_rel_threshold: float = 0.5,
     keep_cols: Sequence[str] = (),
+    join_cols: Sequence[str] = ("column_name",),
 ) -> DataFrame:
     """Compare two snapshot tables -> drift findings (rule_id drift:<col>).
 
@@ -69,9 +135,10 @@ def drift_violations(
     e.g. ``["batch_id"]`` when ``current`` carries one snapshot per
     streaming micro-batch, yielding per-batch findings in one comparison.
     """
+    join_cols = list(join_cols)
     b = F.broadcast(
         baseline.select(
-            "column_name",
+            *join_cols,
             F.col("quantiles").alias("q_base"),
             F.col("null_rate").alias("nr_base"),
             F.col("approx_distinct").alias("d_base"),
@@ -79,7 +146,7 @@ def drift_violations(
             F.col("max_val").alias("max_base"),
         )
     )
-    j = current.join(b, "column_name", "inner")
+    j = current.join(b, join_cols, "inner")
     span = F.greatest(F.col("max_base") - F.col("min_base"), F.lit(1e-12))
     max_q_shift = F.when(
         F.col("quantiles").isNotNull() & F.col("q_base").isNotNull(),
@@ -103,7 +170,7 @@ def drift_violations(
         .select(
             *keep_cols,
             F.concat(F.lit(S.DRIFT + ":"), F.col("column_name")).alias("rule_id"),
-            "column_name",
+            *join_cols,
             F.round("max_q_shift", 6).alias("max_q_shift"),
             F.round("nr_shift", 6).alias("nr_shift"),
             F.round("d_shift", 6).alias("d_shift"),

@@ -493,3 +493,42 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "6 hours",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.sessionize`` — the native
+    ``session_window`` aggregation, so continuous arrivals get the same
+    gap-cut semantics the batch operator computes with lag+running-sum.
+
+    State discipline: session state is keyed by (key, open session) and
+    EVICTED once the event-time watermark passes a session's close —
+    bounded by concurrently-open sessions, independent of stream length.
+    In append output mode a session only emits once finalized (watermark
+    past its gap); use update/complete for live dashboards. Late events
+    beyond ``watermark_delay`` are dropped by Spark's watermark contract
+    (the batch operator re-derives exact sessions in the nightly pass —
+    same pairing discipline as streaming dedup vs batch dedup).
+
+    Output: (key, session_start, session_end, n_events).
+    """
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

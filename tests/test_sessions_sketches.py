@@ -184,3 +184,122 @@ def test_normalize_clips_skip_contract(spark):
     out = audio.normalize_clips(df).collect()
     assert [r.clip_id for r in out] == ["a"]
     assert abs(out[0].rms_after - 0.1) < 1e-3
+
+
+# ------------------------------------------------------- grouped drift
+
+
+def test_grouped_snapshot_and_drift(spark):
+    from mds_provider_spark.operators import drift as DR
+
+    base_rows = [("pcm", float(i % 10)) for i in range(200)] + [
+        ("opus", float(i % 10)) for i in range(200)
+    ]
+    # current: pcm unchanged, opus shifted far right
+    cur_rows = [("pcm", float(i % 10)) for i in range(200)] + [
+        ("opus", 50.0 + float(i % 10)) for i in range(200)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "codec string, v double")
+    base = DR.grouped_snapshot(mk(base_rows), "codec", ["v"], "base")
+    cur = DR.grouped_snapshot(mk(cur_rows), "codec", ["v"], "cur")
+    found = DR.drift_violations(
+        cur, base, join_cols=("codec", "column_name")
+    ).collect()
+    assert [(r.codec, r.rule_id) for r in found] == [("opus", "drift:v")]
+    # the global (ungrouped) profile on the same data must ALSO fire --
+    # but the grouped result localizes it to the one moved codec, which
+    # is the operator's reason to exist
+    assert found[0].max_q_shift > 1.0
+
+
+def test_grouped_snapshot_shape(spark):
+    from mds_provider_spark.operators import drift as DR
+
+    df = spark.createDataFrame(
+        [("a", 1.0, "x"), ("a", None, "y"), ("b", 3.0, None)],
+        "g string, v double, s string",
+    )
+    rows = DR.grouped_snapshot(df, "g", ["v", "s"], "snap").collect()
+    assert {(r.g, r.column_name) for r in rows} == {
+        ("a", "v"), ("a", "s"), ("b", "v"), ("b", "s")
+    }
+    a_v = next(r for r in rows if r.g == "a" and r.column_name == "v")
+    assert a_v.null_rate == 0.5 and a_v.min_val == 1.0
+    a_s = next(r for r in rows if r.g == "a" and r.column_name == "s")
+    assert a_s.quantiles is None  # non-numeric: no quantile sketch
+
+
+# ------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses(spark):
+    from mds_provider_spark.operators import diff as DIF
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # identical -> absent from diff
+         (2, "b", 9.0),        # value change
+         (3, "c", 3.0),        # NULL -> value is a change (eqNullSafe)
+         (5, "e", 5.0)],       # new key
+        "k long, s string, v double",
+    )
+    got = {(r.k, r.status) for r in DIF.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")}
+    counts = {r.status: r.n
+              for r in DIF.snapshot_diff_counts(old, new, ["k"]).collect()}
+    assert counts == {"changed": 2, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_composite_key_and_subset_cols(spark):
+    from mds_provider_spark.operators import diff as DIF
+
+    old = spark.createDataFrame(
+        [(1, 1, "x", 10.0), (1, 2, "y", 20.0)], "a long, b long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1, "x", 99.0), (1, 2, "z", 20.0)], "a long, b long, s string, v double"
+    )
+    # comparing only s: the v change on (1,1) is invisible by design
+    got = {(r.a, r.b, r.status)
+           for r in DIF.snapshot_diff(old, new, ["a", "b"], ["s"]).collect()}
+    assert got == {(1, 2, "changed")}
+
+
+# --------------------------------------------------- streaming sessions
+
+
+def test_sessionize_stream_session_window(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from mds_provider_spark.streaming import stream as STR
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ddl = "event_id long, ts timestamp, user_id long"
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1),
+        (1, t0 + dt.timedelta(minutes=10), 1),     # same session (gap 1h)
+        (2, t0 + dt.timedelta(hours=5), 1),        # new session
+        (3, t0 + dt.timedelta(minutes=1), 2),
+        (4, t0, None),                              # dropped
+    ]
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "f*"))
+    q = (
+        STR.sessionize_stream(stream, gap="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.n_events)
+           for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert got == {(1, 2), (1, 1), (2, 1)}
