@@ -1376,6 +1376,80 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DIF.snapshot_diff(o, new, ["o_orderkey"])
 
 
+def rollup_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (operators/sessions.time_rollup): hourly
+    (bucket, event_type) counts + exact decimal sums — the hypertable /
+    continuous-aggregate shape. Bucket start is emitted as a formatted
+    string (calendar arithmetic on the NTZ timestamp, no timezone
+    involved on either engine)."""
+    from mds_provider_spark.operators import sessions as SES
+
+    ev = _t(spark, sf_dir, "events")
+    out = SES.time_rollup(
+        ev, ts_col="ts", interval="1 hour",
+        keys=("event_type",), sum_cols=("value",),
+    )
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+def voiced_rate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY check (audio.transcript_rate_violations): chars per
+    VOICED second measured from the decoded waveform — catches a
+    transcript paired with silent/wrong audio even when the metadata
+    rate band passes. ORACLED via the shared-kernel ledger (expected
+    violations replayed driver-side through voiced_seconds_of on the
+    generator waveforms), PLUS planted silent clips carrying non-empty
+    transcripts — the engine must flag exactly those as 'transcript
+    over silence' by actually decoding them."""
+    import numpy as np
+
+    n = 400 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    lo, hi = 30.0, 500.0
+    expected = []
+    for i in range(n):
+        cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, faults.get(i))
+        if buf is None or cid is None or codec not in audio.DECODERS:
+            continue
+        if sr is None or int(sr) <= 0 or dur is None or int(dur) <= 0:
+            continue
+        if txt is None or len(txt) == 0:
+            continue
+        try:
+            w = audio.decode(codec, bytes(buf))
+        except Exception:
+            continue
+        voiced = audio.voiced_seconds_of(w, int(sr))
+        if voiced == 0.0 or not (lo <= len(txt) / voiced <= hi):
+            expected.append((cid, int(part)))
+    n_silent = 5 * _scale_mult(sf_dir)
+    silent_rows = [
+        (f"silent-{i:04d}", bytearray(audio.encode_pcm_s16le(
+            np.zeros(1600, np.float32))), 16000, 100, "pcm_s16le",
+         "planted transcript over silence", 0)
+        for i in range(n_silent)
+    ]
+    expected += [(r[0], r[6]) for r in silent_rows]
+    spark.createDataFrame(
+        expected, "clip_id string, part_id int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/voiced_rate_ledger")
+    ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+           "codec string, transcript string, part_id int")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    clips = clips.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
+    ).unionByName(spark.createDataFrame(silent_rows, ddl))
+    return audio.transcript_rate_violations(clips, lo=lo, hi=hi).select(
+        "rule_id", "clip_id", "part_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1402,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_drift_lineitem": grouped_drift_lineitem,
         "token_heavy_hitters_documents": token_heavy_hitters_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
+        "rollup_events_hourly": rollup_events_hourly,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -1437,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_clips_speed": augment_clips_speed,
         "loudness_normalize_clips": loudness_normalize_clips,
         "filterbank_clips": filterbank_clips_features,
+        "voiced_rate_clips": voiced_rate_clips,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -2203,6 +2279,19 @@ def oracle_sql() -> dict[str, str]:
         "loudness_normalize_clips": f"""
             SELECT clip_id, n_samples, rms_before, rms_after, bytes_md5
             FROM read_parquet('{_ORACLE_DIR}/loudness_ledger/*.parquet')
+        """,
+        "voiced_rate_clips": f"""
+            SELECT 'inconsistent:voiced_rate' AS rule_id, clip_id, part_id
+            FROM read_parquet('{_ORACLE_DIR}/voiced_rate_ledger/*.parquet')
+        """,
+        "rollup_events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS hour_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "filterbank_clips": f"""
             SELECT clip_id, frame_idx, log_energy, fb_md5

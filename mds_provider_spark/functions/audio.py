@@ -970,3 +970,100 @@ def filterbank_clips(
         work,
         "clip_id string, frame_idx int, log_energy double, fb_md5 string",
     )
+
+
+# ----------------------------------------------------- voiced-rate check
+
+
+def voiced_seconds_of(w: np.ndarray, sr_hz: int) -> float:
+    """Voiced (non-silent) duration from the decoded waveform: fraction
+    of 20 ms frames with RMS >= the silence threshold, times the frame
+    duration — the same frame/threshold constants as
+    ``quality_features_of`` so the two screens agree on what silence is.
+    Trailing samples beyond the last full frame count as one extra frame
+    when their own RMS clears the threshold."""
+    x = w.astype(np.float64)
+    if x.size == 0 or sr_hz <= 0:
+        return 0.0
+    frame = max(1, int(sr_hz) * _SILENCE_FRAME_MS // 1000)
+    n_frames = x.size // frame
+    voiced = 0
+    if n_frames > 0:
+        fr = x[: n_frames * frame].reshape(n_frames, frame)
+        frms = np.sqrt((fr * fr).mean(axis=1))
+        voiced = int(np.count_nonzero(frms >= _SILENCE_RMS))
+    tail = x[n_frames * frame :]
+    if tail.size and float(np.sqrt((tail * tail).mean())) >= _SILENCE_RMS:
+        voiced += 1
+    return voiced * (frame / float(sr_hz))
+
+
+def transcript_rate_violations(
+    clips: DataFrame,
+    lo: float = 30.0,
+    hi: float = 500.0,
+    key_col: str = "clip_id",
+    part_col: str = "part_id",
+) -> DataFrame:
+    """CROSS-MODALITY consistency: transcript characters per VOICED
+    second, measured from the decoded audio itself — the check that
+    catches a transcript paired with the wrong (or silent) clip even
+    when the metadata speaking-rate band (rules.rate_band, which trusts
+    dur_ms) passes. A non-empty transcript over fully-silent audio is
+    its own finding ('inconsistent:voiced_rate', "transcript over
+    silence").
+
+    Layered like pcm_violations: rows whose base fields are invalid
+    (NULL key/bytes, unknown codec, non-positive sr/dur, NULL/empty
+    transcript) are skipped — those findings belong to the structural
+    rules. Same pruned-select mapInPandas contract; bytes cross the
+    Arrow pipe once.
+    """
+    rid = S.rule_id(S.INCONSISTENT, "voiced_rate")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rids, ids, parts, msgs = [], [], [], []
+            for cid, buf, sr, dur, codec, txt, part in zip(
+                pdf[key_col], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"],
+                pdf["codec"], pdf["transcript"], pdf[part_col],
+            ):
+                if buf is None or _structurally_invalid(cid, sr, dur, codec):
+                    continue
+                if txt is None or len(txt) == 0:
+                    continue  # empty_transcript's finding
+                try:
+                    dec = decode(codec, bytes(buf))
+                except Exception:
+                    continue  # bad_pcm's finding
+                voiced = voiced_seconds_of(dec, int(sr))
+                if voiced == 0.0:
+                    rids.append(rid); ids.append(cid); parts.append(part)
+                    msgs.append("non-empty transcript over silent audio")
+                    continue
+                rate = len(txt) / voiced
+                if rate < lo or rate > hi:
+                    rids.append(rid); ids.append(cid); parts.append(part)
+                    msgs.append(
+                        f"chars per voiced second {rate:.1f} outside "
+                        f"[{lo}, {hi}]"
+                    )
+            yield pd.DataFrame(
+                {
+                    "rule_id": pd.array(rids, dtype="string"),
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "column_name": pd.array(
+                        ["transcript"] * len(rids), dtype="string"),
+                    "message": pd.array(msgs, dtype="string"),
+                    "part_id": pd.array(parts, dtype="int32"),
+                }
+            )
+
+    pruned = clips.select(
+        key_col, "bytes", "sr_hz", "dur_ms", "codec", "transcript", part_col
+    )
+    return pruned.mapInPandas(
+        check,
+        "rule_id string, clip_id string, column_name string, "
+        "message string, part_id int",
+    )

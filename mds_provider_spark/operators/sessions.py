@@ -27,6 +27,8 @@ same risk surface as any key shuffle and ride AQE skew splitting
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -88,4 +90,39 @@ def session_stats(
         (F.max("_ts_unix") - F.min("_ts_unix")).alias("duration_s"),
         F.min(order_col).alias("first_id"),
         F.max(order_col).alias("last_id"),
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "1 hour",
+    keys: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    sum_decimal: str = "decimal(18,6)",
+) -> DataFrame:
+    """Tumbling-window rollup (the hypertable/continuous-aggregate shape):
+    one row per (time bucket, *keys) with a count and exact sums.
+
+    Pure Catalyst: ``window()`` is a projection (bucket start is integer
+    arithmetic on the epoch), the aggregate is the standard partial+final
+    hash agg — one shuffle keyed on (bucket, keys), which AQE coalesces.
+    Sums route through a decimal cast so results are exact and
+    order-independent (double summation drifts with partitioning; a
+    rollup feeding a drift baseline must not).
+
+    Output: (bucket_start <timestamp as input>, *keys, n_rows,
+    sum_<col>...). This is also the batch twin of a streaming
+    ``groupBy(window(...))`` aggregation — same bucket arithmetic.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(
+            F.sum(F.col(c).cast(sum_decimal)).alias(f"sum_{c}")
+        )
+    return (
+        df.groupBy(F.window(F.col(ts_col), interval).alias("_w"), *keys)
+        .agg(*aggs)
+        .select(F.col("_w.start").alias("bucket_start"), *keys, "n_rows",
+                *[f"sum_{c}" for c in sum_cols])
     )

@@ -303,3 +303,69 @@ def test_sessionize_stream_session_window(spark, tmp_path):
     got = {(r.user_id, r.n_events)
            for r in spark.sql("SELECT * FROM sess_test").collect()}
     assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+# ----------------------------------------------------------- time rollup
+
+
+def test_time_rollup_buckets_and_exact_sums(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 5), "click", 1.5),
+        (dt.datetime(2024, 1, 1, 10, 55), "click", 2.5),
+        (dt.datetime(2024, 1, 1, 11, 0), "click", 4.0),   # next bucket
+        (dt.datetime(2024, 1, 1, 10, 30), "view", None),  # null sum skipped
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = SES.time_rollup(df, keys=("event_type",), sum_cols=("value",))
+    got = {
+        (r.bucket_start.hour, r.event_type): (r.n_rows, r.sum_value)
+        for r in out.collect()
+    }
+    from decimal import Decimal
+
+    assert got == {
+        (10, "click"): (2, Decimal("4.000000")),
+        (11, "click"): (1, Decimal("4.000000")),
+        (10, "view"): (1, None),
+    }
+
+
+# ----------------------------------------------------- voiced-rate check
+
+
+def test_voiced_seconds_kernel():
+    sr = 16000
+    # 100 ms of tone then 100 ms of silence: ~0.1 s voiced
+    t = np.arange(int(0.1 * sr)) / sr
+    tone = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    w = np.concatenate([tone, np.zeros(int(0.1 * sr), np.float32)])
+    v = audio.voiced_seconds_of(w, sr)
+    assert abs(v - 0.1) < 0.021  # one 20 ms frame of slack
+    assert audio.voiced_seconds_of(np.zeros(3200, np.float32), sr) == 0.0
+    assert audio.voiced_seconds_of(np.zeros(0, np.float32), sr) == 0.0
+
+
+def test_transcript_rate_violations_silence_and_band(spark):
+    sr = 16000
+    t = np.arange(int(0.2 * sr)) / sr
+    tone = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    voiced = audio.voiced_seconds_of(tone, sr)  # ~0.2 s
+    ok_txt = "x" * int(100 * voiced)            # ~100 cps: inside [30, 500]
+    fast_txt = "y" * int(900 * voiced)          # ~900 cps: too fast
+    rows = [
+        ("ok", bytearray(audio.encode_pcm_s16le(tone)), sr, 200, "pcm_s16le", ok_txt, 0),
+        ("fast", bytearray(audio.encode_pcm_s16le(tone)), sr, 200, "pcm_s16le", fast_txt, 0),
+        ("silent", bytearray(audio.encode_pcm_s16le(np.zeros(3200, np.float32))),
+         sr, 200, "pcm_s16le", "hello", 0),
+        ("no_txt", bytearray(audio.encode_pcm_s16le(tone)), sr, 200, "pcm_s16le", "", 0),
+        ("no_bytes", None, sr, 200, "pcm_s16le", "hello", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, part_id int",
+    )
+    out = {r.clip_id: r.message for r in
+           audio.transcript_rate_violations(df, lo=30.0, hi=500.0).collect()}
+    assert set(out) == {"fast", "silent"}
+    assert "silent audio" in out["silent"]
