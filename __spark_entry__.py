@@ -1450,6 +1450,39 @@ def voiced_rate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column validation (similarity.embedding_quality_violations)
+    — detection-vs-injection oracle: md5-bucket of vec_id plants three
+    corruption kinds (bucket<5: x2 scale -> norm out of range; 5-7: NaN
+    element -> bad_type; 8: truncated to 32 dims -> bad_shape), the
+    engine must recover exactly the planted sets by actually folding
+    the arrays (natural norms sit in [1-1e-7, 1+1e-7], far from the
+    [0.999, 1.001] band), and the LAYERING (NaN rows must NOT also fire
+    the norm rule — Spark orders NaN above every value) is part of the
+    contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mutated = (
+        F.when(b < 5, F.transform(v, lambda x: x * F.lit(2.0)))
+        .when(
+            b < 8,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("double")), F.slice(v, 2, 63)
+            ),
+        )
+        .when(b == 8, F.slice(v, 1, 32))
+        .otherwise(v)
+    )
+    poisoned = emb.select("vec_id", mutated.alias("embedding"))
+    return SIM.embedding_quality_violations(poisoned)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1477,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_heavy_hitters_documents": token_heavy_hitters_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
         "rollup_events_hourly": rollup_events_hourly,
+        "embedding_quality_embeddings": embedding_quality_embeddings,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2292,6 +2326,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "embedding_quality_embeddings": """
+            WITH b AS (
+              SELECT vec_id,
+                     ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT
+                       % 100 AS bkt
+              FROM embeddings
+            )
+            SELECT 'out_of_range:embedding_norm' AS rule_id, vec_id,
+                   'embedding' AS column_name
+            FROM b WHERE bkt < 5
+            UNION ALL
+            SELECT 'bad_type:embedding', vec_id, 'embedding'
+            FROM b WHERE bkt >= 5 AND bkt < 8
+            UNION ALL
+            SELECT 'bad_shape:embedding', vec_id, 'embedding'
+            FROM b WHERE bkt = 8
         """,
         "filterbank_clips": f"""
             SELECT clip_id, frame_idx, log_energy, fb_md5

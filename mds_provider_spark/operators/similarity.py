@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from mds_provider_spark import schema as S
 from mds_provider_spark.operators.dedup import _cap_buckets
 
 
@@ -447,4 +448,68 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine_sim") >= threshold)
         .distinct()
+    )
+
+
+def embedding_quality_violations(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    norm_lo: float = 0.999,
+    norm_hi: float = 1.001,
+) -> DataFrame:
+    """Vector-column validation — the embedding-table twin of the clip
+    rule set, for corpora where the vectors ARE the training data: a
+    wrong-dimension vector poisons every dot product, a NaN propagates
+    through any reduction, an un-normalized vector silently distorts
+    cosine ranking (dedup thresholds, ANN ordering).
+
+    Three LAYERED findings per row (structural first, content last —
+    the rule-set discipline):
+
+      bad_shape:<vec>           size(vec) != dim        (NULL vec is
+                                not_null's finding, skipped here)
+      bad_type:<vec>            any element NaN or +/-Inf
+      out_of_range:<vec>_norm   L2 norm outside [lo, hi] — checked ONLY
+                                when shape and elements are clean (a
+                                NaN norm would otherwise double-report:
+                                Spark orders NaN above every value, so
+                                `norm > hi` fires spuriously)
+
+    Pure Catalyst (HOF exists/aggregate over the array column): one
+    scan, no shuffle, no Python — screening 10^12 vectors costs exactly
+    one pass, and the element fold stays in whole-stage codegen. The
+    norm is computed by casting each element to double BEFORE squaring
+    (float32 squares overflow/underflow earlier, and the oracle engines
+    do their list arithmetic in double — same fold order, same result).
+    """
+    x = F.col(vec_col)
+    bad_shape = x.isNotNull() & (F.size(x) != F.lit(dim))
+    bad_elem = x.isNotNull() & F.exists(
+        x, lambda v: F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            x,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    bad_norm = (
+        x.isNotNull()
+        & ~bad_shape
+        & ~bad_elem
+        & ((norm < F.lit(norm_lo)) | (norm > F.lit(norm_hi)))
+    )
+    hits = F.array_compact(
+        F.array(
+            F.when(bad_shape, F.lit(S.rule_id(S.BAD_SHAPE, vec_col))),
+            F.when(bad_elem, F.lit(S.rule_id(S.BAD_TYPE, vec_col))),
+            F.when(bad_norm, F.lit(S.rule_id(S.OUT_OF_RANGE, f"{vec_col}_norm"))),
+        )
+    )
+    return (
+        emb.select(F.col(id_col), F.explode(hits).alias("rule_id"))
+        .select("rule_id", id_col, F.lit(vec_col).alias("column_name"))
     )

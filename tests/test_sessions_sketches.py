@@ -369,3 +369,43 @@ def test_transcript_rate_violations_silence_and_band(spark):
            audio.transcript_rate_violations(df, lo=30.0, hi=500.0).collect()}
     assert set(out) == {"fast", "silent"}
     assert "silent audio" in out["silent"]
+
+
+# -------------------------------------------------- embedding quality
+
+
+def test_embedding_quality_layering(spark):
+    from mds_provider_spark.operators import similarity as SIM
+
+    inf = float("inf")
+    nan = float("nan")
+    unit = [1.0] + [0.0] * 63
+    rows = [
+        (1, unit),                          # clean -> silent
+        (2, [2.0] + [0.0] * 63),            # norm 2 -> out_of_range only
+        (3, [nan] + [0.0] * 63),            # NaN -> bad_type ONLY (no norm)
+        (4, [-inf] + [0.0] * 63),           # Inf -> bad_type only
+        (5, [1.0, 0.0]),                    # wrong dim -> bad_shape ONLY
+        (6, None),                          # NULL -> not_null's finding: silent
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_id, r.rule_id)
+           for r in SIM.embedding_quality_violations(df).collect()}
+    assert got == {
+        (2, "out_of_range:embedding_norm"),
+        (3, "bad_type:embedding"),
+        (4, "bad_type:embedding"),
+        (5, "bad_shape:embedding"),
+    }
+
+
+def test_embedding_quality_pure_catalyst_no_shuffle(spark):
+    from mds_provider_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 63)], "vec_id long, embedding array<double>"
+    )
+    plan = SIM.embedding_quality_violations(df)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan        # one scan, zero shuffles
+    assert "BatchEvalPython" not in plan, plan  # no Python in the hot path
