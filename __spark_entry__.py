@@ -1483,6 +1483,27 @@ def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_quality_violations(poisoned)
 
 
+def anomalous_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly layer over the hourly rollup
+    (sessions.anomalous_buckets): per-event-type z-score outliers among
+    hourly counts. The z arithmetic is built from INTEGER sums (s1, s2,
+    n — exact in any engine) combined in one fixed double expression,
+    so the oracle replays it bit-for-bit; stddev_samp would not
+    (accumulation-order-dependent)."""
+    from mds_provider_spark.operators import sessions as SES
+
+    ev = _t(spark, sf_dir, "events")
+    roll = SES.time_rollup(ev, ts_col="ts", interval="1 hour",
+                           keys=("event_type",))
+    out = SES.anomalous_buckets(roll, ["event_type"], "n_rows", z_threshold=2.5)
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("n_rows").alias("n_events"),
+        "z",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1511,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": snapshot_diff_orders,
         "rollup_events_hourly": rollup_events_hourly,
         "embedding_quality_embeddings": embedding_quality_embeddings,
+        "anomalous_hours_events": anomalous_hours_events,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2326,6 +2348,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "anomalous_hours_events": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, count(*) AS nn,
+                     sum(n) AS s1, sum(n * n) AS s2
+              FROM r GROUP BY 1
+            ), z AS (
+              SELECT r.event_type, r.b, r.n,
+                     (r.n::DOUBLE - s1::DOUBLE / nn)
+                       / sqrt(greatest(
+                           (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / nn))
+                             / (nn - 1.0), 0.0)) AS zv,
+                     sqrt(greatest(
+                         (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / nn))
+                           / (nn - 1.0), 0.0)) AS sd,
+                     nn
+              FROM r JOIN s USING (event_type)
+            )
+            SELECT event_type,
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   n AS n_events, round(zv, 6) AS z
+            FROM z WHERE nn > 1 AND sd > 0 AND abs(zv) > 2.5
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

@@ -306,6 +306,12 @@ def main() -> None:
                     "pack_documents",
                     "pii_redaction_documents",
                     "embedding_near_dup",
+                    "sessionize_events",
+                    "heavy_hitters_events",
+                    "token_heavy_hitters_documents",
+                    "snapshot_diff_orders",
+                    "rollup_events_hourly",
+                    "embedding_quality_embeddings",
                 ],
             )
         except Exception as ex:  # never let evidence collection kill the bench line

@@ -126,3 +126,49 @@ def time_rollup(
         .select(F.col("_w.start").alias("bucket_start"), *keys, "n_rows",
                 *[f"sum_{c}" for c in sum_cols])
     )
+
+
+def anomalous_buckets(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "n_rows",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Flag time buckets whose count is a z-score outlier WITHIN its key
+    — the volume-anomaly layer on top of ``time_rollup`` (a provider
+    that stops sending, a codec that floods: both show up here hours
+    before a quantile drift check would move).
+
+    Determinism discipline: mean/variance come from INTEGER sums
+    (sum(x), sum(x^2), count over the bucket counts — exact in any
+    engine), combined with one fixed double expression
+    ``var = (s2 - s1^2/n) / (n-1)``, so two engines given the same
+    buckets produce bit-identical z-scores — this is oracle-replayable
+    arithmetic, unlike stddev_samp whose accumulation order varies.
+    Plan: one partial/final agg over the (already tiny) rollup, one
+    broadcast join back — nothing data-scale.
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("long")
+    stats = rollup.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+    )
+    j = rollup.join(F.broadcast(stats), keys)
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (x.cast("double") - mean) / sd
+    return (
+        j.where((F.col("_n") > 1) & (sd > 0) & (F.abs(z) > F.lit(z_threshold)))
+        .select(
+            *keys,
+            "bucket_start",
+            F.col(value_col),
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -324,36 +324,25 @@ def _nearest_centroids(
     return fn(vec, cents, nprobe)
 
 
-def ivf_topk(
+def train_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_lists: int = 16,
-    nprobe: int = 3,
     train_sample: int = 2048,
     kmeans_iters: int = 8,
     seed: int = 7,
-    round_digits: int = 6,
-    assign_impl: str = "auto",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k.
+) -> np.ndarray:
+    """Train the IVF coarse quantizer once; reuse via ``ivf_topk(...,
+    centroids=...)`` or persist with ``save_ivf_index``.
 
-    Train a coarse quantizer (k-means on a driver sample — deterministic
-    seed), assign each corpus vector to its nearest list (one Catalyst
-    projection; centroids are plan literals, no shuffle), probe the
-    ``nprobe`` nearest lists per query, score only same-list pairs.
-    Candidate set per query ≈ nprobe/n_lists of the corpus — at 10^9
-    vectors with 4096 lists and nprobe=8 that's a 512x scan reduction
-    with the recall knob explicit (nprobe).
+    Deterministic training sample WITHOUT a full-corpus TakeOrdered: a
+    hash-membership prefilter (pushable, scan-proportional, partition-
+    independent) shrinks the corpus ~sample_mod x, then the tiny
+    survivor set is ordered for exact reproducibility. Small corpora
+    that can't fill the sample fall back to the direct ordered take —
+    same centroids either way at test scale, cheap path at 10^12 rows.
     """
-    # deterministic training sample WITHOUT a full-corpus TakeOrdered: a
-    # hash-membership prefilter (pushable, scan-proportional, partition-
-    # independent) shrinks the corpus ~sample_mod x, then the tiny
-    # survivor set is ordered for exact reproducibility. Small corpora
-    # that can't fill the sample fall back to the direct ordered take —
-    # same centroids as before at test scale, cheap path at 10^12 rows.
     sample_mod = 64
     filtered = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -372,7 +361,64 @@ def ivf_topk(
             .collect()
         )
     sample = np.asarray([list(r[0]) for r in filtered], dtype=np.float64)
-    cents = _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
+    return _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
+
+
+def save_ivf_index(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a trained quantizer as engine-portable parquet
+    (list_id int, centroid array<double>) — byte-faithful float64, so a
+    load on any cluster reproduces IDENTICAL list assignments (the
+    index is plan literals; a last-ulp drift would silently reshuffle
+    every list boundary)."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(np.asarray(centroids))]
+    spark.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    if not rows:
+        raise ValueError(f"empty IVF index at {path!r}")
+    return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 7,
+    round_digits: int = 6,
+    assign_impl: str = "auto",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Train a coarse quantizer (k-means on a driver sample — deterministic
+    seed), assign each corpus vector to its nearest list (one Catalyst
+    projection; centroids are plan literals, no shuffle), probe the
+    ``nprobe`` nearest lists per query, score only same-list pairs.
+    Candidate set per query ≈ nprobe/n_lists of the corpus — at 10^9
+    vectors with 4096 lists and nprobe=8 that's a 512x scan reduction
+    with the recall knob explicit (nprobe).
+
+    ``centroids``: a pre-trained index (``train_ivf_index`` /
+    ``load_ivf_index``) — pass it to skip training entirely, the
+    production path where one training run serves every subsequent
+    query batch (training reads the corpus; probing must not).
+    """
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = train_ivf_index(
+            corpus, id_col, vec_col, n_lists, train_sample, kmeans_iters, seed
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")

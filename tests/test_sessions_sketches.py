@@ -409,3 +409,76 @@ def test_embedding_quality_pure_catalyst_no_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan        # one scan, zero shuffles
     assert "BatchEvalPython" not in plan, plan  # no Python in the hot path
+
+
+# ------------------------------------------------- bucket anomalies
+
+
+def test_anomalous_buckets_integer_exact_z(spark):
+    # 9 quiet hours at 10 events + one 100-event spike for type 'a';
+    # type 'b' is flat -> silent
+    rows = []
+    for h in range(10):
+        n = 100 if h == 5 else 10
+        rows += [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0)] * n
+        rows += [(dt.datetime(2024, 1, 1, h, 1), "b", 1.0)] * 10
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    out = SES.anomalous_buckets(roll, ["event_type"], "n_rows", z_threshold=2.5)
+    got = [(r.event_type, r.bucket_start.hour, r.n_rows) for r in out.collect()]
+    assert got == [("a", 5, 100)]
+    # z reproducible from the integer-sum formula
+    import math
+
+    s1, s2, n = 9 * 10 + 100, 9 * 100 + 100 * 100, 10
+    mean = s1 / n
+    sd = math.sqrt((s2 - s1 * mean) / (n - 1.0))
+    z = next(r.z for r in out.collect())
+    assert abs(z - round((100 - mean) / sd, 6)) < 1e-12
+
+
+def test_anomalous_buckets_degenerate_groups_silent(spark):
+    # single-bucket group (n=1) and zero-variance group: no division
+    # blowups, no findings
+    rows = [(dt.datetime(2024, 1, 1, 1), "solo", 1.0)] + [
+        (dt.datetime(2024, 1, 1, h), "flat", 1.0) for h in range(4)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    assert SES.anomalous_buckets(roll, ["event_type"]).count() == 0
+
+
+# ------------------------------------------------- IVF index persistence
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    from mds_provider_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM.train_ivf_index(corpus, n_lists=4, train_sample=256)
+    path = str(tmp_path / "ivf_index")
+    SIM.save_ivf_index(spark, cents, path)
+    loaded = SIM.load_ivf_index(spark, path)
+    assert loaded.shape == cents.shape
+    assert np.array_equal(loaded, cents)  # byte-faithful float64
+
+    queries = corpus.where(F.col("vec_id") < 3)
+    fresh = SIM.ivf_topk(corpus, queries, k=3, n_lists=4, train_sample=256)
+    reused = SIM.ivf_topk(corpus, queries, k=3, centroids=loaded)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, reused.collect()))
+
+
+def test_ivf_load_empty_raises(spark, tmp_path):
+    from mds_provider_spark.operators import similarity as SIM
+
+    p = str(tmp_path / "empty_ivf")
+    spark.createDataFrame([], "list_id int, centroid array<double>") \
+        .write.parquet(p)
+    with pytest.raises(ValueError, match="empty"):
+        SIM.load_ivf_index(spark, p)
