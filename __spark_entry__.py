@@ -1504,6 +1504,42 @@ def anomalous_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
+    deterministic tag+URL+email suffix planted, then the tag/url/email
+    strip + whitespace collapse must produce byte-identical cleaned
+    text in both engines (capture-free RE2-safe patterns, literal
+    replacements; counts measured on the original text)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    plant = F.lit(" <b>ad</b> visit https://x.example/a?b=1 mail me@ex.com")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull() & (b < 20), F.concat(F.col("text"), plant)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = TX.clean_text(planted, "text")
+    return out.select(
+        "doc_id", "n_email", "n_html_tag", "n_url",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (text.chunk_fixed, the
+    RAG/embedding prep fan-out): 500-char windows, 100 overlap —
+    boundaries are pure char arithmetic, replayed exactly by the
+    oracle's correlated range + substr."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_fixed(docs, "doc_id", "text", size=500, overlap=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1533,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events_hourly": rollup_events_hourly,
         "embedding_quality_embeddings": embedding_quality_embeddings,
         "anomalous_hours_events": anomalous_hours_events,
+        "clean_text_documents": clean_text_documents,
+        "chunk_documents": chunk_documents,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2348,6 +2386,46 @@ def oracle_sql() -> dict[str, str]:
                    sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "clean_text_documents": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NOT NULL AND
+                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                            % 100 < 20
+                          THEN text ||
+                            ' <b>ad</b> visit https://x.example/a?b=1 mail me@ex.com'
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE CAST(len(
+                     regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                   ) AS BIGINT) END AS n_email,
+                   CASE WHEN text IS NULL THEN NULL ELSE CAST(len(
+                     regexp_extract_all(text, '<[^>]+>')) AS BIGINT)
+                   END AS n_html_tag,
+                   CASE WHEN text IS NULL THEN NULL ELSE CAST(len(
+                     regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+                   END AS n_url,
+                   md5(trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                         'https?://[^\s]+', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS clean_md5
+            FROM planted
+        """,
+        "chunk_documents": """
+            SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+                   substr(text, 1 + CAST(t.i AS INT) * 400, 500) AS chunk
+            FROM documents,
+                 unnest(range(0, CAST(1 + greatest(
+                   ceil((length(text) - 500) / 400.0), 0) AS BIGINT))) AS t(i)
+            WHERE text IS NOT NULL AND length(text) > 0
         """,
         "anomalous_hours_events": """
             WITH r AS (

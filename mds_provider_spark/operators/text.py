@@ -538,3 +538,94 @@ def redact_pii(
     if gate:
         redacted = F.when(has_pii, redacted).otherwise(text)
     return out.withColumn(f"{text_col}_redacted", redacted)
+
+
+# --------------------------------------------------- chunking / cleaning
+
+# Cleaning patterns are deliberately capture-group-free: Java regex
+# replacement syntax ($1) and RE2's (\1) disagree, so any rule that
+# needs a backreference would fork engine behavior. These don't.
+CLEAN_PATTERNS = {
+    "html_tag": r"<[^>]+>",
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+def clean_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Boilerplate scrub (the curation step before quality scoring):
+    strip HTML tags, URLs, and emails, collapse whitespace runs, trim.
+    One Catalyst projection — no Python, no shuffle; per-kind counts
+    are measured against the ORIGINAL text (the PII-scrub discipline)
+    so removals are auditable. Engine-portable: every pattern is
+    RE2-safe and capture-free, replacements are literal — DuckDB/Trino
+    replay the chain for byte-identical output (the oracle compares
+    md5 of the cleaned column).
+
+    Order matters and is fixed: tags -> urls -> emails -> whitespace
+    (a URL inside an anchor tag is gone with the tag; counts still see
+    it because they run on the original). Adds ``n_<kind>`` counters
+    and ``<text_col>_clean``; NULL text stays NULL.
+    """
+    text = F.col(text_col)
+    out = df
+    for kind in sorted(CLEAN_PATTERNS):
+        out = out.withColumn(
+            f"n_{kind}",
+            F.when(text.isNull(), F.lit(None).cast("long")).otherwise(
+                F.size(
+                    F.regexp_extract_all(text, F.lit(CLEAN_PATTERNS[kind]), 0)
+                ).cast("long")
+            ),
+        )
+    cleaned = text
+    for kind in ("html_tag", "url", "email"):
+        cleaned = F.regexp_replace(cleaned, CLEAN_PATTERNS[kind], " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return out.withColumn(f"{text_col}_clean", cleaned)
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 500,
+    overlap: int = 100,
+) -> DataFrame:
+    """Fixed-window document chunking with overlap — the RAG/embedding
+    prep shape: one row in, ``n`` chunk rows out, where
+    ``n = 1 + max(ceil((len - size) / stride), 0)`` and
+    ``stride = size - overlap``. The last chunk may be shorter; every
+    character is covered; chunk boundaries are pure arithmetic on the
+    char length, so any SQL engine reproduces the exact same windows
+    (``substr`` is 1-based in both Spark and DuckDB/Trino).
+
+    Catalyst-only: sequence() + explode — the fan-out happens inside
+    the scan stage, no shuffle, no Python. NULL/empty docs yield no
+    chunks (a chunk of nothing poisons downstream embedding batches).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    text = F.col(text_col)
+    n = (
+        F.lit(1)
+        + F.greatest(
+            F.ceil((F.length(text) - F.lit(size)) / F.lit(stride)), F.lit(0)
+        )
+    ).cast("int")
+    return (
+        df.where(text.isNotNull() & (F.length(text) > 0))
+        .select(
+            F.col(id_col),
+            text.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(
+                F.col("_t"), F.lit(1) + F.col("chunk_idx") * F.lit(stride), size
+            ).alias("chunk"),
+        )
+    )

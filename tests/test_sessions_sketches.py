@@ -536,3 +536,52 @@ def test_bucketed_groupby_elides_exchange(spark):
         assert agg.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_g")
+
+
+# ----------------------------------------------------- clean / chunk
+
+
+def test_clean_text_strips_and_counts(spark):
+    from mds_provider_spark.operators import text as TX
+
+    rows = [
+        (1, "hello <b>world</b> see https://a.b/c?d=1 or mail x@y.co  now"),
+        (2, "plain   text\n\nwith   runs"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.clean_text(df, "text").collect()}
+    assert out[1].text_clean == "hello world see or mail now"
+    assert (out[1].n_html_tag, out[1].n_url, out[1].n_email) == (2, 1, 1)
+    assert out[2].text_clean == "plain text with runs"
+    assert out[2].n_url == 0
+    assert out[3].text_clean is None and out[3].n_email is None
+
+
+def test_chunk_fixed_windows(spark):
+    from mds_provider_spark.operators import text as TX
+
+    txt = "".join(chr(ord("a") + i % 26) for i in range(1000))
+    df = spark.createDataFrame(
+        [(1, txt), (2, "short"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    rows = TX.chunk_fixed(df, "doc_id", "text", size=500, overlap=100).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    # doc 1: starts 0, 400, 800 -> lengths 500, 500, 200; overlap holds
+    assert [i for i, _ in sorted(by_doc[1])] == [0, 1, 2]
+    c = dict(by_doc[1])
+    assert (len(c[0]), len(c[1]), len(c[2])) == (500, 500, 200)
+    assert c[0][400:] == c[1][:100]              # 100-char overlap
+    assert c[0] + c[1][100:] + c[2][100:] == txt  # full coverage, no gaps
+    assert by_doc[2] == [(0, "short")]
+    assert 3 not in by_doc and 4 not in by_doc    # empty/null: no chunks
+
+
+def test_chunk_fixed_bad_overlap_raises(spark):
+    from mds_provider_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_fixed(df, "doc_id", "text", size=100, overlap=100)
