@@ -1540,6 +1540,34 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_fixed(docs, "doc_id", "text", size=500, overlap=100)
 
 
+def compression_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib information-density screen (text.compression_ratio) —
+    ledger-oracled: the expected (raw, compressed, ratio) triple is
+    replayed DRIVER-side through the identical zlib call over the same
+    table, so the distributed Arrow path must agree byte-for-byte (a
+    platform zlib delta, an encoding drift, or a skip-contract miss all
+    hash-mismatch)."""
+    import zlib
+
+    docs = _t(spark, sf_dir, "documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+    expected = []
+    for i, t in zip(pdf["doc_id"], pdf["text"]):
+        if t is None:
+            continue
+        b = str(t).encode("utf-8")
+        c = len(zlib.compress(b, 6)) if b else 0
+        expected.append(
+            (int(i), len(b), c, round(c / len(b), 6) if b else 1.0)
+        )
+    spark.createDataFrame(
+        expected,
+        "doc_id long, n_raw_bytes long, n_compressed_bytes long, ratio double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/compression_ledger")
+    return TX.compression_ratio(docs, "doc_id", "text", level=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1571,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomalous_hours_events": anomalous_hours_events,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
+        "compression_quality_documents": compression_quality_documents,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2386,6 +2415,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "compression_quality_documents": f"""
+            SELECT doc_id, n_raw_bytes, n_compressed_bytes, ratio
+            FROM read_parquet('{_ORACLE_DIR}/compression_ledger/*.parquet')
         """,
         "clean_text_documents": r"""
             WITH planted AS (

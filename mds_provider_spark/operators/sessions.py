@@ -45,9 +45,12 @@ def sessionize(
     key exceeds ``gap_s`` seconds. Ordering ties on ``ts`` break by
     ``order_col`` so the cut is deterministic under any partitioning.
     Rows with NULL key are dropped (a session of nobody is nothing; the
-    rule layer's ``not_null`` owns that finding). Gap arithmetic uses
-    epoch SECONDS (timestamp cast to long — timezone-independent instant
-    math, and exactly reproducible in ANSI SQL oracles).
+    rule layer's ``not_null`` owns that finding). Rows with NULL ``ts``
+    are the rule layer's finding too — they sort first (Spark ASC =
+    NULLS FIRST) and fold into the key's first session (a NULL gap
+    never cuts); validate timestamps before sessionizing. Gap arithmetic uses epoch SECONDS
+    (timestamp cast to long — timezone-independent instant math, and
+    exactly reproducible in ANSI SQL oracles).
     """
     w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(order_col))
     # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP.

@@ -629,3 +629,60 @@ def chunk_fixed(
             ).alias("chunk"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap quality /
+    repetition screen (highly compressible text is boilerplate or loops;
+    nearly-incompressible "text" is usually binary junk or ciphertext).
+    Complements ``repetition_profile`` (n-gram view) with a whole-
+    document information-density view.
+
+    Arrow-batched mapInPandas (zlib is not expressible in Catalyst);
+    only (id, text) cross the pipe, one pass, no shuffle. DETERMINISTIC
+    by construction: zlib output depends only on (bytes, level) — same
+    ratio on every executor, every retry, every platform zlib (the
+    compressed LENGTH at a fixed level is stable for CPython's bundled
+    zlib; the oracle replays through the identical function driver-side,
+    so even a platform delta would be caught, not masked).
+
+    Output: (id, n_raw_bytes, n_compressed_bytes, ratio) with ratio =
+    compressed/raw rounded to 6 (empty text -> ratio 1.0 by convention;
+    NULL text is skipped — absence is the rule layer's finding).
+    """
+    import zlib
+
+    import pandas as pd
+
+    def work(batches):
+        for pdf in batches:
+            ids, raws, comps, ratios = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                b = str(t).encode("utf-8")
+                c = len(zlib.compress(b, level)) if b else 0
+                ids.append(i)
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(round(c / len(b), 6) if b else 1.0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_raw_bytes": pd.array(raws, dtype="int64"),
+                    "n_compressed_bytes": pd.array(comps, dtype="int64"),
+                    "ratio": pd.array(ratios, dtype="float64"),
+                }
+            )
+
+    pruned = df.select(F.col(id_col).alias(id_col), text_col)
+    schema = (
+        f"id {dict(df.dtypes)[id_col]}, n_raw_bytes long, "
+        "n_compressed_bytes long, ratio double"
+    )
+    return pruned.mapInPandas(work, schema).withColumnRenamed("id", id_col)

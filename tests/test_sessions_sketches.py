@@ -585,3 +585,24 @@ def test_chunk_fixed_bad_overlap_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         TX.chunk_fixed(df, "doc_id", "text", size=100, overlap=100)
+
+
+# --------------------------------------------------- compression ratio
+
+
+def test_compression_ratio_signals(spark):
+    from mds_provider_spark.operators import text as TX
+
+    rows = [
+        (1, "ab" * 500),                      # loops -> very compressible
+        (2, "".join(chr(33 + (i * 37) % 90) for i in range(1000))),  # dense
+        (3, ""),                              # empty -> ratio 1.0
+        (4, None),                            # skipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           TX.compression_ratio(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].ratio < 0.05 < out[2].ratio
+    assert out[3].ratio == 1.0 and out[3].n_raw_bytes == 0
+    assert out[1].n_raw_bytes == 1000
