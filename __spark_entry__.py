@@ -1568,6 +1568,25 @@ def compression_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return TX.compression_ratio(docs, "doc_id", "text", level=6)
 
 
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity check (text.split_leakage): duplicate content
+    straddling the 80/10/10 id-hash split. The table's own duplicates
+    happen to co-bucket at sf0.01, so the query PLANTS copies of the 20
+    lowest-id docs under shifted ids (max+1 offset — the
+    embedding-dedup planting pattern); the copies' split assignments
+    are fixed functions of the new ids, and the oracle recomputes the
+    same fingerprint x split matrix in SQL (same md5 normalization,
+    same bucket arithmetic), so engine and oracle must find the exact
+    same leaking fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    offset = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    copies = (
+        docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    )
+    return TX.split_leakage(docs.unionByName(copies), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1600,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
+        "split_leakage_documents": split_leakage_documents,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2415,6 +2435,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "split_leakage_documents": f"""
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+              FROM (SELECT doc_id, text FROM documents
+                    ORDER BY doc_id LIMIT 20)
+            ), tagged AS (
+              SELECT md5({_NORM}) AS fingerprint,
+                     CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'),
+                                1, 4))::BIGINT % 100 < 80 THEN 'train'
+                          WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'),
+                                1, 4))::BIGINT % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM unioned WHERE text IS NOT NULL
+            )
+            SELECT fingerprint,
+                   CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM tagged GROUP BY fingerprint
+            HAVING count(DISTINCT split) > 1
         """,
         "compression_quality_documents": f"""
             SELECT doc_id, n_raw_bytes, n_compressed_bytes, ratio

@@ -686,3 +686,55 @@ def compression_ratio(
         "n_compressed_bytes long, ratio double"
     )
     return pruned.mapInPandas(work, schema).withColumnRenamed("id", id_col)
+
+
+def split_assign(
+    id_col: str,
+    boundaries: dict[str, int] | None = None,
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test assignment: md5-bucket of the id
+    against cumulative percentage boundaries (default 80/10/10). Pure
+    function of the id — the same split everywhere, forever, any
+    engine (the sampling discipline of ``deterministic_sample``)."""
+    boundaries = boundaries or {"train": 80, "val": 90, "test": 100}
+    b = _md5_bucket(id_col, salt, 100)
+    out = None
+    for name, hi in sorted(boundaries.items(), key=lambda kv: kv[1]):
+        cond = b < F.lit(hi)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    return out
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundaries: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split leakage detector — the eval-integrity check every
+    training pipeline needs: content whose fingerprint appears in MORE
+    than one split (duplicate or near-verbatim text straddling
+    train/test silently inflates eval scores). Splits are assigned by
+    ``split_assign`` (id-hash), fingerprints by the normalized-text md5
+    the exact-dedup path uses, so batch dedup and leakage agree on what
+    "same content" means.
+
+    One scan + one fingerprint-keyed aggregate (count distinct splits
+    is a partial/merge agg). Output: (fingerprint, n_splits, n_docs)
+    for fingerprints spanning >1 split. At 100 TB this is exactly the
+    exact-dedup shuffle — the leak check rides the same bucketing.
+    """
+    tagged = df.where(F.col(text_col).isNotNull()).select(
+        fingerprint(text_col).alias("fingerprint"),
+        split_assign(id_col, boundaries, salt).alias("split"),
+    )
+    return (
+        tagged.groupBy("fingerprint")
+        .agg(
+            F.count_distinct("split").cast("long").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_splits") > 1)
+    )

@@ -606,3 +606,39 @@ def test_compression_ratio_signals(spark):
     assert out[1].ratio < 0.05 < out[2].ratio
     assert out[3].ratio == 1.0 and out[3].n_raw_bytes == 0
     assert out[1].n_raw_bytes == 1000
+
+
+# ------------------------------------------------------ split leakage
+
+
+def test_split_assign_deterministic_and_partitioned(spark):
+    from mds_provider_spark.operators import text as TX
+
+    df = spark.range(1000).selectExpr("id AS doc_id")
+    a = df.select("doc_id", TX.split_assign("doc_id").alias("s")).collect()
+    b = df.repartition(7).select(
+        "doc_id", TX.split_assign("doc_id").alias("s")).collect()
+    assert dict((r.doc_id, r.s) for r in a) == dict((r.doc_id, r.s) for r in b)
+    frac = {}
+    for r in a:
+        frac[r.s] = frac.get(r.s, 0) + 1
+    assert set(frac) == {"train", "val", "test"}
+    assert frac["train"] > 700  # ~80%
+
+
+def test_split_leakage_finds_cross_split_dups(spark):
+    from mds_provider_spark.operators import text as TX
+
+    # find two ids landing in different splits, give them the same text
+    probe = spark.range(200).selectExpr("id AS doc_id").select(
+        "doc_id", TX.split_assign("doc_id").alias("s")).collect()
+    train_id = next(r.doc_id for r in probe if r.s == "train")
+    test_id = next(r.doc_id for r in probe if r.s == "test")
+    other = next(r.doc_id for r in probe
+                 if r.s == "train" and r.doc_id != train_id)
+    rows = [(train_id, "the shared leaking text"),
+            (test_id, "The shared   LEAKING text"),   # normalizes equal
+            (other, "unique content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.split_leakage(df, "doc_id", "text").collect()
+    assert len(out) == 1 and out[0].n_splits == 2 and out[0].n_docs == 2
