@@ -1587,6 +1587,34 @@ def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.split_leakage(docs.unionByName(copies), "doc_id", "text")
 
 
+def curation_pipeline_v2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 END-TO-END curation chain in one lazy plan: clean
+    (tag/url/email scrub) -> quality filter on the CLEANED text ->
+    exact-dedup keep-one -> train-split selection (80% id-hash) ->
+    overlapping chunking. Every stage engine-portable, so DuckDB
+    replays the WHOLE composition; any stage drifting (clean bytes,
+    quality boundary, dedup exemplar, split membership, chunk
+    arithmetic) hash-mismatches."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    cleaned = TX.clean_text(docs, "text").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    scored = cleaned.select(
+        "doc_id", "text", TX.quality_score("text").alias("q")
+    ).where(F.col("q") >= 0.5)
+    w = Window.partitionBy("fp")
+    deduped = (
+        scored.withColumn("fp", TX.fingerprint("text"))
+        .withColumn("_mn", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_mn"))
+        .select("doc_id", "text")
+    )
+    train = deduped.where(TX.split_assign("doc_id") == F.lit("train"))
+    return TX.chunk_fixed(train, "doc_id", "text", size=300, overlap=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (SURVEY.md §2.2/2.3/2.4)
@@ -1620,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
         "split_leakage_documents": split_leakage_documents,
+        "curation_pipeline_v2_documents": curation_pipeline_v2_documents,
         # training-pipeline ops
         "dedup_exact_documents": dedup_exact_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2435,6 +2464,41 @@ def oracle_sql() -> dict[str, str]:
                    sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "curation_pipeline_v2_documents": f"""
+            WITH cleaned AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                           'https?://[^\\s]+', ' ', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                         ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            kept AS (
+              SELECT doc_id, text FROM cleaned WHERE {quality_expr} >= 0.5
+            ),
+            dedup AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY md5({_NORM})) AS mn
+                FROM kept
+              ) WHERE doc_id = mn
+            ),
+            train AS (
+              SELECT doc_id, text FROM dedup
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'split'),
+                     1, 4))::BIGINT % 100 < 80
+            )
+            SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+                   substr(text, 1 + CAST(t.i AS INT) * 250, 300) AS chunk
+            FROM train,
+                 unnest(range(0, CAST(1 + greatest(
+                   ceil((length(text) - 300) / 250.0), 0) AS BIGINT))) AS t(i)
+            WHERE length(text) > 0
         """,
         "split_leakage_documents": f"""
             WITH unioned AS (
