@@ -22,6 +22,7 @@ from mds_provider_spark import rules as R
 from mds_provider_spark import schema as S
 from mds_provider_spark.operators import dedup as D
 from mds_provider_spark.operators import drift as DR
+from mds_provider_spark.operators import profiler as PR
 from mds_provider_spark.operators import referential as REF
 from mds_provider_spark.operators import similarity as SIM
 from mds_provider_spark.operators import stats as ST
@@ -1330,6 +1331,47 @@ def grouped_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+def psi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index + Jensen-Shannon histogram drift —
+    the SHAPE-sensitive companion to the quantile checks (a bimodal or
+    tail-inflated shift that leaves the median alone moves PSI while
+    drift_check stays quiet). Same baseline split as grouped_drift
+    (shipdate < 1996-01-01 vs the rest); fixed bucket grids keep the
+    statistic deterministic, and the oracle replays the identical
+    smoothed-mass arithmetic in SQL."""
+    l = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    bins = {
+        "l_quantity": (1.0, 51.0),
+        "l_extendedprice": (900.0, 105000.0),
+        "l_discount": (0.0, 0.11),
+    }
+    return DR.histogram_drift(
+        l.where(F.col("l_shipdate") >= cut),
+        l.where(F.col("l_shipdate") < cut),
+        bins,
+    )
+
+
+def suggested_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-to-rules suggestion engine (the inverse of schema
+    validation — infer the constraint suite FROM the data, the
+    Great-Expectations-profiler workflow). One aggregation pass builds
+    every column profile; string columns under the distinct gate get a
+    sorted enum suggestion; `props` has nulls planted deterministically
+    (event_id % 20) so the null_rate branch is oracle-exercised
+    alongside required/range/enum."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 20 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("props")
+        ),
+    )
+    return PR.suggest_rules(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
 def token_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """frequent_items at its REAL cardinality: heavy vocabulary tokens
     over the exploded corpus (the thing a global token groupBy cannot
@@ -1639,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_events": heavy_hitters_events,
         "clip_consistency_rules": clip_consistency_rules,
         "grouped_drift_lineitem": grouped_drift_lineitem,
+        "psi_drift_lineitem": psi_drift_lineitem,
+        "suggested_rules_events": suggested_rules_events,
         "token_heavy_hitters_documents": token_heavy_hitters_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
         "rollup_events_hourly": rollup_events_hourly,
@@ -2697,6 +2741,146 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM sides WHERE side='cur') cur
             JOIN (SELECT * FROM sides WHERE side='base') base
               USING (l_returnflag, column_name)
+        """,
+        "psi_drift_lineitem": """
+            WITH params AS (
+              SELECT * FROM (VALUES
+                ('l_quantity', 1.0, 51.0),
+                ('l_extendedprice', 900.0, 105000.0),
+                ('l_discount', 0.0, 0.11)) AS t(column_name, lo, hi)
+            ),
+            vals AS (
+              SELECT p.column_name, p.lo, p.hi,
+                     CASE p.column_name
+                       WHEN 'l_quantity' THEN l_quantity::DOUBLE
+                       WHEN 'l_extendedprice' THEN l_extendedprice::DOUBLE
+                       ELSE l_discount::DOUBLE END AS v,
+                     CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                          THEN 'base' ELSE 'cur' END AS side
+              FROM lineitem CROSS JOIN params p
+            ),
+            counts AS (
+              SELECT column_name, side,
+                     CAST(least(greatest(
+                       floor((v - lo)/((hi - lo)/10)), 0), 9) AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM vals WHERE v IS NOT NULL
+              GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT p.column_name, gs.bucket FROM params p
+              CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) gs
+            ),
+            g AS (
+              SELECT gr.column_name, gr.bucket,
+                     coalesce(c.cnt, 0) AS c_cur, coalesce(b.cnt, 0) AS c_base
+              FROM grid gr
+              LEFT JOIN (SELECT * FROM counts WHERE side = 'cur') c
+                USING (column_name, bucket)
+              LEFT JOIN (SELECT * FROM counts WHERE side = 'base') b
+                USING (column_name, bucket)
+            ),
+            tot AS (SELECT column_name, sum(c_cur) AS n_cur,
+                           sum(c_base) AS n_base
+                    FROM g GROUP BY 1),
+            terms AS (
+              SELECT g.column_name, t.n_cur, t.n_base,
+                     (g.c_cur + 1e-4) / (t.n_cur + 10 * 1e-4) AS p,
+                     (g.c_base + 1e-4) / (t.n_base + 10 * 1e-4) AS q
+              FROM g JOIN tot t USING (column_name)
+            )
+            SELECT column_name,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi,
+                   round(sum((p * ln(p / ((p + q) / 2))
+                              + q * ln(q / ((p + q) / 2))) / 2), 6) AS js_div,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CASE WHEN sum((p - q) * ln(p / q)) > 0.2 THEN 'drift'
+                        WHEN sum((p - q) * ln(p / q)) > 0.1 THEN 'warn'
+                        ELSE 'ok' END AS verdict
+            FROM terms GROUP BY column_name, n_cur, n_base
+        """,
+        "suggested_rules_events": """
+            WITH src AS (
+              SELECT event_id, user_id, event_type, value,
+                     CASE WHEN event_id % 20 = 0 THEN NULL
+                          ELSE props END AS props
+              FROM events
+            ),
+            prof AS (
+              SELECT count(*) AS n,
+                count(event_id) AS nn_event_id,
+                count(DISTINCT event_id) AS d_event_id,
+                round(min(event_id::DOUBLE), 6) AS min_event_id,
+                round(max(event_id::DOUBLE), 6) AS max_event_id,
+                count(user_id) AS nn_user_id,
+                count(DISTINCT user_id) AS d_user_id,
+                round(min(user_id::DOUBLE), 6) AS min_user_id,
+                round(max(user_id::DOUBLE), 6) AS max_user_id,
+                count(event_type) AS nn_event_type,
+                count(DISTINCT event_type) AS d_event_type,
+                count(value) AS nn_value, count(DISTINCT value) AS d_value,
+                round(min(value::DOUBLE), 6) AS min_value,
+                round(max(value::DOUBLE), 6) AS max_value,
+                count(props) AS nn_props, count(DISTINCT props) AS d_props,
+                array_to_string(list_sort(list(DISTINCT event_type)
+                  FILTER (WHERE event_type IS NOT NULL)), ',') AS ev_event_type,
+                array_to_string(list_sort(list(DISTINCT props)
+                  FILTER (WHERE props IS NOT NULL)), ',') AS ev_props
+              FROM src
+            )
+            SELECT column_name, rule_kind, lo, hi, enum_vals,
+                   round(null_rate, 6) AS null_rate, n_distinct
+            FROM (
+              SELECT 'event_id' AS column_name,
+                CASE WHEN (n - nn_event_id)::DOUBLE / n <= 0.0
+                     THEN 'required' ELSE 'null_rate' END AS rule_kind,
+                NULL::DOUBLE AS lo, NULL::DOUBLE AS hi,
+                NULL::VARCHAR AS enum_vals,
+                (n - nn_event_id)::DOUBLE / n AS null_rate,
+                d_event_id::BIGINT AS n_distinct FROM prof
+              UNION ALL
+              SELECT 'event_id', 'range', min_event_id, max_event_id, NULL,
+                (n - nn_event_id)::DOUBLE / n, d_event_id::BIGINT FROM prof
+              UNION ALL
+              SELECT 'user_id',
+                CASE WHEN (n - nn_user_id)::DOUBLE / n <= 0.0
+                     THEN 'required' ELSE 'null_rate' END,
+                NULL, NULL, NULL,
+                (n - nn_user_id)::DOUBLE / n, d_user_id::BIGINT FROM prof
+              UNION ALL
+              SELECT 'user_id', 'range', min_user_id, max_user_id, NULL,
+                (n - nn_user_id)::DOUBLE / n, d_user_id::BIGINT FROM prof
+              UNION ALL
+              SELECT 'event_type',
+                CASE WHEN (n - nn_event_type)::DOUBLE / n <= 0.0
+                     THEN 'required' ELSE 'null_rate' END,
+                NULL, NULL, NULL,
+                (n - nn_event_type)::DOUBLE / n, d_event_type::BIGINT FROM prof
+              UNION ALL
+              SELECT 'event_type', 'enum', NULL, NULL, ev_event_type,
+                (n - nn_event_type)::DOUBLE / n, d_event_type::BIGINT
+              FROM prof WHERE d_event_type <= 20
+              UNION ALL
+              SELECT 'value',
+                CASE WHEN (n - nn_value)::DOUBLE / n <= 0.0
+                     THEN 'required' ELSE 'null_rate' END,
+                NULL, NULL, NULL,
+                (n - nn_value)::DOUBLE / n, d_value::BIGINT FROM prof
+              UNION ALL
+              SELECT 'value', 'range', min_value, max_value, NULL,
+                (n - nn_value)::DOUBLE / n, d_value::BIGINT FROM prof
+              UNION ALL
+              SELECT 'props',
+                CASE WHEN (n - nn_props)::DOUBLE / n <= 0.0
+                     THEN 'required' ELSE 'null_rate' END,
+                NULL, NULL, NULL,
+                (n - nn_props)::DOUBLE / n, d_props::BIGINT FROM prof
+              UNION ALL
+              SELECT 'props', 'enum', NULL, NULL, ev_props,
+                (n - nn_props)::DOUBLE / n, d_props::BIGINT
+              FROM prof WHERE d_props <= 20
+            )
         """,
         "token_heavy_hitters_documents": r"""
             WITH t AS (

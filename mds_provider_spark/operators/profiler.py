@@ -1,0 +1,130 @@
+"""Profile-to-rules suggestion engine (auto-generated constraint suites).
+
+The reference validates against a FIXED schema document fetched from the
+MDS repo (mds/schemas.py); real validation deployments also need the
+inverse — infer a candidate constraint suite FROM the data, review it,
+then enforce it (the Great-Expectations/"profiler" workflow, public
+pattern). Spark-first shape:
+
+* phase 1 — ONE aggregation pass over the table computes every
+  column's profile simultaneously (count / nulls / distinct / min /
+  max); map-side combined, one shuffle of a single row.
+* decision — the one-row profile is collected to the driver. This is
+  metadata-scale (a few doubles per column), not a data collect; the
+  emission logic is plain Python over that row.
+* phase 2 — only for string columns whose distinct count passed the
+  ``enum_max_distinct`` gate, a second bounded aggregation collects the
+  sorted value set (bounded by the gate, so the collect is safe at any
+  table size).
+
+Determinism: min/max are rounded IN the Spark plan (HALF_UP, matching
+DuckDB's round) and enum values are sorted with ``array_sort`` (binary
+UTF8 order, matching DuckDB ``list_sort``), so an oracle can replay the
+whole suggestion table in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from mds_provider_spark import rules as R
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+SUGGESTION_SCHEMA = (
+    "column_name string, rule_kind string, lo double, hi double, "
+    "enum_vals string, null_rate double, n_distinct long"
+)
+
+
+def suggest_rules(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    enum_max_distinct: int = 20,
+    required_max_null_rate: float = 0.0,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Suggest a constraint suite from the data itself.
+
+    Per column emits:
+      * ``required``   when null_rate <= required_max_null_rate, else
+      * ``null_rate``  recording the observed rate as the threshold;
+      * ``range``      [min, max] for numeric columns;
+      * ``enum``       sorted CSV of values for string columns whose
+                       distinct count <= enum_max_distinct.
+
+    ``exact_distinct=False`` swaps ``count_distinct`` for
+    ``approx_count_distinct`` (HLL) — the 100 TB setting, where the enum
+    gate only needs an order-of-magnitude answer. Exact is the default
+    so the suggestion table is reproducible for the oracle.
+    """
+    cols = columns or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_d_{c}"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.round(F.min(F.col(c).cast("double")), 6).alias(f"_min_{c}"))
+            aggs.append(F.round(F.max(F.col(c).cast("double")), 6).alias(f"_max_{c}"))
+    prof = df.agg(*aggs).collect()[0].asDict()
+
+    enum_cands = [
+        c for c in cols
+        if isinstance(fields[c], T.StringType)
+        and prof[f"_d_{c}"] <= enum_max_distinct
+    ]
+    enum_vals: dict[str, str] = {}
+    if enum_cands:
+        ev = df.agg(*[
+            F.array_join(F.array_sort(F.collect_set(F.col(c))), ",").alias(c)
+            for c in enum_cands
+        ]).collect()[0].asDict()
+        enum_vals = {c: ev[c] for c in enum_cands}
+
+    n = prof["_n"]
+    rows = []
+    for c in cols:
+        nn, d = prof[f"_nn_{c}"], int(prof[f"_d_{c}"])
+        null_rate = (n - nn) / n if n else 0.0
+        kind = "required" if null_rate <= required_max_null_rate else "null_rate"
+        rows.append((c, kind, None, None, None, null_rate, d))
+        if isinstance(fields[c], _NUMERIC):
+            rows.append(
+                (c, "range", prof[f"_min_{c}"], prof[f"_max_{c}"], None, null_rate, d)
+            )
+        if c in enum_vals:
+            rows.append((c, "enum", None, None, enum_vals[c], null_rate, d))
+    out = df.sparkSession.createDataFrame(rows, SUGGESTION_SCHEMA)
+    # round in the PLAN (HALF_UP, oracle-portable), not in Python
+    # (banker's rounding would diverge at ties)
+    return out.select(
+        "column_name", "rule_kind", "lo", "hi", "enum_vals",
+        F.round("null_rate", 6).alias("null_rate"), "n_distinct",
+    )
+
+
+def to_ruleset(
+    suggestions: DataFrame, key_col: str, part_col: str
+) -> R.RuleSet:
+    """Materialize a suggestion table into an enforceable RuleSet.
+
+    The roundtrip invariant (pytest-covered): rules suggested FROM a
+    table produce ZERO violations when enforced ON that same table.
+    The suggestion table is metadata-scale, so the collect is bounded.
+    """
+    rs = R.RuleSet(key_col=key_col, part_col=part_col)
+    for row in suggestions.collect():
+        if row.rule_kind == "required":
+            rs.add(R.not_null(row.column_name))
+        elif row.rule_kind == "range":
+            rs.add(R.in_range(row.column_name, row.lo, row.hi))
+        elif row.rule_kind == "enum":
+            rs.add(R.is_in(row.column_name, row.enum_vals.split(",")))
+    return rs

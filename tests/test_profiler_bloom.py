@@ -1,0 +1,62 @@
+"""Profile-to-rules suggestion engine + bloom-prefilter referential."""
+import pytest
+from pyspark.sql import functions as F
+
+from mds_provider_spark.operators import profiler as PR
+
+
+def _src(spark):
+    return spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("double").alias("num"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("cat"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("sparse"),
+        F.lit(0).alias("part_id"),
+    )
+
+
+def test_suggest_rules_kinds(spark):
+    df = _src(spark)
+    rows = {(r.rule_kind, r.column_name): r
+            for r in PR.suggest_rules(df, ["k", "num", "cat", "sparse"]).collect()}
+    assert ("required", "k") in rows and ("range", "k") in rows
+    r = rows[("range", "num")]
+    assert r.lo == 0.0 and r.hi == 4.0
+    e = rows[("enum", "cat")]
+    assert e.enum_vals == "t0,t1,t2" and e.n_distinct == 3
+    s = rows[("null_rate", "sparse")]
+    assert s.null_rate == 0.1
+    # high-cardinality string: no enum suggestion
+    assert ("enum", "sparse") not in rows and ("required", "sparse") not in rows
+
+
+def test_suggest_rules_roundtrip_zero_violations(spark):
+    """Rules suggested FROM a table must produce ZERO violations ON it."""
+    df = _src(spark)
+    sugg = PR.suggest_rules(df, ["k", "num", "cat"])
+    rs = PR.to_ruleset(sugg, key_col="k", part_col="part_id")
+    assert rs.violations(df).count() == 0
+
+
+def test_suggest_rules_enforces_on_drifted_data(spark):
+    """...and must FIRE on data that breaks the inferred envelope."""
+    df = _src(spark)
+    rs = PR.to_ruleset(
+        PR.suggest_rules(df, ["num", "cat"]), key_col="k", part_col="part_id"
+    )
+    bad = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(99.0).alias("num"),          # outside [0, 4]
+        F.lit("zz").alias("cat"),          # outside the enum
+        F.lit(0).alias("part_id"),
+    )
+    kinds = {r.rule_id.split(":")[0] for r in rs.violations(bad).collect()}
+    assert kinds == {"out_of_range", "bad_enum"}
+
+
+def test_suggest_rules_approx_mode(spark):
+    df = _src(spark)
+    got = PR.suggest_rules(df, ["cat"], exact_distinct=False).collect()
+    assert any(r.rule_kind == "enum" for r in got)  # HLL of 3 <= 20 gate

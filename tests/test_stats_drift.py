@@ -92,3 +92,60 @@ def test_tdigest_two_level_merge_accuracy(spark):
     exact = df.agg(F.expr("percentile(a, array(0.25, 0.5, 0.75))")).collect()[0][0]
     for p, e in zip([0.25, 0.5, 0.75], exact):
         assert abs(got[p] - e) <= 0.02 * 1000, (p, got[p], e)
+
+
+# ---------------------------------------------- histogram drift (PSI/JS)
+
+
+def test_psi_flags_shape_shift_quantile_drift_misses(spark):
+    """The PSI use-case: a symmetric bimodal split leaves the median
+    (and the quantile-span check at its default threshold) quiet while
+    the distribution has plainly changed — PSI must fire."""
+    base = spark.range(10000).select(
+        (F.lit(50.0) + (F.col("id") % 11) - 5).alias("x")  # tight around 50
+    )
+    cur = spark.range(10000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(10.0) + (F.col("id") % 11) - 5)
+        .otherwise(F.lit(90.0) + (F.col("id") % 11) - 5)
+        .alias("x")  # bimodal at 10 and 90; median still ~50-ish bucket-wise
+    )
+    out = DR.histogram_drift(cur, base, {"x": (0.0, 100.0)}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.verdict == "drift" and r.psi > 1.0, r
+    assert r.js_div > 0.1
+    assert r.n_cur == 10000 and r.n_base == 10000
+
+
+def test_psi_identical_distributions_ok(spark):
+    df = spark.range(5000).select((F.col("id") % 97).cast("double").alias("x"))
+    out = DR.histogram_drift(df, df, {"x": (0.0, 97.0)}).collect()[0]
+    assert out.verdict == "ok" and abs(out.psi) < 1e-9 and abs(out.js_div) < 1e-9
+
+
+def test_psi_nulls_and_out_of_range_clamp(spark):
+    """Nulls are excluded from the mass; values outside [lo, hi) land in
+    the edge buckets instead of vanishing (tail drift is still drift)."""
+    base = spark.range(1000).select((F.col("id") % 10).cast("double").alias("x"))
+    cur = spark.range(1000).select(
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.lit(1e9))  # all mass clamps into the top bucket
+        .cast("double")
+        .alias("x")
+    )
+    r = DR.histogram_drift(cur, base, {"x": (0.0, 10.0)}).collect()[0]
+    assert r.n_cur == 750 and r.n_base == 1000
+    assert r.verdict == "drift"
+
+
+def test_psi_multi_column_single_scan(spark):
+    """All profiled columns ride one exploded projection — the physical
+    plan must contain exactly ONE scan of the input per side."""
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("double").alias("a"),
+        (F.col("id") % 13).cast("double").alias("b"),
+    )
+    out = DR.histogram_drift(df, df, {"a": (0.0, 7.0), "b": (0.0, 13.0)})
+    assert {r.column_name for r in out.collect()} == {"a", "b"}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 2000") == 2, plan  # one per side, not per column
