@@ -1353,6 +1353,28 @@ def psi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_referential_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle referential SCREEN: a 32 KB Bloom bitmask of parent
+    keys (orders) broadcast against the child scan flags DEFINITE
+    orphans with no data-scale shuffle — the 10^12-row pre-check that
+    gates the exact anti-join. Orphans are planted deterministically
+    (l_orderkey % 50 shifted out of range). The bloom is bit-identical
+    in both engines (shared md5-slice hash arithmetic), so DuckDB
+    replays the exact flagged set, false-positive misses included."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    child = li.select(
+        F.when(
+            F.col("l_orderkey") % 50 == 0, F.col("l_orderkey") + 1000000000
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        "l_linenumber",
+    )
+    bloom = REF.bloom_build(orders, "o_orderkey", words=4096)
+    return REF.bloom_definite_orphans(child, bloom, "l_orderkey", words=4096)
+
+
 def suggested_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-to-rules suggestion engine (the inverse of schema
     validation — infer the constraint suite FROM the data, the
@@ -1683,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_drift_lineitem": grouped_drift_lineitem,
         "psi_drift_lineitem": psi_drift_lineitem,
         "suggested_rules_events": suggested_rules_events,
+        "bloom_referential_lineitem": bloom_referential_lineitem,
         "token_heavy_hitters_documents": token_heavy_hitters_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
         "rollup_events_hourly": rollup_events_hourly,
@@ -2799,6 +2822,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sum((p - q) * ln(p / q)) > 0.1 THEN 'warn'
                         ELSE 'ok' END AS verdict
             FROM terms GROUP BY column_name, n_cur, n_base
+        """,
+        "bloom_referential_lineitem": """
+            WITH child AS (
+              SELECT CASE WHEN l_orderkey % 50 = 0
+                          THEN l_orderkey + 1000000000
+                          ELSE l_orderkey END AS l_orderkey,
+                     l_linenumber
+              FROM lineitem
+            ),
+            bloom AS (
+              SELECT word_idx, bit_or(mask) AS bits FROM (
+                SELECT (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                          % 253952) // 62 AS word_idx,
+                       1::BIGINT << (((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                          % 253952) % 62)::INT) AS mask
+                FROM orders WHERE o_orderkey IS NOT NULL
+                UNION ALL
+                SELECT (('0x' || substr(md5(o_orderkey::VARCHAR), 16, 15))::BIGINT
+                          % 253952) // 62,
+                       1::BIGINT << (((('0x' || substr(md5(o_orderkey::VARCHAR), 16, 15))::BIGINT
+                          % 253952) % 62)::INT)
+                FROM orders WHERE o_orderkey IS NOT NULL
+              ) GROUP BY word_idx
+            )
+            SELECT c.l_orderkey, c.l_linenumber
+            FROM child c
+            LEFT JOIN bloom b0 ON b0.word_idx =
+              (('0x' || substr(md5(c.l_orderkey::VARCHAR), 1, 15))::BIGINT
+                 % 253952) // 62
+            LEFT JOIN bloom b1 ON b1.word_idx =
+              (('0x' || substr(md5(c.l_orderkey::VARCHAR), 16, 15))::BIGINT
+                 % 253952) // 62
+            WHERE c.l_orderkey IS NOT NULL AND (
+              (coalesce(b0.bits, 0) &
+                (1::BIGINT << (((('0x' || substr(md5(c.l_orderkey::VARCHAR), 1, 15))::BIGINT
+                   % 253952) % 62)::INT))) = 0
+              OR
+              (coalesce(b1.bits, 0) &
+                (1::BIGINT << (((('0x' || substr(md5(c.l_orderkey::VARCHAR), 16, 15))::BIGINT
+                   % 253952) % 62)::INT))) = 0
+            )
         """,
         "suggested_rules_events": """
             WITH src AS (

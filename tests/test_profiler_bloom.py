@@ -60,3 +60,63 @@ def test_suggest_rules_approx_mode(spark):
     df = _src(spark)
     got = PR.suggest_rules(df, ["cat"], exact_distinct=False).collect()
     assert any(r.rule_kind == "enum" for r in got)  # HLL of 3 <= 20 gate
+
+
+# ------------------------------------------- bloom referential screen
+
+from mds_provider_spark.operators import referential as REF
+
+
+def _parent(spark, n=3000):
+    return spark.range(n).select((F.col("id") * 7 + 1).alias("pk"))
+
+
+def test_bloom_soundness_no_false_flags(spark):
+    """Every child key present in the parent must PASS the bloom —
+    a Bloom filter has no false negatives, so a clean child yields
+    zero definite orphans."""
+    p = _parent(spark)
+    bloom = REF.bloom_build(p, "pk")
+    child = p.select(F.col("pk").alias("k"))
+    assert REF.bloom_definite_orphans(child, bloom, "k").count() == 0
+
+
+def test_bloom_recall_on_planted_orphans(spark):
+    p = _parent(spark)
+    bloom = REF.bloom_build(p, "pk", words=4096)
+    # orphans: keys congruent 3 mod 7 never appear in the parent
+    child = spark.range(2000).select((F.col("id") * 7 + 3).alias("k"))
+    got = REF.bloom_definite_orphans(child, bloom, "k", words=4096)
+    n = got.count()
+    assert n >= 0.95 * 2000, n          # fp ~1.2% at this sizing
+    # soundness: nothing flagged is actually present
+    assert got.join(p, got["k"] == p["pk"], "inner").count() == 0
+
+
+def test_bloom_empty_parent_flags_everything(spark):
+    p = _parent(spark).where(F.lit(False))
+    bloom = REF.bloom_build(p, "pk")
+    child = spark.range(50).select(F.col("id").alias("k"))
+    assert REF.bloom_definite_orphans(child, bloom, "k").count() == 50
+
+
+def test_bloom_null_child_keys_excluded(spark):
+    p = _parent(spark)
+    bloom = REF.bloom_build(p, "pk")
+    child = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, None).otherwise(F.lit(999999999)).alias("k")
+    )
+    # only the 50 non-null unseen keys are orphan-flagged
+    assert REF.bloom_definite_orphans(child, bloom, "k").count() == 50
+
+
+def test_bloom_probe_plan_no_data_shuffle(spark):
+    """The probe path must be scan + two BROADCAST joins — no
+    hash-partitioned exchange of the child anywhere (that is the whole
+    point vs the exact anti-join)."""
+    p = _parent(spark)
+    bloom = REF.bloom_build(p, "pk")
+    child = spark.range(1000).select(F.col("id").alias("k"))
+    plan = REF.bloom_definite_orphans(child, bloom, "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
