@@ -22,6 +22,7 @@ from mds_provider_spark import rules as R
 from mds_provider_spark import schema as S
 from mds_provider_spark.operators import dedup as D
 from mds_provider_spark.operators import drift as DR
+from mds_provider_spark.operators import incremental as INC
 from mds_provider_spark.operators import profiler as PR
 from mds_provider_spark.operators import referential as REF
 from mds_provider_spark.operators import similarity as SIM
@@ -1353,6 +1354,43 @@ def psi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_validation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN-runs incremental validation: per-partition xor-fold
+    content fingerprints diff the current table against the previous
+    validated snapshot's manifest, and only added/changed partitions
+    are revalidated (here: part 11 dropped -> removed; parts 3 and 7
+    mutated with a planted bad enum -> changed and revalidated, their
+    violation counts reported; the other nine partitions carry forward
+    as unchanged with zero new work). The manifest arithmetic is
+    engine-portable, so DuckDB replays fingerprints, delta statuses,
+    and the dirty-only violation counts exactly."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "part", F.pmod(F.col("event_id"), F.lit(12))
+    )
+    cur = ev.where(F.col("part") != 11).withColumn(
+        "event_type",
+        F.when(
+            F.col("part").isin(3, 7) & (F.col("event_id") % 97 == 0), F.lit("zzz")
+        ).otherwise(F.col("event_type")),
+    )
+    cols = ["event_id", "user_id", "event_type"]
+    delta = INC.partition_delta(
+        INC.partition_fingerprints(cur, "part", cols),
+        INC.partition_fingerprints(ev, "part", cols),
+    )
+    dirty = INC.dirty_partitions_filter(cur, delta, "part")
+    viol = dirty.where(
+        ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+    ).groupBy("part").agg(F.count(F.lit(1)).alias("n_violations"))
+    return delta.join(viol, "part", "left").select(
+        "part",
+        "status",
+        "n_rows_cur",
+        "n_rows_base",
+        F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+    )
+
+
 def bloom_referential_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle referential SCREEN: a 32 KB Bloom bitmask of parent
     keys (orders) broadcast against the child scan flags DEFINITE
@@ -1706,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_lineitem": psi_drift_lineitem,
         "suggested_rules_events": suggested_rules_events,
         "bloom_referential_lineitem": bloom_referential_lineitem,
+        "incremental_validation_events": incremental_validation_events,
         "token_heavy_hitters_documents": token_heavy_hitters_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
         "rollup_events_hourly": rollup_events_hourly,
@@ -2822,6 +2861,58 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sum((p - q) * ln(p / q)) > 0.1 THEN 'warn'
                         ELSE 'ok' END AS verdict
             FROM terms GROUP BY column_name, n_cur, n_base
+        """,
+        "incremental_validation_events": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     event_id % 12 AS part
+              FROM events
+            ),
+            cur AS (
+              SELECT event_id, user_id,
+                     CASE WHEN part IN (3, 7) AND event_id % 97 = 0
+                          THEN 'zzz' ELSE event_type END AS event_type,
+                     part
+              FROM ev WHERE part <> 11
+            ),
+            fb AS (
+              SELECT part, count(*) AS n_rows,
+                     bit_xor(('0x' || substr(md5(concat_ws('|',
+                       coalesce(event_id::VARCHAR, '␀'),
+                       coalesce(user_id::VARCHAR, '␀'),
+                       coalesce(event_type, '␀'))), 1, 15))::BIGINT) AS fp
+              FROM ev GROUP BY part
+            ),
+            fc AS (
+              SELECT part, count(*) AS n_rows,
+                     bit_xor(('0x' || substr(md5(concat_ws('|',
+                       coalesce(event_id::VARCHAR, '␀'),
+                       coalesce(user_id::VARCHAR, '␀'),
+                       coalesce(event_type, '␀'))), 1, 15))::BIGINT) AS fp
+              FROM cur GROUP BY part
+            ),
+            delta AS (
+              SELECT coalesce(fc.part, fb.part) AS part,
+                CASE WHEN fb.part IS NULL THEN 'added'
+                     WHEN fc.part IS NULL THEN 'removed'
+                     WHEN fc.fp = fb.fp AND fc.n_rows = fb.n_rows
+                       THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                coalesce(fc.n_rows, 0) AS n_rows_cur,
+                coalesce(fb.n_rows, 0) AS n_rows_base
+              FROM fc FULL OUTER JOIN fb ON fc.part = fb.part
+            ),
+            viol AS (
+              SELECT part, count(*) AS n_violations FROM cur
+              WHERE part IN (SELECT part FROM delta
+                             WHERE status IN ('added', 'changed'))
+                AND event_type NOT IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+              GROUP BY part
+            )
+            SELECT d.part, d.status, d.n_rows_cur, d.n_rows_base,
+                   coalesce(v.n_violations, 0) AS n_violations
+            FROM delta d LEFT JOIN viol v USING (part)
         """,
         "bloom_referential_lineitem": """
             WITH child AS (

@@ -1,0 +1,64 @@
+"""Partition-delta incremental validation."""
+from pyspark.sql import functions as F
+
+from mds_provider_spark.operators import incremental as INC
+
+COLS = ["k", "v"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "part int, k long, v string")
+
+
+def test_delta_statuses(spark):
+    base = _df(spark, [(0, 1, "a"), (0, 2, "b"), (1, 3, "c"), (2, 4, "d")])
+    cur = _df(spark, [(0, 1, "a"), (0, 2, "b"),          # unchanged
+                      (1, 3, "CHANGED"),                 # changed
+                      (3, 9, "new")])                    # added; part 2 removed
+    d = {r.part: r.status for r in INC.partition_delta(
+        INC.partition_fingerprints(cur, "part", COLS),
+        INC.partition_fingerprints(base, "part", COLS)).collect()}
+    assert d == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_row_count_change_detected_even_when_xor_cancels(spark):
+    """Two identical copies of a row xor to zero — the n_rows guard
+    still flags the partition as changed."""
+    base = _df(spark, [(0, 1, "a")])
+    cur = _df(spark, [(0, 1, "a"), (0, 1, "a"), (0, 1, "a")])
+    d = INC.partition_delta(
+        INC.partition_fingerprints(cur, "part", COLS),
+        INC.partition_fingerprints(base, "part", COLS)).collect()
+    assert d[0].status == "changed"
+
+
+def test_reorder_is_unchanged(spark):
+    """Fingerprints are order-insensitive: compaction/shuffle of the
+    same row multiset must not trigger revalidation."""
+    base = _df(spark, [(0, 1, "a"), (0, 2, "b"), (0, 3, "c")])
+    cur = _df(spark, [(0, 3, "c"), (0, 1, "a"), (0, 2, "b")]).repartition(3)
+    d = INC.partition_delta(
+        INC.partition_fingerprints(cur, "part", COLS),
+        INC.partition_fingerprints(base, "part", COLS)).collect()
+    assert d[0].status == "unchanged"
+
+
+def test_null_vs_empty_vs_sentinel_distinct(spark):
+    a = _df(spark, [(0, 1, None)])
+    b = _df(spark, [(0, 1, "")])
+    c = _df(spark, [(0, 1, "␀")])
+    fps = [INC.partition_fingerprints(x, "part", COLS).collect()[0].fingerprint
+           for x in (a, b, c)]
+    assert fps[0] != fps[1]
+    # the sentinel itself collides with NULL by construction — documented
+    assert fps[0] == fps[2]
+
+
+def test_dirty_filter_prunes_unchanged(spark):
+    base = _df(spark, [(0, 1, "a"), (1, 2, "b"), (2, 3, "c")])
+    cur = _df(spark, [(0, 1, "a"), (1, 2, "XX"), (2, 3, "c"), (3, 4, "d")])
+    delta = INC.partition_delta(
+        INC.partition_fingerprints(cur, "part", COLS),
+        INC.partition_fingerprints(base, "part", COLS))
+    dirty = INC.dirty_partitions_filter(cur, delta, "part")
+    assert sorted(r.part for r in dirty.collect()) == [1, 3]
