@@ -22,6 +22,7 @@ from mds_provider_spark import rules as R
 from mds_provider_spark import schema as S
 from mds_provider_spark.operators import dedup as D
 from mds_provider_spark.operators import drift as DR
+from mds_provider_spark.operators import consistency as CS
 from mds_provider_spark.operators import incremental as INC
 from mds_provider_spark.operators import profiler as PR
 from mds_provider_spark.operators import referential as REF
@@ -1354,6 +1355,41 @@ def psi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fd_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/check: does l_orderkey determine
+    l_shipdate? (It does not — multi-line orders ship on different
+    days; every violating key is reported with its variant count. The
+    audio-table twin — clip_id must determine sr_hz/codec — is the same
+    single aggregation.)"""
+    return CS.fd_violations(_t(spark, sf_dir, "lineitem"), ["l_orderkey"], "l_shipdate")
+
+
+def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate reconciliation between rollup and detail: o_totalprice
+    vs the order's lineitem charge sum, in exact DECIMAL (engine- and
+    order-portable). One detail shuffle + key join + global fold."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount", "l_tax",
+    )
+    charge = F.sum(
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).cast("decimal(18,6)")
+    )
+    return CS.reconcile_aggregate(o, l, "o_orderkey", "o_totalprice", charge)
+
+
+def benford_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on the price column (string-derived
+    digits, literal expected probabilities — zero dependence on libm
+    log10 rounding in either engine)."""
+    return CS.benford_screen(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def incremental_validation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BETWEEN-runs incremental validation: per-partition xor-fold
     content fingerprints diff the current table against the previous
@@ -1745,6 +1781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggested_rules_events": suggested_rules_events,
         "bloom_referential_lineitem": bloom_referential_lineitem,
         "incremental_validation_events": incremental_validation_events,
+        "fd_check_lineitem": fd_check_lineitem,
+        "reconcile_orders_lineitem": reconcile_orders_lineitem,
+        "benford_lineitem_price": benford_lineitem_price,
         "token_heavy_hitters_documents": token_heavy_hitters_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
         "rollup_events_hourly": rollup_events_hourly,
@@ -2861,6 +2900,60 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sum((p - q) * ln(p / q)) > 0.1 THEN 'warn'
                         ELSE 'ok' END AS verdict
             FROM terms GROUP BY column_name, n_cur, n_base
+        """,
+        "fd_check_lineitem": """
+            SELECT l_orderkey,
+                   count(DISTINCT l_shipdate) AS n_variants,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING count(DISTINCT l_shipdate) > 1
+        """,
+        "reconcile_orders_lineitem": """
+            WITH s AS (
+              SELECT l_orderkey AS o_orderkey,
+                     sum((l_extendedprice * (1 - l_discount)
+                          * (1 + l_tax))::DECIMAL(18,6)) AS d
+              FROM lineitem GROUP BY 1
+            )
+            SELECT count(*) AS n_keys,
+                   CAST(sum(CASE WHEN abs(o_totalprice::DECIMAL(18,6)
+                          - coalesce(d, 0::DECIMAL(18,6))) > 0.01
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                   round(sum(abs(o_totalprice::DECIMAL(18,6)
+                          - coalesce(d, 0::DECIMAL(18,6))))::DOUBLE, 2)
+                     AS total_abs_diff,
+                   round(max(abs(o_totalprice::DECIMAL(18,6)
+                          - coalesce(d, 0::DECIMAL(18,6))))::DOUBLE, 2)
+                     AS max_abs_diff
+            FROM orders LEFT JOIN s USING (o_orderkey)
+        """,
+        "benford_lineitem_price": """
+            WITH ints AS (
+              SELECT abs(CAST(round(l_extendedprice::DOUBLE * 100)
+                              AS BIGINT)) AS v
+              FROM lineitem
+            ),
+            d AS (SELECT CAST(substr(v::VARCHAR, 1, 1) AS INT) AS digit
+                  FROM ints WHERE v > 0),
+            counts AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+            exp AS (SELECT digit, p_exp::DOUBLE AS p_exp FROM (VALUES
+              (1, 0.30102999566398120), (2, 0.17609125905568124),
+              (3, 0.12493873660829993), (4, 0.09691001300805642),
+              (5, 0.07918124604762482), (6, 0.06694678963061322),
+              (7, 0.05799194697768673), (8, 0.05115252244738129),
+              (9, 0.04575749056067514)) AS t(digit, p_exp)),
+            j AS (
+              SELECT e.digit, coalesce(c.n_obs, 0) AS n_obs, e.p_exp
+              FROM exp e LEFT JOIN counts c USING (digit)
+            ),
+            t AS (SELECT *, sum(n_obs) OVER () AS n_total FROM j)
+            SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+                   round(n_obs::DOUBLE / n_total, 6) AS p_obs,
+                   round(p_exp, 6) AS p_exp,
+                   round((n_obs - p_exp * n_total) * (n_obs - p_exp * n_total)
+                         / (p_exp * n_total), 6) AS chi2_term
+            FROM t
         """,
         "incremental_validation_events": """
             WITH ev AS (
