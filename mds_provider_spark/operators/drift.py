@@ -358,25 +358,62 @@ def histogram_drift(
     PSI thresholds follow the conventional 0.1 (warn) / 0.2 (drift).
     JS divergence is reported in nats, from the same smoothed masses.
     """
-    cur = _bucket_counts(current, bins, n_bins).withColumnRenamed("cnt", "c_cur")
-    base = _bucket_counts(baseline, bins, n_bins).withColumnRenamed("cnt", "c_base")
-    spark = current.sparkSession
-    grid = (
-        spark.createDataFrame([(c,) for c in bins], "column_name string")
-        .select("column_name", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bucket"))
+    return psi_from_counts(
+        current.sparkSession,
+        _bucket_counts(current, bins, n_bins),
+        _bucket_counts(baseline, bins, n_bins),
+        list(bins),
+        n_bins=n_bins,
+        eps=eps,
+        psi_warn=psi_warn,
+        psi_drift=psi_drift,
     )
+
+
+def psi_from_counts(
+    spark,
+    cur_counts: DataFrame,
+    base_counts: DataFrame,
+    columns: Sequence[str],
+    n_bins: int = 10,
+    eps: float = 1e-4,
+    psi_warn: float = 0.1,
+    psi_drift: float = 0.2,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """PSI/JS arithmetic over pre-aggregated (column_name, bucket, cnt)
+    tables — shared by batch ``histogram_drift`` and the streaming
+    marker-borne path (where ``cur_counts`` carries a ``batch_id``
+    group column and one PSI row is emitted per batch x column).
+
+    Inputs are histogram-scale (n_groups * n_cols * n_bins rows), never
+    data-scale; every join and window here is over that grid.
+    """
+    gcols = list(group_cols)
+    buckets = spark.createDataFrame(
+        [(c,) for c in columns], "column_name string"
+    ).select(
+        "column_name",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bucket"),
+    )
+    if gcols:
+        grid = cur_counts.select(*gcols).distinct().crossJoin(buckets)
+    else:
+        grid = buckets
+    cur = cur_counts.withColumnRenamed("cnt", "c_cur")
+    base = base_counts.withColumnRenamed("cnt", "c_base")
     g = (
-        grid.join(cur, ["column_name", "bucket"], "left")
+        grid.join(cur, gcols + ["column_name", "bucket"], "left")
         .join(base, ["column_name", "bucket"], "left")
         .fillna(0, ["c_cur", "c_base"])
     )
     # window-sum, NOT groupBy+self-join: a join against a re-aggregation
     # of g would duplicate the whole bucket-count subtree in the plan
     # (two scans of each input side); the window keeps one scan per side
-    # and runs over a <= n_cols*n_bins-row grid.
+    # and runs over the tiny grid.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("column_name")
+    w = Window.partitionBy(*(gcols + ["column_name"]))
     j = g.withColumn("n_cur", F.sum("c_cur").over(w)).withColumn(
         "n_base", F.sum("c_base").over(w)
     )
@@ -385,10 +422,11 @@ def histogram_drift(
     m = (p + q) / F.lit(2.0)
     psi_term = (p - q) * F.log(p / q)
     js_term = (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0)
-    out = (
-        j.groupBy("column_name", "n_cur", "n_base")
+    return (
+        j.groupBy(*gcols, "column_name", "n_cur", "n_base")
         .agg(F.sum(psi_term).alias("_psi"), F.sum(js_term).alias("_js"))
         .select(
+            *gcols,
             "column_name",
             F.round("_psi", 6).alias("psi"),
             F.round("_js", 6).alias("js_div"),
@@ -400,4 +438,8 @@ def histogram_drift(
             .alias("verdict"),
         )
     )
-    return out
+
+
+# public alias: the streaming sink and baseline builders use this to
+# pre-aggregate histograms the marker/PSI path consumes
+bucket_counts = _bucket_counts

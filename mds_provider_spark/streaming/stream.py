@@ -68,6 +68,8 @@ def validate_stream_committed(
     trigger_once: bool = True,
     run_id: str = "stream",
     drift_cols: "list[str] | None" = None,
+    hist_bins: "dict[str, tuple[float, float]] | None" = None,
+    hist_n_bins: int = 10,
 ) -> StreamingQuery:
     """Streaming validation routed through the SAME ``CommitLog`` protocol
     as batch resume (round-4 unification) -> exactly-once violation rows
@@ -113,7 +115,16 @@ def validate_stream_committed(
     guarantee for free: a replayed batch is skipped before the snapshot
     recomputes, and ``committed_stream_drift`` reads snapshots from
     markers alone (metadata-only, no data rescan). The marker payload is
-    O(|drift_cols| x |probs|) — independent of batch size."""
+    O(|drift_cols| x |probs|) — independent of batch size.
+
+    ``hist_bins``: when set (``{column: (lo, hi)}``, the
+    ``histogram_drift`` bins contract), each micro-batch additionally
+    embeds its per-column fixed-grid bucket counts in the commit marker
+    (payload O(n_cols x hist_n_bins), batch-size independent), so
+    ``committed_stream_histogram_drift`` can compute per-batch PSI / JS
+    divergence vs a baseline with the same exactly-once guarantee — the
+    shape-change detector (bimodality, tail inflation) that quantile
+    drift misses, now marker-borne for streams."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
@@ -189,17 +200,17 @@ def validate_stream_committed(
             {ckpt_key} | legacy_keys
         ):
             return  # durable already; this is a post-crash replay
-        if drift_cols:
-            # drift mode adds a third pass over the batch; cache it so
-            # counts + violations + snapshot share one materialization.
-            # Released in the finally below — a failed write/profile must
-            # not leave the batch pinned in executor storage across
-            # foreachBatch retries.
+        if drift_cols or hist_bins:
+            # drift/histogram mode adds extra passes over the batch;
+            # cache it so counts + violations + snapshot + histogram
+            # share one materialization. Released in the finally below —
+            # a failed write/profile must not leave the batch pinned in
+            # executor storage across foreachBatch retries.
             batch_df.persist()
         try:
             _process_batch(batch_df, bid, ckpt_key)
         finally:
-            if drift_cols:
+            if drift_cols or hist_bins:
                 batch_df.unpersist()
 
     def _process_batch(batch_df: DataFrame, bid: int, ckpt_key: str) -> None:
@@ -248,6 +259,21 @@ def validate_stream_committed(
                     "max_val": _f(r["max_val"]),
                 }
                 for r in profile(batch_df, drift_cols).collect()
+            }
+        if hist_bins:
+            from mds_provider_spark.operators.drift import bucket_counts
+
+            extra["hist"] = {
+                "n_bins": int(hist_n_bins),
+                "bins": {c: [float(lo), float(hi)]
+                         for c, (lo, hi) in sorted(hist_bins.items())},
+                # [column, bucket, cnt] triples — n_cols*n_bins max
+                "counts": [
+                    [r["column_name"], int(r["bucket"]), int(r["cnt"])]
+                    for r in bucket_counts(
+                        batch_df, hist_bins, hist_n_bins
+                    ).collect()
+                ],
             }
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(
@@ -389,6 +415,88 @@ def committed_stream_drift(
     current = committed_stream_snapshots(spark, out_dir)
     return drift_violations(
         current, baseline, keep_cols=["batch_id"], **thresholds
+    ).orderBy("batch_id", "column_name")
+
+
+def committed_stream_histogram_counts(
+    spark: SparkSession, out_dir: str
+) -> "tuple[DataFrame, dict[str, tuple[float, float]], int]":
+    """Per-batch fixed-grid bucket counts from commit markers alone —
+    ``(counts_df(batch_id, column_name, bucket, cnt), bins, n_bins)``.
+    Raises loudly on a marked batch without histogram metadata or with a
+    bin grid that disagrees with the others (PSI across batches is only
+    comparable on one grid), matching the other marker readers."""
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    rows, bins, n_bins = [], None, None
+    for b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
+        h = meta.get("hist")
+        if h is None:
+            raise RuntimeError(
+                f"commit marker for batch {b} carries no histogram counts "
+                "(the sink ran without hist_bins); per-batch PSI cannot be "
+                "reconstructed from markers — rerun the stream with "
+                "hist_bins set"
+            )
+        grid = {c: (float(lo), float(hi)) for c, (lo, hi) in h["bins"].items()}
+        if bins is None:
+            bins, n_bins = grid, int(h["n_bins"])
+        elif grid != bins or int(h["n_bins"]) != n_bins:
+            raise RuntimeError(
+                f"commit marker for batch {b} was written with a different "
+                "bin grid than earlier batches; PSI is only comparable on "
+                "one grid — use a fresh out_dir when changing hist_bins"
+            )
+        rows.extend(
+            (int(b), c, int(k), int(n)) for c, k, n in h["counts"]
+        )
+    return (
+        spark.createDataFrame(
+            rows, "batch_id long, column_name string, bucket int, cnt long"
+        ),
+        bins or {},
+        n_bins or 0,
+    )
+
+
+def committed_stream_histogram_drift(
+    spark: SparkSession,
+    out_dir: str,
+    baseline: DataFrame,
+    eps: float = 1e-4,
+    psi_warn: float = 0.1,
+    psi_drift: float = 0.2,
+) -> DataFrame:
+    """Per-micro-batch PSI / JS-divergence drift vs a baseline — the
+    streaming twin of ``operators.drift.histogram_drift``, from
+    marker-borne bucket counts alone. The bin grid is recovered from the
+    markers themselves, so the baseline is bucketed on EXACTLY the grid
+    the stream recorded (one scan of the baseline; everything after is
+    arithmetic over a batches x n_cols x n_bins grid). Exactly-once per
+    batch follows from the commit protocol, same as
+    ``committed_stream_drift``: a seeded mid-stream shape change (e.g.
+    bimodality that leaves the median alone) surfaces in exactly the
+    batch where it lands, and kill/restart cannot duplicate or drop a
+    finding."""
+    from mds_provider_spark.operators.drift import bucket_counts, psi_from_counts
+
+    cur, bins, n_bins = committed_stream_histogram_counts(spark, out_dir)
+    if not bins:
+        return spark.createDataFrame(
+            [],
+            "batch_id long, column_name string, psi double, js_div double, "
+            "n_cur long, n_base long, verdict string",
+        )
+    return psi_from_counts(
+        spark,
+        cur,
+        bucket_counts(baseline, bins, n_bins),
+        list(bins),
+        n_bins=n_bins,
+        eps=eps,
+        psi_warn=psi_warn,
+        psi_drift=psi_drift,
+        group_cols=["batch_id"],
     ).orderBy("batch_id", "column_name")
 
 

@@ -482,3 +482,85 @@ def test_legacy_markers_need_metadata_older_than_markers(spark, tmp_path):
     ).awaitTermination(120)
     # batch 0 was marker-skipped: no violations dir was ever written
     assert STR.committed_stream_violations(spark, out_ok).count() == 0
+
+
+def test_committed_stream_histogram_drift_exactly_once(spark, tmp_path):
+    """Marker-borne PSI twin: a mid-stream SHAPE change (bimodality over
+    the same range) fires PSI in exactly the batch where it lands, the
+    baseline is bucketed on the grid recovered from the markers, and a
+    kill/restart replay neither duplicates nor drops a finding."""
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    out = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    ddl = "clip_id string, dur_ms int, part_id int"
+    rs = R.RuleSet().add(R.in_range("dur_ms", lo=1))
+    bins = {"dur_ms": (0.0, 100.0)}
+
+    base_rows = [(f"b{i}", i % 100, 0) for i in range(400)]  # uniform
+    baseline = spark.createDataFrame(base_rows, ddl)
+
+    # batch 0: uniform, same as baseline -> ok
+    spark.createDataFrame(base_rows, ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f_a"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream, rs, out, ckpt, hist_bins=bins
+    ).awaitTermination(120)
+    r0 = STR.committed_stream_histogram_drift(spark, out, baseline).collect()
+    assert [(r.batch_id, r.verdict) for r in r0] == [(0, "ok")]
+
+    # batch 1 (after restart): bimodal edges, SAME [0,100) range
+    bim = [(f"s{i}", (5 if i % 2 else 95) + i % 5, 0) for i in range(400)]
+    spark.createDataFrame(bim, ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f_b"))
+    stream2 = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream2, rs, out, ckpt, hist_bins=bins
+    ).awaitTermination(120)
+    found = STR.committed_stream_histogram_drift(spark, out, baseline).collect()
+    assert [(r.batch_id, r.verdict) for r in found] == [(0, "ok"), (1, "drift")]
+    assert found[1].psi > 0.2 and found[1].js_div > 0.0
+
+    # restart with no new data: a replayed/no-op run must change nothing
+    stream3 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream3, rs, out, ckpt, hist_bins=bins
+    ).awaitTermination(120)
+    again = STR.committed_stream_histogram_drift(spark, out, baseline).collect()
+    assert [(r.batch_id, r.verdict) for r in again] == [(0, "ok"), (1, "drift")]
+
+    # parity with the batch operator on the same grid: batch 1's PSI from
+    # markers == histogram_drift(batch-1 data, baseline) recomputed
+    from mds_provider_spark.operators import drift as DR
+
+    direct = DR.histogram_drift(
+        spark.createDataFrame(bim, ddl), baseline, bins
+    ).collect()[0]
+    assert abs(direct.psi - found[1].psi) < 1e-9
+
+
+def test_committed_stream_histogram_requires_hist_markers(spark, tmp_path):
+    """A stream run WITHOUT hist_bins cannot be read back as histogram
+    drift — the reader raises loudly instead of fabricating zeros."""
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    out = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nckpt")
+    ddl = "clip_id string, dur_ms int, part_id int"
+    rs = R.RuleSet().add(R.in_range("dur_ms", lo=1))
+    spark.createDataFrame([("a", 5, 0)], ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f_a"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(stream, rs, out, ckpt).awaitTermination(120)
+    with pytest.raises(RuntimeError, match="no histogram counts"):
+        STR.committed_stream_histogram_drift(
+            spark, out, spark.createDataFrame([("a", 5, 0)], ddl)
+        ).collect()
