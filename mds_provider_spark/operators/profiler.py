@@ -110,6 +110,34 @@ def suggest_rules(
     )
 
 
+def to_config(suggestions: DataFrame) -> list[dict]:
+    """Suggestion table -> ``rules.from_config`` spec (JSON-serializable).
+
+    Completes the profiler workflow: profile -> review the suggestion
+    table -> persist the accepted suite as version-controlled JSON
+    (``rules.save_config``) -> enforce on every future run
+    (``rules.load_config``), with no code change between steps. Only
+    enforceable kinds map (``null_rate`` rows are observations, not
+    constraints — they are skipped, same as ``to_ruleset``). The
+    suggestion table is metadata-scale, so the collect is bounded.
+    """
+    spec: list[dict] = []
+    for row in suggestions.orderBy("column_name", "rule_kind").collect():
+        if row.rule_kind == "required":
+            spec.append({"kind": "not_null", "column": row.column_name})
+        elif row.rule_kind == "range":
+            spec.append({
+                "kind": "in_range", "column": row.column_name,
+                "lo": row.lo, "hi": row.hi,
+            })
+        elif row.rule_kind == "enum":
+            spec.append({
+                "kind": "is_in", "column": row.column_name,
+                "values": row.enum_vals.split(","),
+            })
+    return spec
+
+
 def to_ruleset(
     suggestions: DataFrame, key_col: str, part_col: str
 ) -> R.RuleSet:
@@ -117,14 +145,7 @@ def to_ruleset(
 
     The roundtrip invariant (pytest-covered): rules suggested FROM a
     table produce ZERO violations when enforced ON that same table.
-    The suggestion table is metadata-scale, so the collect is bounded.
+    Routed through ``to_config`` so the in-memory and persisted-JSON
+    paths cannot drift.
     """
-    rs = R.RuleSet(key_col=key_col, part_col=part_col)
-    for row in suggestions.collect():
-        if row.rule_kind == "required":
-            rs.add(R.not_null(row.column_name))
-        elif row.rule_kind == "range":
-            rs.add(R.in_range(row.column_name, row.lo, row.hi))
-        elif row.rule_kind == "enum":
-            rs.add(R.is_in(row.column_name, row.enum_vals.split(",")))
-    return rs
+    return R.from_config(to_config(suggestions), key_col, part_col)

@@ -33,6 +33,7 @@ fire on NULL (that's ``not_null``'s job), mirroring JSON Schema where
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
@@ -706,6 +707,49 @@ def from_config(
             raise ValueError(f"unknown rule kind {kind!r}")
         rs.add(factory(item["column"], item))
     return rs
+
+
+def save_config(
+    spec: list[dict], path: str, key_col: str, part_col: str = "part_id"
+) -> None:
+    """Persist a ``from_config`` spec as a versioned JSON suite document.
+
+    The durable half of the config-driven pattern: a suite saved here is
+    the reviewable, diff-able artifact that lives next to the pipeline
+    config (the reference keeps its constraint source — the fetched JSON
+    Schema — as exactly such a checked-in document). Round-trip
+    guarantee: ``load_config(path)`` builds the identical RuleSet,
+    validated eagerly at save time by compiling the spec once (a typo'd
+    kind fails HERE, not at 2am in the enforcement job).
+    """
+    import json
+
+    from_config(spec, key_col=key_col, part_col=part_col)  # validate now
+    doc = {
+        "version": 1,
+        "key_col": key_col,
+        "part_col": part_col,
+        "rules": spec,
+    }
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)  # atomic: readers never see a partial suite
+
+
+def load_config(path: str) -> RuleSet:
+    """Load a ``save_config`` suite document into an enforceable RuleSet."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("version") != 1:
+        raise ValueError(
+            f"unsupported rule-suite version {doc.get('version')!r} in {path}"
+        )
+    return from_config(
+        doc["rules"], key_col=doc["key_col"], part_col=doc["part_col"]
+    )
 
 
 def mds_clip_rules() -> RuleSet:

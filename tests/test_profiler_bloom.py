@@ -120,3 +120,60 @@ def test_bloom_probe_plan_no_data_shuffle(spark):
     plan = REF.bloom_definite_orphans(child, bloom, "k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_suite_save_load_roundtrip(spark, tmp_path):
+    """profile -> to_config -> save_config JSON -> load_config builds a
+    RuleSet that enforces identically to the in-memory to_ruleset path
+    (same rule_ids, zero violations on the profiled table, identical
+    violations on drifted data)."""
+    import json
+
+    from mds_provider_spark import rules as R
+
+    df = _src(spark)
+    sugg = PR.suggest_rules(df, ["k", "num", "cat"])
+    spec = PR.to_config(sugg)
+    path = str(tmp_path / "suite.json")
+    R.save_config(spec, path, key_col="k", part_col="part_id")
+
+    doc = json.loads(open(path).read())
+    assert doc["version"] == 1 and doc["key_col"] == "k"
+
+    loaded = R.load_config(path)
+    direct = PR.to_ruleset(sugg, key_col="k", part_col="part_id")
+    assert loaded.violations(df).count() == 0
+
+    drifted = spark.createDataFrame(
+        [(999, 42.0, "t9", 0)], "k long, num double, cat string, part_id int"
+    )
+    got = sorted(
+        (r.clip_id, r.rule_id) for r in loaded.violations(drifted).collect()
+    )
+    want = sorted(
+        (r.clip_id, r.rule_id) for r in direct.violations(drifted).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_save_config_rejects_bad_kind(tmp_path):
+    from mds_provider_spark import rules as R
+
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        R.save_config(
+            [{"kind": "no_such_rule", "column": "x"}],
+            str(tmp_path / "bad.json"), key_col="k",
+        )
+    assert not (tmp_path / "bad.json").exists()
+
+
+def test_load_config_rejects_unknown_version(tmp_path):
+    import json
+
+    from mds_provider_spark import rules as R
+
+    p = tmp_path / "v9.json"
+    p.write_text(json.dumps({"version": 9, "key_col": "k",
+                             "part_col": "p", "rules": []}))
+    with pytest.raises(ValueError, match="unsupported rule-suite version"):
+        R.load_config(str(p))
