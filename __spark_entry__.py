@@ -1642,6 +1642,27 @@ def anomalous_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint per event type over the hourly rollup
+    (sessions.changepoint_mean_shift): binary segmentation's first
+    split, localizing WHEN the level of a series moved — the sequential
+    drift detector (PSI sees shape, z-scores see isolated outliers;
+    neither answers "since which hour"). Every score is built from
+    exact integer cumulative sums combined in one fixed double
+    expression, so DuckDB replays the argmax row bit-for-bit."""
+    from mds_provider_spark.operators import sessions as SES
+
+    ev = _t(spark, sf_dir, "events")
+    roll = SES.time_rollup(ev, ts_col="ts", interval="1 hour",
+                           keys=("event_type",))
+    out = SES.changepoint_mean_shift(roll, ["event_type"], "n_rows")
+    return out.select(
+        "event_type",
+        F.date_format("split_after", "yyyy-MM-dd HH:mm:ss").alias("split_after"),
+        "n_left", "n_right", "mean_left", "mean_right", "shift", "score",
+    )
+
+
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
     deterministic tag+URL+email suffix planted, then the tag/url/email
@@ -1789,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events_hourly": rollup_events_hourly,
         "embedding_quality_embeddings": embedding_quality_embeddings,
         "anomalous_hours_events": anomalous_hours_events,
+        "changepoint_events": changepoint_events,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -2736,6 +2758,49 @@ def oracle_sql() -> dict[str, str]:
                    strftime(b, '%Y-%m-%d %H:%M:%S') AS hour_start,
                    n AS n_events, round(zv, 6) AS z
             FROM z WHERE nn > 1 AND sd > 0 AND abs(zv) > 2.5
+        """,
+        "changepoint_events": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT event_type, b, x,
+                     row_number() OVER w AS k,
+                     sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS s1,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     sum(x) OVER (PARTITION BY event_type) AS t1,
+                     sum(x * x) OVER (PARTITION BY event_type) AS t2
+              FROM r
+              WINDOW w AS (PARTITION BY event_type ORDER BY b)
+            ), sc AS (
+              SELECT event_type, b, k, n,
+                     s1::DOUBLE / k::DOUBLE AS mean_l,
+                     (t1 - s1)::DOUBLE / (n::DOUBLE - k::DOUBLE) AS mean_r,
+                     sqrt(greatest(
+                       (t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / n::DOUBLE)
+                         / (n::DOUBLE - 1.0), 0.0)) AS sd
+              FROM c WHERE k < n AND n >= 4
+            ), scored AS (
+              SELECT *,
+                     abs(mean_r - mean_l)
+                       / (sd * sqrt(1.0 / k::DOUBLE
+                                    + 1.0 / (n::DOUBLE - k::DOUBLE))) AS score
+              FROM sc WHERE sd > 0
+            )
+            SELECT event_type,
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS split_after,
+                   k AS n_left, n - k AS n_right,
+                   round(mean_l, 6) AS mean_left,
+                   round(mean_r, 6) AS mean_right,
+                   round(mean_r - mean_l, 6) AS shift,
+                   round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY score DESC, b) AS rk
+                  FROM scored)
+            WHERE rk = 1 AND score > 0.0
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

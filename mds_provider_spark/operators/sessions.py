@@ -175,3 +175,82 @@ def anomalous_buckets(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def changepoint_mean_shift(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "n_rows",
+    time_col: str = "bucket_start",
+    score_threshold: float = 0.0,
+    min_buckets: int = 4,
+) -> DataFrame:
+    """Single mean-shift changepoint per key series — the SEQUENTIAL
+    member of the drift family (PSI sees shape, z-scores see isolated
+    outliers; neither localizes WHEN a level shift happened; binary
+    segmentation does, and this is its first split).
+
+    For every candidate split after bucket ``k`` the two-sample
+    statistic ``|mean_right - mean_left| / (sd * sqrt(1/k + 1/(n-k)))``
+    is computed from cumulative INTEGER sums; the argmax over k is the
+    changepoint estimate. Determinism discipline matches
+    ``anomalous_buckets``: all accumulations are exact integer window
+    sums, combined in one fixed double expression — so an oracle
+    replays every score bit-for-bit and the argmax row (tie-broken on
+    time) is stable across engines.
+
+    Plan: the input is an already-aggregated rollup (bucket-scale, not
+    data-scale). One hash-partition+sort per key serves the cumulative
+    sum, the per-key totals, AND the final argmax rank — Catalyst plans
+    one exchange for all four window specs (same partitioning; the
+    ordered specs share the sort). Nothing here touches raw data.
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("long")
+    w_ord = Window.partitionBy(*keys).orderBy(time_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(*keys)
+    s = (
+        rollup.select(*keys, F.col(time_col), x.alias("_x"))
+        .withColumn("_k", F.row_number().over(w_ord))
+        .withColumn("_s1", F.sum("_x").over(w_cum))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_t1", F.sum("_x").over(w_all))
+        .withColumn("_t2", F.sum(F.col("_x") * F.col("_x")).over(w_all))
+    )
+    k = F.col("_k").cast("double")
+    n = F.col("_n").cast("double")
+    t1 = F.col("_t1").cast("double")
+    mean_l = F.col("_s1").cast("double") / k
+    mean_r = (F.col("_t1") - F.col("_s1")).cast("double") / (n - k)
+    var = (F.col("_t2").cast("double") - t1 * t1 / n) / (n - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    score = F.abs(mean_r - mean_l) / (
+        sd * F.sqrt(F.lit(1.0) / k + F.lit(1.0) / (n - k))
+    )
+    cand = (
+        s.where(
+            (F.col("_k") < F.col("_n"))
+            & (F.col("_n") >= F.lit(int(min_buckets)))
+        )
+        .withColumn("_mean_l", mean_l)
+        .withColumn("_mean_r", mean_r)
+        .withColumn("_sd", sd)
+        .withColumn("_score", score)
+        .where(F.col("_sd") > 0)
+    )
+    best = Window.partitionBy(*keys).orderBy(F.desc("_score"), time_col)
+    return (
+        cand.withColumn("_rk", F.row_number().over(best))
+        .where((F.col("_rk") == 1) & (F.col("_score") > F.lit(score_threshold)))
+        .select(
+            *keys,
+            F.col(time_col).alias("split_after"),
+            F.col("_k").cast("long").alias("n_left"),
+            (F.col("_n") - F.col("_k")).cast("long").alias("n_right"),
+            F.round("_mean_l", 6).alias("mean_left"),
+            F.round("_mean_r", 6).alias("mean_right"),
+            F.round(F.col("_mean_r") - F.col("_mean_l"), 6).alias("shift"),
+            F.round("_score", 6).alias("score"),
+        )
+    )

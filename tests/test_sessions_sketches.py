@@ -642,3 +642,53 @@ def test_split_leakage_finds_cross_split_dups(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = TX.split_leakage(df, "doc_id", "text").collect()
     assert len(out) == 1 and out[0].n_splits == 2 and out[0].n_docs == 2
+
+
+# ------------------------------------------------- changepoint
+
+
+def test_changepoint_locates_planted_level_shift(spark):
+    # type 'a': 6 hours at 10 events then 6 hours at 50 -> split after
+    # hour 5; type 'b' flat -> zero-variance, silent.
+    rows = []
+    for h in range(12):
+        n = 10 if h < 6 else 50
+        rows += [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0)] * n
+        rows += [(dt.datetime(2024, 1, 1, h, 1), "b", 1.0)] * 7
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    out = SES.changepoint_mean_shift(roll, ["event_type"], "n_rows").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_type == "a" and r.split_after.hour == 5
+    assert (r.n_left, r.n_right) == (6, 6)
+    assert r.mean_left == 10.0 and r.mean_right == 50.0 and r.shift == 40.0
+    # score reproducible from the exact integer-sum formula
+    import math
+
+    s1, n, k = 6 * 10 + 6 * 50, 12, 6
+    t2 = 6 * 100 + 6 * 2500
+    sd = math.sqrt((t2 - s1 * s1 / n) / (n - 1.0))
+    want = abs(50.0 - 10.0) / (sd * math.sqrt(1 / 6 + 1 / 6))
+    assert abs(r.score - round(want, 6)) < 1e-12
+
+
+def test_changepoint_min_buckets_and_degenerate_silent(spark):
+    # 3-bucket group (< min_buckets=4) and a flat group: no rows, no
+    # division blowups
+    rows = [(dt.datetime(2024, 1, 1, h, 1), "short", 1.0) for h in range(3)]
+    rows += [(dt.datetime(2024, 1, 1, h, 1), "flat", 1.0) for h in range(8)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    assert SES.changepoint_mean_shift(roll, ["event_type"]).count() == 0
+
+
+def test_changepoint_single_exchange(spark):
+    # all four window specs share one hash-partitioning: exactly one
+    # Exchange in the physical plan (the rollup agg's own exchange aside)
+    rows = [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0) for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",)).localCheckpoint()
+    plan = SES.changepoint_mean_shift(roll, ["event_type"], "n_rows") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
