@@ -24,6 +24,7 @@ from mds_provider_spark.operators import dedup as D
 from mds_provider_spark.operators import drift as DR
 from mds_provider_spark.operators import consistency as CS
 from mds_provider_spark.operators import incremental as INC
+from mds_provider_spark.operators import integrity as ING
 from mds_provider_spark.operators import profiler as PR
 from mds_provider_spark.operators import referential as REF
 from mds_provider_spark.operators import similarity as SIM
@@ -1663,6 +1664,72 @@ def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_gaps_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order linenumber contiguity audit (integrity.
+    sequence_integrity): every order's line numbers must run 1..n with
+    no holes or repeats — the planted duplicate (orderkey, linenumber)
+    pairs surface as n_dup_positions > 0. Two-phase aggregation: the
+    shuffle carries one row per (order, position), never a raw-data
+    window and never a count(distinct) expand."""
+    l = _t(spark, sf_dir, "lineitem")
+    return ING.sequence_integrity(l, ["l_orderkey"], "l_linenumber",
+                                  expected_start=1)
+
+
+def interval_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user overlap/gap audit over half-open activity intervals
+    (integrity.interval_integrity) — the audio-segment tiling check
+    run against a deterministic interval synthesis: each event spans
+    [ts, ts + 1 + md5(event_id) % 600) seconds. Running-max coverage
+    (doubly covered time counts once), epoch-DIFFERENCE outputs only
+    (timezone-representation-proof), one Exchange total: the window's
+    hash partitioning on user_id is reused by the final rollup."""
+    ev = _t(spark, sf_dir, "events")
+    tsu = F.col("ts").cast("timestamp").cast("long")
+    dur = 1 + (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+               16, 10).cast("long") % 600
+    )
+    iv = ev.select(
+        "user_id", tsu.alias("start_s"), (tsu + dur).alias("end_s")
+    )
+    return ING.interval_integrity(iv, ["user_id"], "start_s", "end_s")
+
+
+def violation_examples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded violation EXAMPLES (integrity.sample_per_group): at
+    10^12 rows the violation set itself can be billions of rows, but a
+    human triaging a failed run needs exactly K specimens per rule.
+    Deterministic top-5 per rule by (md5(entity), entity, value) via
+    two-stage top-k — partition-local prune spreads hot rules across
+    reducers, then a global rank over the <= k*P survivors. The oracle
+    replays the exact same rank, so a wrong prune (a dropped global
+    winner) hash-mismatches."""
+    l = _t(spark, sf_dir, "lineitem")
+    ent = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+
+    def _rule(pred, rule_id: str, col: str) -> DataFrame:
+        return l.where(pred).select(
+            F.lit(rule_id).alias("rule_id"),
+            ent.alias("entity_id"),
+            F.round(F.col(col).cast("double"), 6).alias("value"),
+        )
+
+    viol = (
+        _rule(F.col("l_quantity") > 48, "out_of_range:l_quantity", "l_quantity")
+        .unionByName(_rule(F.col("l_discount") > 0.09,
+                           "out_of_range:l_discount", "l_discount"))
+        .unionByName(_rule(F.col("l_tax") > 0.07,
+                           "out_of_range:l_tax", "l_tax"))
+    ).withColumn("_h", F.md5("entity_id"))
+    return ING.sample_per_group(
+        viol, ["rule_id"], ["_h", "entity_id", "value"], k=5
+    ).drop("_h")
+
+
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
     deterministic tag+URL+email suffix planted, then the tag/url/email
@@ -1811,6 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality_embeddings": embedding_quality_embeddings,
         "anomalous_hours_events": anomalous_hours_events,
         "changepoint_events": changepoint_events,
+        "sequence_gaps_lineitem": sequence_gaps_lineitem,
+        "interval_integrity_events": interval_integrity_events,
+        "violation_examples_lineitem": violation_examples_lineitem,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -2801,6 +2871,101 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, b) AS rk
                   FROM scored)
             WHERE rk = 1 AND score > 0.0
+        """,
+        "sequence_gaps_lineitem": """
+            WITH p AS (
+              SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS pos,
+                     count(*) AS c
+              FROM lineitem GROUP BY 1, 2
+            ), a AS (
+              SELECT l_orderkey,
+                     CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_positions,
+                     min(pos) AS min_pos, max(pos) AS max_pos,
+                     CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_positions,
+                     CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+                       AS n_extra_rows
+              FROM p GROUP BY 1
+            )
+            SELECT l_orderkey, n_rows, n_positions, min_pos, max_pos,
+                   n_dup_positions, n_extra_rows,
+                   CAST(max_pos - min_pos + 1 - n_positions AS BIGINT)
+                     AS n_missing,
+                   (min_pos = 1) AS starts_ok
+            FROM a
+            WHERE n_dup_positions > 0
+               OR max_pos - min_pos + 1 - n_positions > 0
+               OR min_pos <> 1
+        """,
+        "interval_integrity_events": """
+            WITH iv AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT) + 1
+                       + (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                          1, 4))::BIGINT % 600) AS e
+              FROM events
+            ), w AS (
+              SELECT user_id, s, e,
+                     max(CASE WHEN e > s THEN e END) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pm
+              FROM iv
+            ), f AS (
+              SELECT user_id, s, e, pm,
+                     CASE WHEN e <= s THEN 1 ELSE 0 END AS inv,
+                     CASE WHEN e > s AND pm IS NOT NULL AND s < pm
+                          THEN 1 ELSE 0 END AS ov,
+                     CASE WHEN e > s AND pm IS NOT NULL AND s > pm
+                          THEN 1 ELSE 0 END AS gp,
+                     CASE WHEN e <= s THEN 0.0
+                          ELSE greatest(
+                            e::DOUBLE - greatest(
+                              s::DOUBLE, coalesce(pm::DOUBLE, s::DOUBLE)),
+                            0.0)
+                     END AS cov
+              FROM w
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(inv) AS BIGINT) AS n_invalid,
+                   CAST(sum(ov) AS BIGINT) AS n_overlaps,
+                   CAST(sum(gp) AS BIGINT) AS n_gaps,
+                   round(sum(cov), 6) AS covered_s,
+                   round(max(CASE WHEN e > s THEN e END)::DOUBLE
+                         - min(CASE WHEN e > s THEN s END)::DOUBLE, 6)
+                     AS span_s
+            FROM f GROUP BY 1
+        """,
+        "violation_examples_lineitem": """
+            WITH v AS (
+              SELECT 'out_of_range:l_quantity' AS rule_id,
+                     CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR) AS entity_id,
+                     round(CAST(l_quantity AS DOUBLE), 6) AS value
+              FROM lineitem WHERE l_quantity > 48
+              UNION ALL
+              SELECT 'out_of_range:l_discount',
+                     CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR),
+                     round(CAST(l_discount AS DOUBLE), 6)
+              FROM lineitem WHERE l_discount > 0.09
+              UNION ALL
+              SELECT 'out_of_range:l_tax',
+                     CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR),
+                     round(CAST(l_tax AS DOUBLE), 6)
+              FROM lineitem WHERE l_tax > 0.07
+            ), r AS (
+              SELECT rule_id, entity_id, value,
+                     row_number() OVER (
+                       PARTITION BY rule_id
+                       ORDER BY md5(entity_id), entity_id, value) AS rk
+              FROM v
+            )
+            SELECT rule_id, entity_id, value FROM r WHERE rk <= 5
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

@@ -1,0 +1,123 @@
+"""Structural-integrity operators: hand-computed expectations plus the
+physical-plan shapes that back the 100 TB claims (bounded shuffles,
+reused partitioning, no Python in the hot path)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mds_provider_spark.operators import integrity as ING
+
+
+# ------------------------------------------------ sequence_integrity
+
+
+def test_sequence_integrity_damage_report(spark):
+    rows = (
+        [("a", 1), ("a", 2), ("a", 2), ("a", 5)]   # dup 2, missing 3,4
+        + [("b", 2), ("b", 3)]                      # starts at 2
+        + [("c", 1), ("c", 2), ("c", 3)]            # clean -> absent
+    )
+    df = spark.createDataFrame(rows, "k string, pos int")
+    out = {r.k: r for r in ING.sequence_integrity(df, ["k"], "pos").collect()}
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert (a.n_rows, a.n_positions, a.min_pos, a.max_pos) == (4, 3, 1, 5)
+    assert (a.n_dup_positions, a.n_extra_rows, a.n_missing) == (1, 1, 2)
+    assert a.starts_ok
+    b = out["b"]
+    assert not b.starts_ok and b.n_missing == 0 and b.n_dup_positions == 0
+
+
+def test_sequence_integrity_custom_start(spark):
+    df = spark.createDataFrame([("a", 0), ("a", 1)], "k string, pos int")
+    assert ING.sequence_integrity(df, ["k"], "pos", expected_start=0).count() == 0
+    assert ING.sequence_integrity(df, ["k"], "pos", expected_start=1).count() == 1
+
+
+def test_sequence_integrity_no_distinct_expand(spark):
+    # two-phase aggregation, not count(distinct): no Expand node
+    df = spark.createDataFrame([("a", 1)], "k string, pos int")
+    plan = ING.sequence_integrity(df, ["k"], "pos")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+
+
+# ------------------------------------------------ interval_integrity
+
+
+def test_interval_integrity_overlap_gap_coverage(spark):
+    rows = [("a", 0, 10), ("a", 5, 12), ("a", 20, 25), ("a", 8, 8)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    r = ING.interval_integrity(df, ["k"], "s", "e").collect()[0]
+    assert (r.n_intervals, r.n_invalid, r.n_overlaps, r.n_gaps) == (4, 1, 1, 1)
+    # union of [0,10) u [5,12) u [20,25) = 12 + 5
+    assert r.covered_s == 17.0 and r.span_s == 25.0
+
+
+def test_interval_integrity_swallowed_intervals_each_count(spark):
+    # one long interval swallowing two later ones: running max (not lag)
+    # flags BOTH as overlaps and adds zero coverage for them
+    rows = [("a", 0, 100), ("a", 10, 20), ("a", 30, 40)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    r = ING.interval_integrity(df, ["k"], "s", "e").collect()[0]
+    assert (r.n_overlaps, r.n_gaps) == (2, 0)
+    assert r.covered_s == 100.0
+
+
+def test_interval_integrity_timestamp_inputs_epoch_differences(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("a", t0, t0 + dt.timedelta(seconds=30)),
+            ("a", t0 + dt.timedelta(seconds=45),
+             t0 + dt.timedelta(seconds=60))]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    r = ING.interval_integrity(df, ["k"], "s", "e").collect()[0]
+    assert (r.n_gaps, r.covered_s, r.span_s) == (1, 45.0, 60.0)
+
+
+def test_interval_integrity_single_exchange(spark):
+    # the window's hash partitioning on the key is reused by the rollup
+    df = spark.createDataFrame([("a", 0, 1)], "k string, s long, e long")
+    plan = ING.interval_integrity(df, ["k"], "s", "e")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------------------ sample_per_group
+
+
+def test_sample_per_group_matches_global_topk(spark):
+    import hashlib
+
+    rows = [(f"g{i % 3}", f"id{i:03d}") for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, id string").repartition(8)
+    out = ING.sample_per_group(
+        df.withColumn("h", F.md5("id")), ["g"], ["h", "id"], k=4
+    ).collect()
+    got = sorted((r.g, r.id) for r in out)
+    want = []
+    for g in ("g0", "g1", "g2"):
+        ids = [f"id{i:03d}" for i in range(90) if f"g{i % 3}" == g]
+        ids.sort(key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))
+        want += [(g, i) for i in ids[:4]]
+    assert got == sorted(want)
+
+
+def test_sample_per_group_hot_group_not_partitioned_by_group_alone(spark):
+    # stage-1 shuffle key includes the physical partition id: the plan's
+    # first window partitions by (_pid, g), never by g alone over raw data
+    df = spark.createDataFrame(
+        [("hot", f"id{i}") for i in range(100)], "g string, id string"
+    ).repartition(8).withColumn("h", F.md5("id"))
+    plan = ING.sample_per_group(df, ["g"], ["h", "id"], k=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "_pid" in plan, plan
+    out = ING.sample_per_group(df, ["g"], ["h", "id"], k=2).count()
+    assert out == 2
+
+
+def test_sample_per_group_k_validation(spark):
+    df = spark.createDataFrame([("a", "x")], "g string, id string")
+    with pytest.raises(ValueError):
+        ING.sample_per_group(df, ["g"], ["id"], k=0)
