@@ -1696,16 +1696,10 @@ def interval_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ING.interval_integrity(iv, ["user_id"], "start_s", "end_s")
 
 
-def violation_examples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded violation EXAMPLES (integrity.sample_per_group): at
-    10^12 rows the violation set itself can be billions of rows, but a
-    human triaging a failed run needs exactly K specimens per rule.
-    Deterministic top-5 per rule by (md5(entity), entity, value) via
-    two-stage top-k — partition-local prune spreads hot rules across
-    reducers, then a global rank over the <= k*P survivors. The oracle
-    replays the exact same rank, so a wrong prune (a dropped global
-    winner) hash-mismatches."""
-    l = _t(spark, sf_dir, "lineitem")
+def _lineitem_demo_violations(l: DataFrame) -> DataFrame:
+    """Three deterministic range rules over lineitem — the shared
+    violation feed for the examples/rates queries (rule_id, entity_id,
+    value)."""
     ent = F.concat_ws(
         "-", F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
@@ -1718,16 +1712,61 @@ def violation_examples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col(col).cast("double"), 6).alias("value"),
         )
 
-    viol = (
+    return (
         _rule(F.col("l_quantity") > 48, "out_of_range:l_quantity", "l_quantity")
         .unionByName(_rule(F.col("l_discount") > 0.09,
                            "out_of_range:l_discount", "l_discount"))
         .unionByName(_rule(F.col("l_tax") > 0.07,
                            "out_of_range:l_tax", "l_tax"))
-    ).withColumn("_h", F.md5("entity_id"))
+    )
+
+
+def violation_examples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded violation EXAMPLES (integrity.sample_per_group): at
+    10^12 rows the violation set itself can be billions of rows, but a
+    human triaging a failed run needs exactly K specimens per rule.
+    Deterministic top-5 per rule by (md5(entity), entity, value) via
+    two-stage top-k — partition-local prune spreads hot rules across
+    reducers, then a global rank over the <= k*P survivors. The oracle
+    replays the exact same rank, so a wrong prune (a dropped global
+    winner) hash-mismatches."""
+    viol = _lineitem_demo_violations(_t(spark, sf_dir, "lineitem")) \
+        .withColumn("_h", F.md5("entity_id"))
     return ING.sample_per_group(
         viol, ["rule_id"], ["_h", "entity_id", "value"], k=5
     ).drop("_h")
+
+
+def violation_rates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-interval violation rates per rule (rules.violation_rates):
+    the release-gate statistic — block when ci_high crosses the budget,
+    not when a point estimate wiggles. Every interval bound is one
+    fixed double expression over exact integer counts and the z
+    literal, replayed bit-for-bit by the oracle's identical SQL
+    arithmetic."""
+    l = _t(spark, sf_dir, "lineitem")
+    return R.violation_rates(_lineitem_demo_violations(l), n_rows=l.count())
+
+
+def category_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (drift.category_drift): enum members that
+    appeared, vanished, or shifted share — the check numeric sketches
+    are blind to. The two generations derive deterministically from
+    events by md5-bucket of event_id; the current half renames 'error'
+    to 'timeout', so the finding set is exactly {vanished error,
+    new timeout}. Shares are single divisions of exact integer counts
+    over broadcast 1-row totals."""
+    ev = _t(spark, sf_dir, "events")
+    bk = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+               16, 10).cast("long") % 2
+    )
+    base = ev.where(bk == 0).select("event_type")
+    cur = ev.where(bk == 1).select(
+        F.when(F.col("event_type") == "error", F.lit("timeout"))
+        .otherwise(F.col("event_type")).alias("event_type")
+    )
+    return DR.category_drift(cur, base, "event_type", share_threshold=0.02)
 
 
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps_lineitem": sequence_gaps_lineitem,
         "interval_integrity_events": interval_integrity_events,
         "violation_examples_lineitem": violation_examples_lineitem,
+        "violation_rates_lineitem": violation_rates_lineitem,
+        "category_drift_events": category_drift_events,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -2966,6 +3007,86 @@ def oracle_sql() -> dict[str, str]:
               FROM v
             )
             SELECT rule_id, entity_id, value FROM r WHERE rk <= 5
+        """,
+        "violation_rates_lineitem": """
+            WITH v AS (
+              SELECT 'out_of_range:l_quantity' AS rule_id
+              FROM lineitem WHERE l_quantity > 48
+              UNION ALL
+              SELECT 'out_of_range:l_discount'
+              FROM lineitem WHERE l_discount > 0.09
+              UNION ALL
+              SELECT 'out_of_range:l_tax'
+              FROM lineitem WHERE l_tax > 0.07
+            ), g AS (
+              SELECT rule_id, CAST(count(*) AS BIGINT) AS n_violations
+              FROM v GROUP BY 1
+            ), t AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM lineitem)
+            SELECT rule_id, n_violations, nr AS n_rows,
+                   round(n_violations::DOUBLE / nr::DOUBLE, 6) AS rate,
+                   round(greatest(
+                     ((n_violations::DOUBLE / nr::DOUBLE)
+                       + (1.959964 * 1.959964) / (2.0 * nr::DOUBLE)
+                       - 1.959964 * sqrt(
+                           (n_violations::DOUBLE / nr::DOUBLE)
+                             * (1.0 - n_violations::DOUBLE / nr::DOUBLE)
+                             / nr::DOUBLE
+                           + (1.959964 * 1.959964)
+                             / (4.0 * nr::DOUBLE * nr::DOUBLE)))
+                     / (1.0 + (1.959964 * 1.959964) / nr::DOUBLE),
+                     0.0), 6) AS ci_low,
+                   round(least(
+                     ((n_violations::DOUBLE / nr::DOUBLE)
+                       + (1.959964 * 1.959964) / (2.0 * nr::DOUBLE)
+                       + 1.959964 * sqrt(
+                           (n_violations::DOUBLE / nr::DOUBLE)
+                             * (1.0 - n_violations::DOUBLE / nr::DOUBLE)
+                             / nr::DOUBLE
+                           + (1.959964 * 1.959964)
+                             / (4.0 * nr::DOUBLE * nr::DOUBLE)))
+                     / (1.0 + (1.959964 * 1.959964) / nr::DOUBLE),
+                     1.0), 6) AS ci_high
+            FROM g, t
+        """,
+        "category_drift_events": """
+            WITH e AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                     1, 4))::BIGINT % 2 AS bk
+              FROM events
+            ), b AS (
+              SELECT event_type AS category,
+                     CAST(count(*) AS BIGINT) AS n_baseline
+              FROM e WHERE bk = 0 GROUP BY 1
+            ), c AS (
+              SELECT category, CAST(count(*) AS BIGINT) AS n_current
+              FROM (SELECT CASE WHEN event_type = 'error' THEN 'timeout'
+                                ELSE event_type END AS category
+                    FROM e WHERE bk = 1) GROUP BY 1
+            ), tc AS (SELECT sum(n_current) AS t FROM c),
+               tb AS (SELECT sum(n_baseline) AS t FROM b),
+            j AS (
+              SELECT coalesce(c.category, b.category) AS category,
+                     n_current, n_baseline,
+                     coalesce(n_current, 0)::DOUBLE
+                       / (SELECT t FROM tc)::DOUBLE AS sc,
+                     coalesce(n_baseline, 0)::DOUBLE
+                       / (SELECT t FROM tb)::DOUBLE AS sb
+              FROM c FULL OUTER JOIN b
+                ON c.category IS NOT DISTINCT FROM b.category
+            ), s AS (
+              SELECT category,
+                     coalesce(n_current, 0) AS n_current,
+                     coalesce(n_baseline, 0) AS n_baseline,
+                     round(sc, 6) AS share_current,
+                     round(sb, 6) AS share_baseline,
+                     CASE WHEN n_baseline IS NULL THEN 'new'
+                          WHEN n_current IS NULL THEN 'vanished'
+                          WHEN abs(sc - sb) > 0.02 THEN 'share_shift'
+                     END AS status
+              FROM j
+            )
+            SELECT * FROM s WHERE status IS NOT NULL
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

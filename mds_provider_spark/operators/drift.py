@@ -443,3 +443,69 @@ def psi_from_counts(
 # public alias: the streaming sink and baseline builders use this to
 # pre-aggregate histograms the marker/PSI path consumes
 bucket_counts = _bucket_counts
+
+
+def category_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    share_threshold: float = 0.02,
+) -> DataFrame:
+    """Categorical drift: values that APPEARED, VANISHED, or shifted
+    share between a baseline and the current run — the "codec enum
+    grew a new member" check that numeric sketches (quantiles, PSI over
+    fixed numeric bins) are blind to.
+
+    Each side collapses to one row per category first (partial+final
+    hash agg — the shuffle carries category cardinality, not rows), the
+    two tiny summaries full-outer join null-safely, and totals arrive
+    as broadcast 1-row aggregates of the summaries themselves (no
+    second scan of the inputs, no single-partition window). Shares are
+    single divisions of exact integer counts — bit-replayable.
+
+    Emits only findings: status 'new' (absent from baseline),
+    'vanished' (absent from current), or 'share_shift'
+    (|share_current - share_baseline| > share_threshold).
+    """
+    cat = F.col(col).cast("string")
+    cur = current.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_current")
+    )
+    base = baseline.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_baseline")
+    )
+    tc = cur.agg(F.sum("n_current").alias("_tc"))
+    tb = base.agg(F.sum("n_baseline").alias("_tb"))
+    j = (
+        cur.alias("c")
+        .join(base.alias("b"),
+              F.col("c.category").eqNullSafe(F.col("b.category")),
+              "full_outer")
+        .select(
+            F.coalesce(F.col("c.category"), F.col("b.category")).alias("category"),
+            F.col("c.n_current").alias("n_current"),
+            F.col("b.n_baseline").alias("n_baseline"),
+        )
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(tb))
+    )
+    share_cur = F.coalesce(F.col("n_current"), F.lit(0)).cast("double") / F.col("_tc").cast("double")
+    share_base = F.coalesce(F.col("n_baseline"), F.lit(0)).cast("double") / F.col("_tb").cast("double")
+    status = (
+        F.when(F.col("n_baseline").isNull(), F.lit("new"))
+        .when(F.col("n_current").isNull(), F.lit("vanished"))
+        .when(F.abs(share_cur - share_base) > F.lit(float(share_threshold)),
+              F.lit("share_shift"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            "category",
+            F.coalesce(F.col("n_current"), F.lit(0)).cast("long").alias("n_current"),
+            F.coalesce(F.col("n_baseline"), F.lit(0)).cast("long").alias("n_baseline"),
+            F.round(share_cur, 6).alias("share_current"),
+            F.round(share_base, 6).alias("share_baseline"),
+            "status",
+        )
+    )

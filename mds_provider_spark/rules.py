@@ -772,3 +772,45 @@ def mds_clip_rules() -> RuleSet:
         unique_key("clip_id"),
     )
     return rs
+
+
+def violation_rates(
+    violations: DataFrame,
+    n_rows: int,
+    z: float = 1.959964,
+    rule_col: str = "rule_id",
+) -> DataFrame:
+    """Per-rule violation RATE with a Wilson score interval — the
+    statistically honest verdict layer. A raw rate of 0.0004 means
+    nothing without n; the Wilson interval (well-behaved at p≈0 and
+    small n, unlike the normal approximation) gives the release gate a
+    defensible bound: block when ``ci_high`` crosses the budget, not
+    when a point estimate wiggles.
+
+    ``n_rows`` is the checked-row denominator the caller already knows
+    (one count of the validated table). One tiny aggregation over the
+    violation rows; every emitted double is ONE fixed expression over
+    exact integer counts and the z literal, so an oracle replays the
+    interval bit-for-bit.
+    """
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    g = violations.groupBy(rule_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    )
+    n = F.lit(float(n_rows))
+    zz = F.lit(float(z)) * F.lit(float(z))
+    p = F.col("n_violations").cast("double") / n
+    denom = F.lit(1.0) + zz / n
+    center = p + zz / (F.lit(2.0) * n)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + zz / (F.lit(4.0) * n * n)
+    )
+    return g.select(
+        rule_col,
+        "n_violations",
+        F.lit(int(n_rows)).alias("n_rows"),
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest((center - half) / denom, F.lit(0.0)), 6).alias("ci_low"),
+        F.round(F.least((center + half) / denom, F.lit(1.0)), 6).alias("ci_high"),
+    )

@@ -159,3 +159,30 @@ def test_array_and_cast_rules(spark):
         ("bad_enum:arr", "badelem"),
         ("bad_type:num_str", "badnum"),
     }
+
+
+def test_violation_rates_wilson_interval(spark):
+    viol = spark.createDataFrame(
+        [("r1",)] * 40 + [("r2",)] * 1, "rule_id string"
+    )
+    out = {r.rule_id: r for r in R.violation_rates(viol, n_rows=1000).collect()}
+    import math
+
+    for rid, k in (("r1", 40), ("r2", 1)):
+        n, z = 1000.0, 1.959964
+        p = k / n
+        denom = 1.0 + z * z / n
+        center = p + z * z / (2.0 * n)
+        half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        r = out[rid]
+        assert r.n_violations == k and r.n_rows == 1000
+        assert abs(r.rate - round(p, 6)) < 1e-12
+        assert abs(r.ci_low - round(max((center - half) / denom, 0.0), 6)) < 1e-12
+        assert abs(r.ci_high - round(min((center + half) / denom, 1.0), 6)) < 1e-12
+        assert 0.0 <= r.ci_low <= r.rate <= r.ci_high <= 1.0
+
+
+def test_violation_rates_rejects_bad_n(spark):
+    viol = spark.createDataFrame([("r1",)], "rule_id string")
+    with pytest.raises(ValueError):
+        R.violation_rates(viol, n_rows=0)

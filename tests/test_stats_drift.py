@@ -149,3 +149,32 @@ def test_psi_multi_column_single_scan(spark):
     assert {r.column_name for r in out.collect()} == {"a", "b"}
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Range (0, 2000") == 2, plan  # one per side, not per column
+
+
+def test_category_drift_new_vanished_shift(spark):
+    base = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50 + [("gone",)] * 10, "c string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 20 + [("fresh",)] * 10, "c string"
+    )
+    out = {r.category: r for r in DR.category_drift(cur, base, "c").collect()}
+    assert out["fresh"].status == "new" and out["fresh"].n_baseline == 0
+    assert out["gone"].status == "vanished" and out["gone"].n_current == 0
+    # a: 80/110 vs 50/110 -> share_shift; b likewise
+    assert out["a"].status == "share_shift" and out["b"].status == "share_shift"
+    assert abs(out["a"].share_current - round(80 / 110, 6)) < 1e-12
+    assert set(out) == {"fresh", "gone", "a", "b"}
+
+
+def test_category_drift_null_category_matches_nullsafe(spark):
+    base = spark.createDataFrame([("x",), (None,)], "c string")
+    cur = spark.createDataFrame([("x",), (None,)], "c string")
+    # identical distributions incl. the NULL group -> no findings
+    assert DR.category_drift(cur, base, "c").count() == 0
+
+
+def test_category_drift_stable_under_threshold(spark):
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+    cur = spark.createDataFrame([("a",)] * 51 + [("b",)] * 49, "c string")
+    assert DR.category_drift(cur, base, "c", share_threshold=0.02).count() == 0
