@@ -63,6 +63,13 @@ class ValidationRun:
     # and writes drift findings to <out>/drift (one tiny broadcast join).
     baseline_snapshot: "DataFrame | None" = None
     drift_cols: tuple[str, ...] = ("sr_hz", "dur_ms")
+    # quarantine gate: when True, every group also writes the rows that
+    # NO violation touched (row rules, duplicates, referential, PCM) to
+    # <out>/clean, inside the same atomic group commit — the validated
+    # copy downstream pipelines consume. Identity is required: rows with
+    # a NULL clip_id are never clean (they cannot be matched against the
+    # cross-row violation set, and any sane ruleset flags them anyway).
+    emit_clean: bool = False
 
     def _read(self, path: str, schema) -> DataFrame:
         """Read-back with an EXPLICIT schema: a group with zero violations
@@ -165,6 +172,27 @@ class ValidationRun:
             (verd.repartition("part_id")
                  .write.mode("overwrite").partitionBy("part_id")
                  .parquet(log.path("verdicts")))
+            if self.emit_clean:
+                # clean = group input minus every clip_id mentioned in the
+                # group's MATERIALIZED violations (rule + cross-row alike
+                # — `written` is the committed union, so the gate can't
+                # drift from what was reported). The violation key set is
+                # group-small; AQE broadcasts it when it fits. Inside the
+                # commit window: a crash before the marker re-clears and
+                # rewrites on resume, same as violations/verdicts.
+                log.clear_parts("clean", parts)
+                key = self.ruleset.key_col
+                bad_keys = (
+                    written.select(F.col("clip_id").alias(key))
+                    .where(F.col(key).isNotNull()).distinct()
+                )
+                clean = (
+                    sub.where(F.col(key).isNotNull())
+                    .join(bad_keys, key, "left_anti")
+                )
+                (clean.repartition("part_id")
+                      .write.mode("overwrite").partitionBy("part_id")
+                      .parquet(log.path("clean")))
             stats = {
                 r["part_id"]: (r["n_rows"], r["n_violations"])
                 for r in self._read(log.path("verdicts"), S.VERDICTS_SCHEMA)
@@ -220,3 +248,12 @@ class ValidationRun:
 
     def metrics(self) -> DataFrame:
         return self._read(CommitLog(self.out_dir).path("metrics"), S.METRICS_SCHEMA)
+
+    def clean(self, schema=None) -> DataFrame:
+        """The validated copy (requires ``emit_clean=True`` runs). Pass
+        the input schema to make an all-rows-quarantined group (empty
+        parquet dir, no footers) readable."""
+        p = CommitLog(self.out_dir).path("clean")
+        if schema is not None:
+            return self._read(p, schema)
+        return self.spark.read.parquet(p)

@@ -146,3 +146,41 @@ def test_cli_drift_flags(spark, tmp_path, monkeypatch, capsys):
              "--baseline", f"{out_a}/snapshot"])
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["drift_findings"] >= 1  # sr/dur distributions shifted
+
+
+def test_emit_clean_quarantine_gate(spark, tmp_path, data):
+    clips, ts = data
+    run = _mk_run(spark, tmp_path / "clean", emit_clean=True)
+    run.run(clips, ts)
+    clean = run.clean()
+    # exactly: input rows minus NULL ids minus every id in violations
+    bad_ids = {
+        r.clip_id for r in run.violations().select("clip_id").distinct().collect()
+        if r.clip_id is not None
+    }
+    want = {
+        r.clip_id for r in clips.select("clip_id").collect()
+        if r.clip_id is not None and r.clip_id not in bad_ids
+    }
+    got = {r.clip_id for r in clean.select("clip_id").collect()}
+    assert got == want and len(got) > 0
+    # the gate cannot drift from what was reported: no clean id is ever
+    # also a violation id
+    assert not (got & bad_ids)
+    # clean rows carry the full input row (bytes included)
+    assert set(clean.columns) == set(clips.columns)
+
+
+def test_emit_clean_resume_consistent(spark, tmp_path, data):
+    clips, ts = data
+    out = tmp_path / "clean_resume"
+    run = _mk_run(spark, out, emit_clean=True)
+    run.run(clips, ts, stop_after_groups=2)       # simulated kill
+    n_partial = _mk_run(spark, out, emit_clean=True)
+    s2 = n_partial.run(clips, ts)                 # resume
+    assert s2["groups_skipped"] == 2
+    full = _mk_run(spark, tmp_path / "clean_full", emit_clean=True)
+    full.run(clips, ts)
+    a = {r.clip_id for r in n_partial.clean().select("clip_id").collect()}
+    b = {r.clip_id for r in full.clean().select("clip_id").collect()}
+    assert a == b

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                         "<out>/drift and the current snapshot in <out>/snapshot")
     p.add_argument("--drift-cols", default="sr_hz,dur_ms",
                    help="comma-separated columns for the drift snapshot")
+    p.add_argument("--emit-clean", action="store_true",
+                   help="also write the validated copy (rows no violation "
+                        "touched) to <out>/clean inside each group commit — "
+                        "the quarantine gate downstream pipelines consume")
     p.add_argument("--emit-snapshot", action="store_true",
                    help="write this table's drift snapshot to <out>/snapshot "
                         "even without a baseline (bootstraps the first run)")
@@ -56,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         n_parts=args.n_parts,
         group_size=args.group_size,
         min_snr_db=args.min_snr_db,
+        emit_clean=args.emit_clean,
     )
     if args.run_id:
         kwargs["run_id"] = args.run_id
