@@ -1769,6 +1769,28 @@ def category_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.category_drift(cur, base, "event_type", share_threshold=0.02)
 
 
+def robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier buckets (sessions.
+    robust_anomalous_buckets) — the screen a z-score can't run: one
+    huge spike inflates the sample sd enough to hide itself; rank
+    statistics don't move. Medians are exact LOWER medians picked by
+    row_number (no interpolation), so every modified z-score is one
+    fixed double expression over integers — DuckDB replays it
+    bit-for-bit."""
+    from mds_provider_spark.operators import sessions as SES
+
+    ev = _t(spark, sf_dir, "events")
+    roll = SES.time_rollup(ev, ts_col="ts", interval="1 hour",
+                           keys=("event_type",))
+    out = SES.robust_anomalous_buckets(roll, ["event_type"], "n_rows",
+                                       m_threshold=3.5)
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_rows", "median", "mad", "m_score",
+    )
+
+
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
     deterministic tag+URL+email suffix planted, then the tag/url/email
@@ -1922,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples_lineitem": violation_examples_lineitem,
         "violation_rates_lineitem": violation_rates_lineitem,
         "category_drift_events": category_drift_events,
+        "robust_anomalies_events": robust_anomalies_events,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -3087,6 +3110,44 @@ def oracle_sql() -> dict[str, str]:
               FROM j
             )
             SELECT * FROM s WHERE status IS NOT NULL
+        """,
+        "robust_anomalies_events": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, b, x,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY x, b) AS rn
+              FROM r
+            ), m AS (
+              SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2.0)
+                                              AS BIGINT)
+                                 THEN x END)
+                          OVER (PARTITION BY event_type) AS med
+              FROM w
+            ), d AS (
+              SELECT *, abs(x - med) AS dev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY abs(x - med), x, b) AS rd
+              FROM m
+            ), md AS (
+              SELECT *, max(CASE WHEN rd = CAST(floor((n + 1) / 2.0)
+                                              AS BIGINT)
+                                 THEN dev END)
+                          OVER (PARTITION BY event_type) AS mad
+              FROM d
+            )
+            SELECT event_type,
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   x AS n_rows, med AS median, mad,
+                   round(0.6745 * (x - med)::DOUBLE / mad::DOUBLE, 6)
+                     AS m_score
+            FROM md
+            WHERE n >= 4 AND mad > 0
+              AND abs(0.6745 * (x - med)::DOUBLE / mad::DOUBLE) > 3.5
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

@@ -254,3 +254,65 @@ def changepoint_mean_shift(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def robust_anomalous_buckets(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "n_rows",
+    time_col: str = "bucket_start",
+    m_threshold: float = 3.5,
+) -> DataFrame:
+    """MAD-based outlier buckets — the ROBUST twin of
+    ``anomalous_buckets``. A z-score screen self-destructs under the
+    very anomaly it hunts: one huge spike inflates the sample sd enough
+    to hide itself (and everything else). The modified z-score
+    ``M = 0.6745 * (x - median) / MAD`` (Iglewicz-Hoaglin) uses rank
+    statistics an outlier cannot drag.
+
+    Determinism discipline: NO interpolation. The median is the exact
+    LOWER median — the element at rank ceil(n/2) under the total order
+    (value, time) — and the MAD is the lower median of the integer
+    deviations |x - med| under (deviation, value, time). Both are
+    integers picked by rank, so M is one fixed double expression over
+    integers and the 0.6745 literal: bit-replayable in any engine,
+    which interpolated percentiles are not.
+
+    Plan: the input is an already-aggregated rollup (bucket-scale).
+    All four window specs share one hash partitioning on the key —
+    ONE Exchange; the two orderings are sorts within it.
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("long")
+    w_all = Window.partitionBy(*keys)
+    w_val = w_all.orderBy("_x", time_col)
+    s = (
+        rollup.select(*keys, F.col(time_col), x.alias("_x"))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rn", F.row_number().over(w_val))
+    )
+    mid = F.floor((F.col("_n") + 1) / 2.0)
+    s = s.withColumn(
+        "_med", F.max(F.when(F.col("_rn") == mid, F.col("_x"))).over(w_all)
+    ).withColumn("_d", F.abs(F.col("_x") - F.col("_med")))
+    w_dev = w_all.orderBy("_d", "_x", time_col)
+    s = s.withColumn("_rd", F.row_number().over(w_dev)).withColumn(
+        "_mad", F.max(F.when(F.col("_rd") == mid, F.col("_d"))).over(w_all)
+    )
+    m = (
+        F.lit(0.6745)
+        * (F.col("_x") - F.col("_med")).cast("double")
+        / F.col("_mad").cast("double")
+    )
+    return (
+        s.where((F.col("_n") >= 4) & (F.col("_mad") > 0)
+                & (F.abs(m) > F.lit(float(m_threshold))))
+        .select(
+            *keys,
+            F.col(time_col),
+            F.col("_x").alias(value_col),
+            F.col("_med").alias("median"),
+            F.col("_mad").alias("mad"),
+            F.round(m, 6).alias("m_score"),
+        )
+    )

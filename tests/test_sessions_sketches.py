@@ -692,3 +692,58 @@ def test_changepoint_single_exchange(spark):
     plan = SES.changepoint_mean_shift(roll, ["event_type"], "n_rows") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------------------- robust (MAD) outliers
+
+
+def test_robust_anomalous_buckets_spike_found_median_unmoved(spark):
+    # 11 quiet hours at 10, one 200-spike: median/MAD ignore the spike
+    # entirely (med=10, mad=0 would silence -> use mild jitter instead)
+    rows = []
+    jitter = [10, 11, 10, 9, 10, 11, 9, 10, 11, 9, 10]
+    for h, n in enumerate(jitter + [200]):
+        rows += [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0)] * n
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    out = SES.robust_anomalous_buckets(roll, ["event_type"], "n_rows").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bucket_start.hour == 11 and r.n_rows == 200
+    # lower median of sorted jitter+200 (n=12 -> rank 6): 10; MAD from
+    # deviations [0x5, 1x6, 190] -> rank 6 -> 1
+    assert r.median == 10 and r.mad == 1
+    assert r.m_score == round(0.6745 * 190.0, 6)
+
+
+def test_robust_vs_zscore_masking(spark):
+    # the case the z-score screen MISSES: a colossal spike inflates sd
+    # so its own z stays under 2.5 with few buckets; MAD still flags it
+    counts = [10, 12, 9, 11, 10, 13, 2000]
+    rows = []
+    for h, n in enumerate(counts):
+        rows += [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0)] * n
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    z = SES.anomalous_buckets(roll, ["event_type"], "n_rows", z_threshold=2.5)
+    robust = SES.robust_anomalous_buckets(roll, ["event_type"], "n_rows")
+    assert z.count() == 0          # masked: z of the spike ~ 2.27
+    assert robust.count() == 1     # MAD is not draggable
+
+
+def test_robust_anomalous_buckets_degenerate_silent(spark):
+    # mad == 0 (constant series) and n < 4: silent, no division blowups
+    rows = [(dt.datetime(2024, 1, 1, h, 1), "flat", 1.0) for h in range(8)]
+    rows += [(dt.datetime(2024, 1, 1, h, 1), "tiny", 1.0) for h in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    assert SES.robust_anomalous_buckets(roll, ["event_type"]).count() == 0
+
+
+def test_robust_anomalous_buckets_single_exchange(spark):
+    rows = [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0) for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",)).localCheckpoint()
+    plan = SES.robust_anomalous_buckets(roll, ["event_type"], "n_rows") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
