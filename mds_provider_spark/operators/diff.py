@@ -101,3 +101,60 @@ def snapshot_diff_counts(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def schema_drift(
+    actual,
+    expected,
+    check_nullability: bool = False,
+) -> list[dict]:
+    """Schema CONTRACT drift — added / removed / type-changed columns
+    between a live table and the expected contract. This is the check
+    that runs BEFORE any row rule: a renamed or retyped column fails
+    here in milliseconds instead of surfacing as a million spurious
+    row violations (or worse, as rules silently evaluating NULL).
+
+    Pure driver-side metadata (StructType comparison; pass DataFrames
+    or StructTypes) — zero jobs, zero scans, so it is free to run at
+    every pipeline hop at any data scale. Nested structs compare by
+    their full simpleString, so a changed field inside a struct column
+    reports as a type change on that column.
+
+    Returns findings ``{column, status, actual_type, expected_type}``
+    with status in {'added', 'removed', 'type_changed',
+    'nullability_changed'} — empty list == contract holds.
+    """
+    def _fields(s):
+        st = s.schema if hasattr(s, "schema") else s
+        return {f.name: f for f in st.fields}
+
+    act, exp = _fields(actual), _fields(expected)
+    out: list[dict] = []
+    for name in act.keys() - exp.keys():
+        out.append({"column": name, "status": "added",
+                    "actual_type": act[name].dataType.simpleString(),
+                    "expected_type": None})
+    for name in exp.keys() - act.keys():
+        out.append({"column": name, "status": "removed",
+                    "actual_type": None,
+                    "expected_type": exp[name].dataType.simpleString()})
+    for name in act.keys() & exp.keys():
+        a, e = act[name], exp[name]
+        if a.dataType.simpleString() != e.dataType.simpleString():
+            out.append({"column": name, "status": "type_changed",
+                        "actual_type": a.dataType.simpleString(),
+                        "expected_type": e.dataType.simpleString()})
+        elif check_nullability and a.nullable != e.nullable:
+            out.append({"column": name, "status": "nullability_changed",
+                        "actual_type": f"nullable={a.nullable}",
+                        "expected_type": f"nullable={e.nullable}"})
+    return sorted(out, key=lambda d: (d["status"], d["column"]))
+
+
+def enforce_schema(df: DataFrame, expected, check_nullability: bool = False) -> DataFrame:
+    """Gate form of ``schema_drift``: returns ``df`` untouched when the
+    contract holds, raises with the full finding list otherwise."""
+    findings = schema_drift(df, expected, check_nullability=check_nullability)
+    if findings:
+        raise ValueError(f"schema contract drift: {findings}")
+    return df

@@ -121,3 +121,44 @@ def test_sample_per_group_k_validation(spark):
     df = spark.createDataFrame([("a", "x")], "g string, id string")
     with pytest.raises(ValueError):
         ING.sample_per_group(df, ["g"], ["id"], k=0)
+
+
+# ------------------------------------------------ schema contract drift
+
+
+def test_schema_drift_findings(spark):
+    from mds_provider_spark.operators.diff import enforce_schema, schema_drift
+
+    exp = spark.createDataFrame([], "clip_id string, dur_ms int, codec string")
+    act = spark.createDataFrame([], "clip_id string, dur_ms bigint, extra double")
+    got = schema_drift(act, exp)
+    assert got == [
+        {"column": "extra", "status": "added",
+         "actual_type": "double", "expected_type": None},
+        {"column": "codec", "status": "removed",
+         "actual_type": None, "expected_type": "string"},
+        {"column": "dur_ms", "status": "type_changed",
+         "actual_type": "bigint", "expected_type": "int"},
+    ]
+    assert schema_drift(exp, exp) == []
+    with pytest.raises(ValueError, match="dur_ms"):
+        enforce_schema(act, exp)
+    # gate passes untouched frames through
+    assert enforce_schema(exp, exp.schema) is exp
+
+
+def test_schema_drift_nested_struct_and_nullability(spark):
+    from pyspark.sql.types import (IntegerType, StructField, StructType)
+
+    from mds_provider_spark.operators.diff import schema_drift
+
+    exp = StructType([StructField("a", IntegerType(), nullable=False)])
+    act = StructType([StructField("a", IntegerType(), nullable=True)])
+    assert schema_drift(act, exp) == []  # nullability off by default
+    got = schema_drift(act, exp, check_nullability=True)
+    assert got == [{"column": "a", "status": "nullability_changed",
+                    "actual_type": "nullable=True",
+                    "expected_type": "nullable=False"}]
+    nested_e = spark.createDataFrame([], "p struct<x:int,y:int>")
+    nested_a = spark.createDataFrame([], "p struct<x:int,y:string>")
+    assert schema_drift(nested_a, nested_e)[0]["status"] == "type_changed"
