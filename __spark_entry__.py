@@ -1791,6 +1791,22 @@ def robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted training mix (text.mix_sample): 50% of en, all
+    of zh, a quarter of es, none of de, 10% of everything else —
+    membership is a pure function of (doc_id, salt), so the mix is a
+    ZERO-shuffle filter that reproduces identically in any engine and
+    stays append-stable as the corpus grows. The oracle replays the
+    exact bucket arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.mix_sample(
+        docs, "lang",
+        {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.0},
+        id_col="doc_id", default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
     deterministic tag+URL+email suffix planted, then the tag/url/email
@@ -1945,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_rates_lineitem": violation_rates_lineitem,
         "category_drift_events": category_drift_events,
         "robust_anomalies_events": robust_anomalies_events,
+        "mix_documents": mix_documents,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -3148,6 +3165,16 @@ def oracle_sql() -> dict[str, str]:
             FROM md
             WHERE n >= 4 AND mad > 0
               AND abs(0.6745 * (x - med)::DOUBLE / mad::DOUBLE) > 3.5
+        """,
+        "mix_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'),
+                                  1, 8))::BIGINT % 1000000
+                  < CASE lang WHEN 'en' THEN 500000
+                              WHEN 'zh' THEN 1000000
+                              WHEN 'es' THEN 250000
+                              WHEN 'de' THEN 0
+                              ELSE 100000 END
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

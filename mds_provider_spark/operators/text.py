@@ -738,3 +738,54 @@ def split_leakage(
         )
         .where(F.col("n_splits") > 1)
     )
+
+
+def mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic DOMAIN-WEIGHTED corpus mix — the training-data
+    composition step ("50% en, all of zh, a quarter of es"): each row
+    survives iff its id-hash bucket falls under its domain's fraction.
+
+    Pure filter, ZERO shuffle, zero state: membership is a function of
+    (id, salt) alone, so the same mix reproduces everywhere, forever,
+    in any engine — and re-running over a grown corpus keeps every
+    previously selected row (append-stable, unlike rand()-based
+    sampling). Domains absent from ``fractions`` get
+    ``default_fraction``.
+
+    Granularity is 1e-6 with a ≤0.03% relative modulo bias (2^32 % 1e6
+    buckets; the SAME rows are biased in every engine, so oracles
+    replay exactly). DuckDB/Trino replay:
+    ``('0x' || substr(md5(id || salt), 1, 8))::BIGINT % 1000000``.
+    """
+    for d, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {d!r} must be in [0,1], got {f}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    thr = None
+    for name, frac in sorted(fractions.items()):
+        lit = F.lit(int(round(frac * 1_000_000)))
+        cond = F.col(domain_col) == name
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (
+        F.lit(int(round(default_fraction * 1_000_000)))
+        if thr is None
+        else thr.otherwise(F.lit(int(round(default_fraction * 1_000_000))))
+    )
+    return df.where(bucket < thr)

@@ -460,3 +460,49 @@ def test_repetition_profile_known_values(spark):
     assert got[4].dup2gram_ratio == 0.0
     assert got[5].dup2gram_ratio == round(1 - 1 / 3, 6)
     assert got[5].dup3gram_ratio == 0.5
+
+
+# ------------------------------------------------------ mix_sample
+
+
+def test_mix_sample_fractions_and_determinism(spark):
+    from mds_provider_spark.operators import text as TX
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = TX.mix_sample(df, "lang", {"en": 0.5, "zh": 0.0}, id_col="doc_id")
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert "zh" not in by                       # fraction 0 drops all
+    assert 400 < by["en"] < 600                 # ~50% of 1000
+    # deterministic: identical second run, and append-stable (subset
+    # relation when the fraction grows)
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         TX.mix_sample(df, "lang", {"en": 0.5, "zh": 0.0},
+                       id_col="doc_id").collect()}
+    assert a == b
+    wider = {r.doc_id for r in
+             TX.mix_sample(df, "lang", {"en": 0.8, "zh": 0.0},
+                           id_col="doc_id").collect()}
+    assert a <= wider
+
+
+def test_mix_sample_default_fraction_and_validation(spark):
+    from mds_provider_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "other")], "doc_id long, lang string")
+    assert TX.mix_sample(df, "lang", {"en": 0.5}, id_col="doc_id").count() == 0
+    assert TX.mix_sample(df, "lang", {"en": 0.5}, id_col="doc_id",
+                         default_fraction=1.0).count() == 1
+    with pytest.raises(ValueError):
+        TX.mix_sample(df, "lang", {"en": 1.5}, id_col="doc_id")
+
+
+def test_mix_sample_zero_shuffle_plan(spark):
+    from mds_provider_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = TX.mix_sample(df, "lang", {"en": 0.5}, id_col="doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
