@@ -1807,6 +1807,46 @@ def mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def missing_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness gaps (sessions.missing_buckets): expected
+    hourly buckets with NO data per event type — the "provider went
+    dark for 3 hours" check that row rules and volume outliers both
+    miss (there is no row to flag and no bucket to score). The expected
+    grid explodes from the per-key min/max of the ALREADY-AGGREGATED
+    rollup (bucket-scale), anti-joined against observed buckets."""
+    from mds_provider_spark.operators import sessions as SES
+
+    ev = _t(spark, sf_dir, "events")
+    roll = SES.time_rollup(ev, ts_col="ts", interval="1 hour",
+                           keys=("event_type",))
+    out = SES.missing_buckets(roll, ["event_type"], interval="1 hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+    )
+
+
+def partition_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition null-rate screen (stats.partition_health) — "find
+    the bad file": nulls planted deterministically into ONE derived
+    partition (md5-bucket routing) must surface as exactly that
+    partition's (part, column) pair, with exact integer rates the
+    oracle restates."""
+    ev = _t(spark, sf_dir, "events")
+    sid = F.col("event_id").cast("string")
+    part = (F.conv(F.substring(F.md5(sid), 1, 4), 16, 10).cast("long") % 8)
+    nullify = (
+        F.conv(F.substring(F.md5(F.concat(sid, F.lit("nl"))), 1, 4),
+               16, 10).cast("long") % 25 == 0
+    )
+    staged = ev.select(
+        part.alias("part_id"),
+        F.when((part == 3) & nullify, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    return ST.partition_health(staged, "part_id", ["value"], ratio_threshold=3.0)
+
+
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
     deterministic tag+URL+email suffix planted, then the tag/url/email
@@ -1962,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift_events": category_drift_events,
         "robust_anomalies_events": robust_anomalies_events,
         "mix_documents": mix_documents,
+        "missing_hours_events": missing_hours_events,
+        "partition_health_events": partition_health_events,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -3175,6 +3217,53 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'es' THEN 250000
                               WHEN 'de' THEN 0
                               ELSE 100000 END
+        """,
+        "missing_hours_events": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS b
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, min(b) AS mn, max(b) AS mx
+              FROM r GROUP BY 1
+            ), e AS (
+              SELECT event_type,
+                     unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+              FROM s
+            )
+            SELECT e.event_type,
+                   strftime(e.b, '%Y-%m-%d %H:%M:%S') AS bucket_start
+            FROM e ANTI JOIN r ON e.event_type = r.event_type AND e.b = r.b
+        """,
+        "partition_health_events": """
+            WITH staged AS (
+              SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                     1, 4))::BIGINT % 8 AS part_id,
+                     CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                               1, 4))::BIGINT % 8 = 3
+                           AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                                   || 'nl'),
+                                               1, 4))::BIGINT % 25 = 0
+                          THEN NULL ELSE value END AS value
+              FROM events
+            ), per AS (
+              SELECT part_id AS part,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null
+              FROM staged GROUP BY 1
+            ), g AS (
+              SELECT sum(n_rows) AS g_rows, sum(n_null) AS g_null FROM per
+            )
+            SELECT part, 'value' AS column_name, n_rows, n_null,
+                   round(n_null::DOUBLE / n_rows::DOUBLE, 6)
+                     AS part_null_rate,
+                   round(g_null::DOUBLE / g_rows::DOUBLE, 6)
+                     AS global_null_rate
+            FROM per, g
+            WHERE n_null > 0
+              AND (g_null = 0
+                   OR n_null::DOUBLE / n_rows::DOUBLE
+                      > 3.0 * (g_null::DOUBLE / g_rows::DOUBLE))
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

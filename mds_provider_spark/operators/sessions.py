@@ -316,3 +316,37 @@ def robust_anomalous_buckets(
             F.round(m, 6).alias("m_score"),
         )
     )
+
+
+def missing_buckets(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str = "bucket_start",
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Data-COMPLETENESS gaps: expected time buckets with NO data,
+    per key — "the provider sent nothing for 3 hours" check that row
+    rules (which only see rows that exist) and volume outliers (which
+    need a bucket row to score) both miss.
+
+    Per key the expected grid is ``sequence(min bucket, max bucket,
+    interval)`` — generated from the ALREADY-AGGREGATED rollup, so the
+    explode is bucket-scale, never data-scale — anti-joined against the
+    observed buckets. Both sides of the anti-join are keyed the same
+    way; AQE broadcasts the observed side per key-group when it fits.
+
+    Output: one row per (key, missing bucket).
+    """
+    keys = list(key_cols)
+    spans = rollup.groupBy(*keys).agg(
+        F.min(time_col).alias("_mn"), F.max(time_col).alias("_mx")
+    )
+    expected = spans.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(_mn, _mx, interval {interval})")
+        ).alias(time_col),
+    )
+    return expected.join(
+        rollup.select(*keys, time_col), [*keys, time_col], "left_anti"
+    )

@@ -265,3 +265,56 @@ def frequent_items(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(threshold))
     )
+
+
+def partition_health(
+    df: DataFrame,
+    part_col: str,
+    cols: Sequence[str],
+    ratio_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-PARTITION null-rate screen — "find the bad file": a writer
+    that dropped a column shows up as one partition whose null rate
+    dwarfs the table's, invisible to global profiles (diluted) and
+    expensive to localize from row violations.
+
+    One partial/final aggregation to (partition × columns), a broadcast
+    1-row global rollup OF THE SUMMARY (no second scan), exact integer
+    rates. Emits (part, column) pairs whose null rate exceeds
+    ``ratio_threshold`` × the global rate for that column (global rate
+    0 means any partition null flags).
+    """
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+    per = df.groupBy(F.col(part_col).alias("part")).agg(*aggs)
+    glob = per.agg(
+        F.sum("_n").alias("_gn"),
+        *[F.sum(f"_null_{c}").alias(f"_gnull_{c}") for c in cols],
+    )
+    wide = per.crossJoin(F.broadcast(glob))
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"_null_{c}").cast("long").alias("n_null"),
+            F.col(f"_gnull_{c}").cast("long").alias("g_null"),
+        )
+        for c in cols
+    ]
+    ex = wide.select(
+        "part", F.col("_n").cast("long").alias("n_rows"),
+        F.col("_gn").cast("long").alias("g_rows"),
+        F.explode(F.array(*structs)).alias("s"),
+    ).select("part", "n_rows", "g_rows", "s.*")
+    part_rate = F.col("n_null").cast("double") / F.col("n_rows").cast("double")
+    glob_rate = F.col("g_null").cast("double") / F.col("g_rows").cast("double")
+    flagged = (F.col("n_null") > 0) & (
+        (F.col("g_null") == 0)
+        | (part_rate > F.lit(float(ratio_threshold)) * glob_rate)
+    )
+    return ex.where(flagged).select(
+        "part", "column_name", "n_rows", "n_null",
+        F.round(part_rate, 6).alias("part_null_rate"),
+        F.round(glob_rate, 6).alias("global_null_rate"),
+    )

@@ -747,3 +747,24 @@ def test_robust_anomalous_buckets_single_exchange(spark):
     plan = SES.robust_anomalous_buckets(roll, ["event_type"], "n_rows") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------------------- completeness gaps
+
+
+def test_missing_buckets_finds_dark_hours(spark):
+    # data at hours 0,1,2,5,6 -> hours 3,4 missing; key 'b' complete
+    rows = [(dt.datetime(2024, 1, 1, h, 1), "a", 1.0) for h in (0, 1, 2, 5, 6)]
+    rows += [(dt.datetime(2024, 1, 1, h, 1), "b", 1.0) for h in (0, 1)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    out = SES.missing_buckets(roll, ["event_type"]).collect()
+    got = sorted((r.event_type, r.bucket_start.hour) for r in out)
+    assert got == [("a", 3), ("a", 4)]
+
+
+def test_missing_buckets_single_bucket_key_silent(spark):
+    rows = [(dt.datetime(2024, 1, 1, 5, 1), "solo", 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    roll = SES.time_rollup(df, keys=("event_type",))
+    assert SES.missing_buckets(roll, ["event_type"]).count() == 0

@@ -178,3 +178,35 @@ def test_category_drift_stable_under_threshold(spark):
     base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
     cur = spark.createDataFrame([("a",)] * 51 + [("b",)] * 49, "c string")
     assert DR.category_drift(cur, base, "c", share_threshold=0.02).count() == 0
+
+
+def test_partition_health_flags_only_bad_partition(spark):
+    from mds_provider_spark.operators import stats as ST
+
+    rows = []
+    for p in range(4):
+        for i in range(100):
+            # part 2: 20% nulls; others: 1% nulls
+            v = None if (p == 2 and i % 5 == 0) or (p != 2 and i % 100 == 0) \
+                else float(i)
+            rows.append((p, v))
+    df = spark.createDataFrame(rows, "part_id int, value double")
+    out = ST.partition_health(df, "part_id", ["value"], ratio_threshold=3.0)
+    got = out.collect()
+    assert len(got) == 1 and got[0].part == 2 and got[0].n_null == 20
+    # global rate = 23/400; part rate .2 > 3x
+    assert got[0].part_null_rate == 0.2
+    assert got[0].global_null_rate == round(23 / 400, 6)
+
+
+def test_partition_health_zero_global_rate_any_null_flags(spark):
+    from mds_provider_spark.operators import stats as ST
+
+    rows = [(0, 1.0)] * 50 + [(1, None)] + [(1, 1.0)] * 49
+    df = spark.createDataFrame(rows, "part_id int, value double")
+    # with 1 null out of 100 global rate > 0 -> ratio path: 1/50 vs 3*(1/100)
+    out = ST.partition_health(df, "part_id", ["value"]).collect()
+    assert len(out) == 0  # 0.02 < 0.03: under threshold
+    out2 = ST.partition_health(df, "part_id", ["value"],
+                               ratio_threshold=1.5).collect()
+    assert len(out2) == 1 and out2[0].part == 1
