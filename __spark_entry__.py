@@ -1847,6 +1847,27 @@ def partition_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.partition_health(staged, "part_id", ["value"], ratio_threshold=3.0)
 
 
+def monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-agreement audit (integrity.monotonicity_violations): a
+    sequence value must move forward with the ordering id; md5-bucketed
+    corruptions (value negated for ~1/37 of events) must surface as
+    exactly those users' inversion counts. Pure integer construction —
+    no timestamp arithmetic crosses the engine boundary."""
+    ev = _t(spark, sf_dir, "events")
+    corrupt = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+               16, 10).cast("long") % 37 == 0
+    )
+    staged = ev.select(
+        "user_id",
+        F.col("event_id"),
+        F.when(corrupt, -F.col("event_id")).otherwise(F.col("event_id"))
+        .alias("seq_val"),
+    )
+    return ING.monotonicity_violations(staged, ["user_id"], "event_id",
+                                       "seq_val")
+
+
 def clean_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scrub (text.clean_text) — md5-bucketed docs get a
     deterministic tag+URL+email suffix planted, then the tag/url/email
@@ -2004,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_documents": mix_documents,
         "missing_hours_events": missing_hours_events,
         "partition_health_events": partition_health_events,
+        "monotonic_events": monotonic_events,
         "clean_text_documents": clean_text_documents,
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
@@ -3264,6 +3286,30 @@ def oracle_sql() -> dict[str, str]:
               AND (g_null = 0
                    OR n_null::DOUBLE / n_rows::DOUBLE
                       > 3.0 * (g_null::DOUBLE / g_rows::DOUBLE))
+        """,
+        "monotonic_events": """
+            WITH staged AS (
+              SELECT user_id, event_id,
+                     CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                               1, 4))::BIGINT % 37 = 0
+                          THEN -event_id ELSE event_id END AS seq_val
+              FROM events
+            ), f AS (
+              SELECT user_id, event_id, seq_val,
+                     lag(seq_val) OVER (PARTITION BY user_id
+                                        ORDER BY event_id, seq_val) AS prev
+              FROM staged
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND seq_val < prev
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_inversions,
+                   min(CASE WHEN prev IS NOT NULL AND seq_val < prev
+                            THEN event_id END) AS first_inversion_order
+            FROM f GROUP BY 1
+            HAVING sum(CASE WHEN prev IS NOT NULL AND seq_val < prev
+                            THEN 1 ELSE 0 END) > 0
         """,
         "embedding_quality_embeddings": """
             WITH b AS (

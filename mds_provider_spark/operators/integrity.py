@@ -209,3 +209,50 @@ def sample_per_group(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-key ORDER-AGREEMENT audit: ``value_col`` must be
+    non-decreasing (``strict=True``: strictly increasing) when the
+    key's rows are walked in ``order_col`` order — "timestamps must
+    move forward with the sequence id", "file offsets must grow with
+    chunk index". ``sequence_integrity`` checks positions exist;
+    this checks two columns AGREE about the order.
+
+    One window (lag) per key — a single Exchange, reused by the final
+    per-key rollup (same partitioning). Ties on ``order_col`` break by
+    ``value_col`` so the verdict is deterministic under any input
+    partitioning (equal-order rows compare in ascending value order
+    and thus never produce a spurious inversion in non-strict mode).
+
+    Emits one row per violating key: ``n_rows``, ``n_inversions``, and
+    ``first_inversion_order`` (the smallest order value at which the
+    series steps backward) for triage.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col, value_col)
+    prev = F.lag(value_col).over(w)
+    bad = (
+        (F.col(value_col) < prev)
+        if not strict
+        else (F.col(value_col) <= prev)
+    )
+    flagged = df.select(*keys, order_col, value_col).withColumn(
+        "_inv", (prev.isNotNull() & bad).cast("int")
+    )
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_inv").cast("long").alias("n_inversions"),
+            F.min(F.when(F.col("_inv") == 1, F.col(order_col)))
+            .alias("first_inversion_order"),
+        )
+        .where(F.col("n_inversions") > 0)
+    )

@@ -162,3 +162,41 @@ def test_schema_drift_nested_struct_and_nullability(spark):
     nested_e = spark.createDataFrame([], "p struct<x:int,y:int>")
     nested_a = spark.createDataFrame([], "p struct<x:int,y:string>")
     assert schema_drift(nested_a, nested_e)[0]["status"] == "type_changed"
+
+
+# ------------------------------------------------ monotonicity
+
+
+def test_monotonicity_inversions_counted_and_located(spark):
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 15), ("a", 4, 30),
+            ("a", 5, 25), ("b", 1, 1), ("b", 2, 2)]
+    df = spark.createDataFrame(rows, "k string, ord int, val int")
+    out = ING.monotonicity_violations(df, ["k"], "ord", "val").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == "a" and r.n_rows == 5 and r.n_inversions == 2
+    assert r.first_inversion_order == 3
+
+
+def test_monotonicity_strict_flags_plateaus(spark):
+    rows = [("a", 1, 10), ("a", 2, 10)]
+    df = spark.createDataFrame(rows, "k string, ord int, val int")
+    assert ING.monotonicity_violations(df, ["k"], "ord", "val").count() == 0
+    strict = ING.monotonicity_violations(df, ["k"], "ord", "val",
+                                         strict=True).collect()
+    assert len(strict) == 1 and strict[0].n_inversions == 1
+
+
+def test_monotonicity_order_ties_no_spurious_inversion(spark):
+    # equal order values: ties break by value ascending, so (5,3),(5,7)
+    # never reports an inversion regardless of input partitioning
+    rows = [("a", 5, 7), ("a", 5, 3), ("a", 6, 9)]
+    df = spark.createDataFrame(rows, "k string, ord int, val int").repartition(3)
+    assert ING.monotonicity_violations(df, ["k"], "ord", "val").count() == 0
+
+
+def test_monotonicity_single_exchange(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "k string, ord int, val int")
+    plan = ING.monotonicity_violations(df, ["k"], "ord", "val")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
