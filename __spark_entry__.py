@@ -1012,6 +1012,41 @@ def segment_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.segment_clips(clips, segment_ms=50)
 
 
+def segment_integrity_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-segment TILING audit on the REAL segmentation path
+    (integrity.interval_integrity over audio.segment_clips output):
+    50 ms tiles per clip, with md5-routed segments DROPPED so the audit
+    must localize exactly those holes as per-clip gap counts. Oracled
+    via the shared-kernel segment ledger: DuckDB replays the same drop
+    rule and the same running-max window arithmetic."""
+    n = 300 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    expected = [
+        (cid, seg_idx, start_ms)
+        for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
+        for seg_idx, start_ms, n_samples, rms in audio.segment_features_of(w, sr, 50)
+    ]
+    spark.createDataFrame(
+        expected, "clip_id string, seg_idx int, start_ms int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/segment_integrity_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    segs = audio.segment_clips(clips, segment_ms=50)
+    keep = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.col("clip_id"), F.col("seg_idx").cast("string"))), 1, 4),
+            16, 10).cast("long") % 7 != 0
+    )
+    # identity is required for a per-clip audit (the null-id row is the
+    # rule layer's finding; and engines disagree on NULL in concat)
+    iv = segs.where(F.col("clip_id").isNotNull() & keep).select(
+        "clip_id",
+        F.col("start_ms").cast("long").alias("s"),
+        (F.col("start_ms") + 50).cast("long").alias("e"),
+    )
+    return ING.interval_integrity(iv, ["clip_id"], "s", "e")
+
+
 def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sample-rate normalization to 16 kHz — ORACLED to the BYTE:
     the ledger stores the md5 of the driver-replayed resampled s16le
@@ -2062,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_clips": audio_features_clips,
         "audio_quality_clips": audio_quality_clips,
         "segment_clips_features": segment_clips_features,
+        "segment_integrity_clips": segment_integrity_clips,
         "resample_clips_16k": resample_clips_16k,
         "augment_clips_speed": augment_clips_speed,
         "loudness_normalize_clips": loudness_normalize_clips,
@@ -2821,6 +2857,50 @@ def oracle_sql() -> dict[str, str]:
         "segment_clips_features": f"""
             SELECT clip_id, seg_idx, start_ms, n_samples, rms
             FROM read_parquet('{_ORACLE_DIR}/audio_segment_ledger/*.parquet')
+        """,
+        "segment_integrity_clips": f"""
+            WITH kept AS (
+              SELECT clip_id,
+                     CAST(start_ms AS BIGINT) AS s,
+                     CAST(start_ms + 50 AS BIGINT) AS e
+              FROM read_parquet(
+                '{_ORACLE_DIR}/segment_integrity_ledger/*.parquet')
+              WHERE clip_id IS NOT NULL
+                AND ('0x' || substr(md5(clip_id || '-'
+                                        || CAST(seg_idx AS VARCHAR)),
+                                    1, 4))::BIGINT % 7 <> 0
+            ), w AS (
+              SELECT clip_id, s, e,
+                     max(CASE WHEN e > s THEN e END) OVER (
+                       PARTITION BY clip_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pm
+              FROM kept
+            ), f AS (
+              SELECT clip_id, s, e, pm,
+                     CASE WHEN e <= s THEN 1 ELSE 0 END AS inv,
+                     CASE WHEN e > s AND pm IS NOT NULL AND s < pm
+                          THEN 1 ELSE 0 END AS ov,
+                     CASE WHEN e > s AND pm IS NOT NULL AND s > pm
+                          THEN 1 ELSE 0 END AS gp,
+                     CASE WHEN e <= s THEN 0.0
+                          ELSE greatest(
+                            e::DOUBLE - greatest(
+                              s::DOUBLE, coalesce(pm::DOUBLE, s::DOUBLE)),
+                            0.0)
+                     END AS cov
+              FROM w
+            )
+            SELECT clip_id,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(inv) AS BIGINT) AS n_invalid,
+                   CAST(sum(ov) AS BIGINT) AS n_overlaps,
+                   CAST(sum(gp) AS BIGINT) AS n_gaps,
+                   round(sum(cov), 6) AS covered_s,
+                   round(max(CASE WHEN e > s THEN e END)::DOUBLE
+                         - min(CASE WHEN e > s THEN s END)::DOUBLE, 6)
+                     AS span_s
+            FROM f GROUP BY 1
         """,
         "resample_clips_16k": f"""
             SELECT clip_id, sr_hz, n_samples, bytes_md5
