@@ -3105,23 +3105,32 @@ def oracle_sql() -> dict[str, str]:
             ), a AS (
               SELECT l_orderkey,
                      CAST(sum(c) AS BIGINT) AS n_rows,
-                     CAST(count(*) AS BIGINT) AS n_positions,
+                     CAST(sum(CASE WHEN pos IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_positions,
+                     CAST(sum(CASE WHEN pos IS NULL THEN c ELSE 0 END)
+                          AS BIGINT) AS n_null_pos,
                      min(pos) AS min_pos, max(pos) AS max_pos,
-                     CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     CAST(sum(CASE WHEN pos IS NOT NULL AND c > 1
+                                   THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_dup_positions,
-                     CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+                     CAST(sum(CASE WHEN pos IS NOT NULL AND c > 1
+                                   THEN c - 1 ELSE 0 END) AS BIGINT)
                        AS n_extra_rows
               FROM p GROUP BY 1
+            ), b AS (
+              SELECT *,
+                     CAST(CASE WHEN n_positions > 0
+                               THEN max_pos - min_pos + 1 - n_positions
+                               ELSE 0 END AS BIGINT) AS n_missing,
+                     coalesce(min_pos = 1, false) AS starts_ok
+              FROM a
             )
             SELECT l_orderkey, n_rows, n_positions, min_pos, max_pos,
-                   n_dup_positions, n_extra_rows,
-                   CAST(max_pos - min_pos + 1 - n_positions AS BIGINT)
-                     AS n_missing,
-                   (min_pos = 1) AS starts_ok
-            FROM a
-            WHERE n_dup_positions > 0
-               OR max_pos - min_pos + 1 - n_positions > 0
-               OR min_pos <> 1
+                   n_dup_positions, n_extra_rows, n_missing, n_null_pos,
+                   starts_ok
+            FROM b
+            WHERE n_dup_positions > 0 OR n_missing > 0
+               OR n_null_pos > 0 OR NOT starts_ok
         """,
         "interval_integrity_events": """
             WITH iv AS (

@@ -48,6 +48,11 @@ def sequence_integrity(
     the observed [min, max] range, ``min_pos``/``max_pos``, and
     ``starts_ok`` (min == expected_start).
 
+    Rows with a NULL position are their own finding (``n_null_pos`` —
+    a position that doesn't exist can be neither present nor missing)
+    and are excluded from the contiguity math, so they can never skew
+    ``n_positions`` into a negative ``n_missing``.
+
     Scale: phase 1 reduces to one row per (key, position) with map-side
     partial aggregation doing most of the work before the shuffle;
     phase 2 aggregates the already-reduced rows on a prefix of the same
@@ -58,31 +63,39 @@ def sequence_integrity(
     per_pos = df.groupBy(*keys, pos.alias("_pos")).agg(
         F.count(F.lit(1)).alias("_c")
     )
+    nn = F.col("_pos").isNotNull()
     agg = per_pos.groupBy(*keys).agg(
         F.sum("_c").cast("long").alias("n_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        F.sum(F.when(nn, 1).otherwise(0)).cast("long").alias("n_positions"),
+        F.sum(F.when(~nn, F.col("_c")).otherwise(0)).cast("long")
+        .alias("n_null_pos"),
         F.min("_pos").alias("min_pos"),
         F.max("_pos").alias("max_pos"),
-        F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long")
+        F.sum(F.when(nn & (F.col("_c") > 1), 1).otherwise(0)).cast("long")
         .alias("n_dup_positions"),
-        F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(0))
+        F.sum(F.when(nn & (F.col("_c") > 1), F.col("_c") - 1).otherwise(0))
         .cast("long").alias("n_extra_rows"),
     )
-    n_missing = (
-        F.col("max_pos") - F.col("min_pos") + 1 - F.col("n_positions")
-    ).cast("long")
-    starts_ok = F.col("min_pos") == F.lit(int(expected_start))
+    n_missing = F.when(
+        F.col("n_positions") > 0,
+        F.col("max_pos") - F.col("min_pos") + 1 - F.col("n_positions"),
+    ).otherwise(F.lit(0)).cast("long")
+    starts_ok = F.coalesce(
+        F.col("min_pos") == F.lit(int(expected_start)), F.lit(False)
+    )
     return (
         agg.withColumn("n_missing", n_missing)
         .withColumn("starts_ok", starts_ok)
         .where(
             (F.col("n_dup_positions") > 0)
             | (F.col("n_missing") > 0)
+            | (F.col("n_null_pos") > 0)
             | (~F.col("starts_ok"))
         )
         .select(
             *keys, "n_rows", "n_positions", "min_pos", "max_pos",
-            "n_dup_positions", "n_extra_rows", "n_missing", "starts_ok",
+            "n_dup_positions", "n_extra_rows", "n_missing", "n_null_pos",
+            "starts_ok",
         )
     )
 
@@ -194,20 +207,23 @@ def sample_per_group(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    clash = {"__spg_pid", "__spg_r", "__spg_rk"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has reserved columns {sorted(clash)}")
     groups = list(group_cols)
     order = [F.col(c) for c in order_cols]
-    staged = df.withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid", *groups).orderBy(*order)
+    staged = df.withColumn("__spg_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__spg_pid", *groups).orderBy(*order)
     pruned = (
-        staged.withColumn("_r", F.row_number().over(w_local))
-        .where(F.col("_r") <= k)
-        .drop("_pid", "_r")
+        staged.withColumn("__spg_r", F.row_number().over(w_local))
+        .where(F.col("__spg_r") <= k)
+        .drop("__spg_pid", "__spg_r")
     )
     w_global = Window.partitionBy(*groups).orderBy(*order)
     return (
-        pruned.withColumn("_rk", F.row_number().over(w_global))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
+        pruned.withColumn("__spg_rk", F.row_number().over(w_global))
+        .where(F.col("__spg_rk") <= k)
+        .drop("__spg_rk")
     )
 
 

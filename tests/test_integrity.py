@@ -112,7 +112,7 @@ def test_sample_per_group_hot_group_not_partitioned_by_group_alone(spark):
     ).repartition(8).withColumn("h", F.md5("id"))
     plan = ING.sample_per_group(df, ["g"], ["h", "id"], k=2)._jdf \
         .queryExecution().executedPlan().toString()
-    assert "_pid" in plan, plan
+    assert "__spg_pid" in plan, plan
     out = ING.sample_per_group(df, ["g"], ["h", "id"], k=2).count()
     assert out == 2
 
@@ -200,3 +200,22 @@ def test_monotonicity_single_exchange(spark):
     plan = ING.monotonicity_violations(df, ["k"], "ord", "val")._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sequence_integrity_null_positions_own_finding(spark):
+    # NULL positions: counted separately, never skew contiguity math
+    rows = [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, pos int")
+    out = {r.k: r for r in ING.sequence_integrity(df, ["k"], "pos").collect()}
+    a = out["a"]
+    assert (a.n_null_pos, a.n_missing, a.n_positions) == (1, 0, 2)
+    assert a.starts_ok  # contiguous 1..2 aside from the null
+    b = out["b"]  # all-null group: nothing present, flagged via n_null_pos
+    assert (b.n_null_pos, b.n_positions, b.n_missing) == (2, 0, 0)
+    assert not b.starts_ok
+
+
+def test_sample_per_group_reserved_column_clash_raises(spark):
+    df = spark.createDataFrame([("a", "x", 1)], "g string, id string, __spg_r int")
+    with pytest.raises(ValueError, match="reserved"):
+        ING.sample_per_group(df, ["g"], ["id"], k=1)
