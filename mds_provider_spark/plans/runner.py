@@ -70,6 +70,11 @@ class ValidationRun:
     # a NULL clip_id are never clean (they cannot be matched against the
     # cross-row violation set, and any sane ruleset flags them anyway).
     emit_clean: bool = False
+    # schema contract: when set (StructType or a DataFrame to copy the
+    # schema from), run() raises BEFORE any scan if the input's schema
+    # drifted (column added/removed/retyped) — milliseconds instead of a
+    # million spurious row violations (operators/diff.schema_drift).
+    expected_schema: object | None = None
 
     def _read(self, path: str, schema) -> DataFrame:
         """Read-back with an EXPLICIT schema: a group with zero violations
@@ -124,6 +129,10 @@ class ValidationRun:
         ``stop_after_groups`` simulates a kill for the resume test.
         Returns a summary dict (groups run/skipped, rows, violations).
         """
+        if self.expected_schema is not None:
+            from mds_provider_spark.operators.diff import enforce_schema
+
+            enforce_schema(clips, self.expected_schema)
         log = CommitLog(self.out_dir)
         done_parts = log.committed_parts()
         summary = {"run_id": self.run_id, "groups_run": 0, "groups_skipped": 0,

@@ -184,3 +184,16 @@ def test_emit_clean_resume_consistent(spark, tmp_path, data):
     a = {r.clip_id for r in n_partial.clean().select("clip_id").collect()}
     b = {r.clip_id for r in full.clean().select("clip_id").collect()}
     assert a == b
+
+
+def test_expected_schema_gate_blocks_before_any_scan(spark, tmp_path, data):
+    clips, ts = data
+    ok = _mk_run(spark, tmp_path / "sg_ok", expected_schema=clips)
+    assert ok.run(clips, ts)["rows"] == N  # matching contract passes
+    drifted = clips.withColumn("dur_ms", F.col("dur_ms").cast("long"))
+    bad = _mk_run(spark, tmp_path / "sg_bad", expected_schema=clips)
+    with pytest.raises(ValueError, match="dur_ms"):
+        bad.run(drifted, ts)
+    # nothing was written: the gate fired before any group committed
+    import os
+    assert not os.path.exists(str(tmp_path / "sg_bad" / "violations"))
