@@ -1047,6 +1047,46 @@ def segment_integrity_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ING.interval_integrity(iv, ["clip_id"], "s", "e")
 
 
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert SINK under the hash gate (plans/upsert.upsert_parquet):
+    a slim orders table is laid out hash-partitioned, an update batch
+    (md5-routed price bumps + guaranteed-new negative keys) merges in
+    via touched-partitions-only dynamic overwrite, and the merged
+    READ-BACK is compared against DuckDB's recomputation of the same
+    merge from the source table — a lost update, a stranded old row, or
+    an over-written untouched partition all hash-mismatch. Price math
+    is an exact double add (+1000.0), identical in any engine."""
+    import shutil
+
+    from mds_provider_spark.plans.upsert import upsert_parquet
+
+    o = _t(spark, sf_dir, "orders")
+    bk = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+                16, 10).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (bk % 8).alias("part_id"),
+    )
+    path = f"{_ORACLE_DIR}/upsert_orders_table"
+    shutil.rmtree(path, ignore_errors=True)
+    (base.repartition("part_id").write.mode("overwrite")
+         .partitionBy("part_id").parquet(path))
+    updates = base.where(bk % 20 == 0).withColumn(
+        "price", F.col("price") + F.lit(1000.0)
+    )
+    inserts = updates.select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit(1.5).alias("price"),
+        "part_id",
+    )
+    upsert_parquet(spark, path, updates.unionByName(inserts), ["o_orderkey"])
+    return spark.read.parquet(path).select(
+        "o_orderkey", F.round("price", 6).alias("price"),
+        F.col("part_id").cast("long").alias("part_id"),
+    )
+
+
 def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sample-rate normalization to 16 kHz — ORACLED to the BYTE:
     the ledger stores the md5 of the driver-replayed resampled s16le
@@ -2098,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality_clips": audio_quality_clips,
         "segment_clips_features": segment_clips_features,
         "segment_integrity_clips": segment_integrity_clips,
+        "upsert_orders": upsert_orders,
         "resample_clips_16k": resample_clips_16k,
         "augment_clips_speed": augment_clips_speed,
         "loudness_normalize_clips": loudness_normalize_clips,
@@ -2901,6 +2942,27 @@ def oracle_sql() -> dict[str, str]:
                          - min(CASE WHEN e > s THEN s END)::DOUBLE, 6)
                      AS span_s
             FROM f GROUP BY 1
+        """,
+        "upsert_orders": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                     1, 4))::BIGINT AS bk
+              FROM orders
+            ), merged AS (
+              SELECT o_orderkey,
+                     CASE WHEN bk % 20 = 0 THEN price + 1000.0
+                          ELSE price END AS price,
+                     bk % 8 AS part_id
+              FROM b
+              UNION ALL
+              SELECT -o_orderkey, 1.5, bk % 8
+              FROM b WHERE bk % 20 = 0
+            )
+            SELECT o_orderkey, round(price, 6) AS price,
+                   CAST(part_id AS BIGINT) AS part_id
+            FROM merged
         """,
         "resample_clips_16k": f"""
             SELECT clip_id, sr_hz, n_samples, bytes_md5
