@@ -46,6 +46,7 @@ def suggest_rules(
     enum_max_distinct: int = 20,
     required_max_null_rate: float = 0.0,
     exact_distinct: bool = True,
+    robust_k: float | None = None,
 ) -> DataFrame:
     """Suggest a constraint suite from the data itself.
 
@@ -60,6 +61,15 @@ def suggest_rules(
     ``approx_count_distinct`` (HLL) — the 100 TB setting, where the enum
     gate only needs an order-of-magnitude answer. Exact is the default
     so the suggestion table is reproducible for the oracle.
+
+    ``robust_k``: when set, numeric columns ALSO get a
+    ``robust_range`` suggestion [med - k*1.4826*MAD, med + k*1.4826*MAD]
+    — the observed [min, max] is corrupted by the very outliers a range
+    rule should catch (one glitch value permanently widens the contract
+    to admit all future glitches). Medians/MAD come from
+    ``percentile_approx`` in one extra pass (suggestion-grade: a
+    reviewed starting point, not an oracle-replayable statistic — so
+    robust rows are emitted only on request).
     """
     cols = columns or df.columns
     fields = {f.name: f.dataType for f in df.schema.fields}
@@ -88,6 +98,26 @@ def suggest_rules(
         ]).collect()[0].asDict()
         enum_vals = {c: ev[c] for c in enum_cands}
 
+    num_cols = [c for c in cols if isinstance(fields[c], _NUMERIC)]
+    robust: dict[str, tuple[float, float]] = {}
+    if robust_k is not None and num_cols:
+        meds = df.agg(*[
+            F.percentile_approx(F.col(c).cast("double"), 0.5, 10000)
+            .alias(c) for c in num_cols
+        ]).collect()[0].asDict()
+        mads = df.agg(*[
+            F.percentile_approx(
+                F.abs(F.col(c).cast("double") - F.lit(meds[c])), 0.5, 10000
+            ).alias(c)
+            for c in num_cols if meds[c] is not None
+        ]).collect()[0].asDict() if any(
+            meds[c] is not None for c in num_cols) else {}
+        for c in num_cols:
+            med, mad = meds.get(c), mads.get(c)
+            if med is not None and mad is not None and mad > 0:
+                half = robust_k * 1.4826 * mad
+                robust[c] = (round(med - half, 6), round(med + half, 6))
+
     n = prof["_n"]
     rows = []
     for c in cols:
@@ -99,6 +129,11 @@ def suggest_rules(
             rows.append(
                 (c, "range", prof[f"_min_{c}"], prof[f"_max_{c}"], None, null_rate, d)
             )
+            if c in robust:
+                rows.append(
+                    (c, "robust_range", robust[c][0], robust[c][1], None,
+                     null_rate, d)
+                )
         if c in enum_vals:
             rows.append((c, "enum", None, None, enum_vals[c], null_rate, d))
     out = df.sparkSession.createDataFrame(rows, SUGGESTION_SCHEMA)
@@ -125,7 +160,7 @@ def to_config(suggestions: DataFrame) -> list[dict]:
     for row in suggestions.orderBy("column_name", "rule_kind").collect():
         if row.rule_kind == "required":
             spec.append({"kind": "not_null", "column": row.column_name})
-        elif row.rule_kind == "range":
+        elif row.rule_kind in ("range", "robust_range"):
             spec.append({
                 "kind": "in_range", "column": row.column_name,
                 "lo": row.lo, "hi": row.hi,

@@ -177,3 +177,30 @@ def test_load_config_rejects_unknown_version(tmp_path):
                              "part_col": "p", "rules": []}))
     with pytest.raises(ValueError, match="unsupported rule-suite version"):
         R.load_config(str(p))
+
+
+def test_suggest_rules_robust_range_resists_outlier(spark):
+    # 999 values in [0, 100] plus one 10^9 glitch: the plain range
+    # suggestion swallows the glitch forever; the robust one does not
+    rows = [(i, float(i % 101), 0) for i in range(999)] + [(999, 1e9, 0)]
+    df = spark.createDataFrame(rows, "k long, num double, part_id int")
+    sugg = PR.suggest_rules(df, ["num"], robust_k=10.0)
+    kinds = {r.rule_kind: r for r in sugg.where(
+        sugg.column_name == "num").collect()}
+    assert kinds["range"].hi == 1e9                 # corrupted by design
+    rr = kinds["robust_range"]
+    assert rr.hi < 1000.0 and rr.lo > -1000.0       # glitch-proof bounds
+    assert rr.lo < 0 < 50 < rr.hi                   # still covers the mass
+    # robust_range maps to an enforceable in_range and catches the glitch
+    rs = PR.to_ruleset(
+        sugg.where(sugg.rule_kind == "robust_range"),
+        key_col="k", part_col="part_id",
+    )
+    bad = {r.clip_id for r in rs.violations(df).collect()}
+    assert "999" in {str(b) for b in bad}
+
+
+def test_suggest_rules_robust_absent_by_default(spark):
+    df = spark.createDataFrame([(1, 2.0)], "k long, num double")
+    kinds = {r.rule_kind for r in PR.suggest_rules(df, ["num"]).collect()}
+    assert "robust_range" not in kinds
