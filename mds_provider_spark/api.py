@@ -43,6 +43,25 @@ class ValidationResult:
             for r in self.violations.limit(n).collect()
         ]
 
+    def rates(self, n_rows: int, z: float = 1.959964) -> DataFrame:
+        """Per-rule violation rate with a Wilson score interval
+        (rules.violation_rates) — gate on ``ci_high``, not a wiggling
+        point estimate."""
+        return R.violation_rates(self.violations, n_rows, z=z)
+
+    def examples(self, k: int = 5) -> DataFrame:
+        """Deterministic k specimen rows per rule
+        (integrity.sample_per_group) — triage without collecting a
+        violation set that may itself be billions of rows."""
+        from pyspark.sql import functions as F
+
+        from mds_provider_spark.operators.integrity import sample_per_group
+
+        v = self.violations.withColumn("_h", F.md5("clip_id"))
+        return sample_per_group(
+            v, ["rule_id"], ["_h", "clip_id"], k=k
+        ).drop("_h")
+
 
 @dataclass
 class Validator:
@@ -51,6 +70,9 @@ class Validator:
     ruleset: R.RuleSet = field(default_factory=R.mds_clip_rules)
     ref_wave_fn: audio.RefWaveFn | None = None
     min_snr_db: float = 30.0
+    # optional schema contract: validate() raises BEFORE evaluating any
+    # rule if the input's columns drifted (operators/diff.schema_drift)
+    expected_schema: object | None = None
 
     @classmethod
     def clips(cls, ref_wave_fn: audio.RefWaveFn | None = None) -> "Validator":
@@ -78,9 +100,30 @@ class Validator:
         )
         return cls(ruleset=rs, **kwargs)
 
+    @classmethod
+    def from_profile(
+        cls,
+        df: DataFrame,
+        key_col: str,
+        part_col: str = "part_id",
+        **suggest_kwargs,
+    ) -> "Validator":
+        """Learn the contract FROM the data (profiler workflow): profile
+        ``df``, compile the suggested suite, enforce it on every future
+        generation. Pass ``robust_k=...`` for outlier-resistant ranges."""
+        from mds_provider_spark.operators import profiler as PR
+
+        sugg = PR.suggest_rules(df, **suggest_kwargs)
+        return cls(ruleset=PR.to_ruleset(sugg, key_col=key_col,
+                                         part_col=part_col))
+
     def validate(
         self, df: DataFrame, transcripts: DataFrame | None = None
     ) -> ValidationResult:
+        if self.expected_schema is not None:
+            from mds_provider_spark.operators.diff import enforce_schema
+
+            enforce_schema(df, self.expected_schema)
         v = self.ruleset.violations(df)
         for uk in self.ruleset.unique_keys:
             v = v.unionByName(

@@ -112,3 +112,43 @@ def test_frame_sample_plumbing(spark):
     )
     got = MM.frame_sample_plumbing(df, every_nth=10).collect()
     assert [(r.item_id, r.frame_idx) for r in got] == [("v1", 0), ("v1", 10), ("v1", 20)]
+
+
+# ------------------------------------------- round-5 facade surfaces
+
+
+def test_facade_rates_examples_and_schema_gate(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from mds_provider_spark import rules as R
+
+    df = spark.createDataFrame(
+        [(f"c{i}", -1 if i < 40 else 100, 0) for i in range(1000)],
+        "clip_id string, dur_ms int, part_id int",
+    )
+    v = Validator(ruleset=R.RuleSet(key_col="clip_id", part_col="part_id")
+                  .add(R.in_range("dur_ms", lo=0, lo_inclusive=False)))
+    res = v.validate(df)
+    rates = {r.rule_id: r for r in res.rates(n_rows=1000).collect()}
+    r = rates["out_of_range:dur_ms"]
+    assert r.n_violations == 40 and r.ci_low < 0.04 < r.ci_high
+    ex = res.examples(k=3).collect()
+    assert len(ex) == 3 and all(e.rule_id == "out_of_range:dur_ms" for e in ex)
+    # schema gate fires before rules
+    gated = Validator(ruleset=v.ruleset, expected_schema=df)
+    with _pt.raises(ValueError, match="dur_ms"):
+        gated.validate(df.withColumn("dur_ms", F.col("dur_ms").cast("long")))
+
+
+def test_facade_from_profile_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(f"c{i}", float(i % 7), "a" if i % 2 else "b", 0) for i in range(200)],
+        "clip_id string, num double, cat string, part_id int",
+    )
+    v = Validator.from_profile(df, key_col="clip_id",
+                               columns=["num", "cat"])
+    assert v.validate(df).is_valid()     # learned-from == passes-on
+    drifted = spark.createDataFrame(
+        [("x", 99.0, "c", 0)], "clip_id string, num double, cat string, part_id int")
+    assert not v.validate(drifted).is_valid()
