@@ -207,3 +207,90 @@ def test_segment_features_cover_exactly(wave, sr, seg_ms):
     sizes = [s[2] for s in segs]
     assert all(x == sizes[0] for x in sizes[:-1])      # only the tail is short
     assert segs[0][1] == 0                             # first starts at 0 ms
+
+
+# ---------------------------------------- integrity family properties
+# One Spark session per test FILE is module-scoped (conftest); hypothesis
+# drives many examples through the same session, so each example is a
+# small createDataFrame + collect — cheap enough for max_examples=10.
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=0, max_value=200),
+                  st.integers(min_value=1, max_value=40)),
+        min_size=1, max_size=60,
+    )
+)
+def test_interval_integrity_coverage_matches_bruteforce(spark, rows):
+    from mds_provider_spark.operators import integrity as ING
+
+    data = [(k, s, s + d) for k, s, d in rows]
+    df = spark.createDataFrame(data, "k string, s long, e long")
+    got = {r.k: r for r in ING.interval_integrity(df, ["k"], "s", "e").collect()}
+    by_key: dict = {}
+    for k, s, e in data:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        assert got[k].covered_s == float(len(covered)), (k, ivs)
+        assert got[k].n_intervals == len(ivs)
+        assert got[k].span_s == float(
+            max(e for _, e in ivs) - min(s for s, _ in ivs))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]),
+                  st.integers(min_value=0, max_value=10_000)),
+        min_size=1, max_size=80,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_sample_per_group_equals_naive_topk(spark, rows, k):
+    import hashlib
+
+    from mds_provider_spark.operators import integrity as ING
+
+    from pyspark.sql import functions as F
+
+    data = [(g, f"id{i}-{v}") for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, id string").repartition(5)
+    out = ING.sample_per_group(
+        df.withColumn("h", F.md5("id")), ["g"], ["h", "id"], k=k
+    ).collect()
+    got = sorted((r.g, r.id) for r in out)
+    want = []
+    for g in {g for g, _ in data}:
+        ids = sorted((i for gg, i in data if gg == g),
+                     key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))
+        want += [(g, i) for i in ids[:k]]
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=12),
+             min_size=1, max_size=40)
+)
+def test_sequence_integrity_bruteforce_parity(spark, poss):
+    from collections import Counter
+
+    from mds_provider_spark.operators import integrity as ING
+
+    df = spark.createDataFrame([("k", p) for p in poss], "k string, pos int")
+    out = ING.sequence_integrity(df, ["k"], "pos").collect()
+    c = Counter(poss)
+    dups = sum(1 for v in c.values() if v > 1)
+    missing = (max(poss) - min(poss) + 1) - len(c)
+    flagged = dups > 0 or missing > 0 or min(poss) != 1
+    assert bool(out) == flagged
+    if out:
+        r = out[0]
+        assert (r.n_dup_positions, r.n_missing) == (dups, missing)
+        assert r.n_rows == len(poss) and r.n_positions == len(c)
