@@ -1664,6 +1664,95 @@ def voiced_rate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def acoustic_fp_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip Haitsma-Kalker acoustic fingerprints (audio.fingerprint_
+    clips) — ORACLED via the shared-kernel ledger: expected (n_sub,
+    fp_md5) replayed driver-side from the seeded generator through the
+    SAME vectorized kernel, so the engine must recover them by decoding
+    the binary column and running the mel-band delta-sign chain inside
+    one Arrow pass. Fault rows exercise the layered skip contract
+    (null bytes / unknown codec absent; sr required)."""
+    n = 400 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    expected = [
+        (cid, int(fp.size), audio.fingerprint_md5(fp))
+        for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
+        for fp in [audio.fingerprint_of(w, sr)]
+    ]
+    spark.createDataFrame(
+        expected, "clip_id string, n_sub int, fp_md5 string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/acoustic_fp_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    return audio.fingerprint_clips(clips).select("clip_id", "n_sub", "fp_md5")
+
+
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup detection end to end (fingerprint extraction ->
+    banded LSH -> exact bit-error verify), FULL-FIDELITY pair-set
+    oracle: the ledger replays the whole algorithm driver-side (same
+    kernel, same non-overlapping banding, same bucket cap, same integer
+    BER threshold) over the clean corpus PLUS planted exact copies
+    ('zz-'-prefixed ids, byte-identical audio — hamming 0 in every
+    band, so each copy MUST be found with bits_differ=0). Missing
+    pairs, extra pairs, and any bit-count drift all hash-mismatch;
+    gain-robustness of the fingerprint itself is pinned by pytest
+    (exact invariance pre-quantization, low BER after int16 round-trip
+    and mild noise on non-stationary audio)."""
+    import numpy as np
+
+    n = 2000 * _scale_mult(sf_dir)
+    K = 40 * _scale_mult(sf_dir)
+    bf, max_bp, cap = 4, 3500, 10_000
+    fps: dict[str, "np.ndarray"] = {}
+    planted_rows = []
+    for i in range(n):
+        cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, None)
+        w = audio.decode(codec, bytes(buf))
+        fps[cid] = audio.fingerprint_of(w, int(sr))
+        if i < K:
+            fps["zz-" + cid] = fps[cid]
+            planted_rows.append(
+                ("zz-" + cid, bytearray(buf), int(sr), int(dur), codec, txt,
+                 int(part))
+            )
+    buckets: dict[tuple, list] = {}
+    for cid, fp in fps.items():
+        for b in range(fp.size // bf):
+            buckets.setdefault(
+                (b, fp[b * bf:(b + 1) * bf].tobytes()), []
+            ).append(cid)
+    pairs: set[tuple] = set()
+    for ids in buckets.values():
+        if len(ids) > cap:
+            continue
+        s = sorted(ids)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pairs.add((s[i], s[j]))
+    expected = []
+    for x, y in sorted(pairs):
+        fa, fb = fps[x], fps[y]
+        L = min(fa.size, fb.size)
+        xr = np.bitwise_xor(fa[:L], fb[:L])
+        bits = int(sum(int(v).bit_count() for v in xr))
+        if bits * 10000 <= max_bp * (16 * L):
+            expected.append((x, y, bits, 16 * L))
+    spark.createDataFrame(
+        expected, "id_a string, id_b string, bits_differ long, bits_compared long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/audio_fp_dedup_ledger")
+    ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+           "codec string, transcript string, part_id int")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
+    ).unionByName(spark.createDataFrame(planted_rows, ddl))
+    fpdf = audio.fingerprint_clips(clips)
+    return audio.fingerprint_near_dup(
+        fpdf, band_frames=bf, max_ber_bp=max_bp, max_bucket_size=cap
+    )
+
+
 def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column validation (similarity.embedding_quality_violations)
     — detection-vs-injection oracle: md5-bucket of vec_id plants three
@@ -2144,6 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loudness_normalize_clips": loudness_normalize_clips,
         "filterbank_clips": filterbank_clips_features,
         "voiced_rate_clips": voiced_rate_clips,
+        "acoustic_fp_clips": acoustic_fp_clips,
+        "audio_fingerprint_dedup": audio_fingerprint_dedup,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -3482,6 +3573,16 @@ def oracle_sql() -> dict[str, str]:
         "filterbank_clips": f"""
             SELECT clip_id, frame_idx, log_energy, fb_md5
             FROM read_parquet('{_ORACLE_DIR}/filterbank_ledger/*.parquet')
+        """,
+        # Shared-kernel ledgers: per-clip fingerprints, and the FULL
+        # expected near-dup pair set (algorithm replayed driver-side).
+        "acoustic_fp_clips": f"""
+            SELECT clip_id, n_sub, fp_md5
+            FROM read_parquet('{_ORACLE_DIR}/acoustic_fp_ledger/*.parquet')
+        """,
+        "audio_fingerprint_dedup": f"""
+            SELECT id_a, id_b, bits_differ, bits_compared
+            FROM read_parquet('{_ORACLE_DIR}/audio_fp_dedup_ledger/*.parquet')
         """,
         "clip_consistency_rules": f"""
             WITH inp AS (

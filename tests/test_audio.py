@@ -263,3 +263,100 @@ def test_augment_clips_spark_matches_kernel(spark):
         row = got[cid]
         assert row.n_samples == a.size
         assert bytes(row.bytes) == audio.encode_pcm_s16le(a)
+
+
+# ------------------------------------------- acoustic fingerprint (HK)
+
+
+def _chirp(seed: int, sr: int = 16000, ms: int = 400) -> "np.ndarray":
+    """Non-stationary test signal: AM-modulated linear chirp (frequency
+    sweeps, amplitude envelopes — the band-energy deltas are driven by
+    the SIGNAL, unlike a stationary tone where they ride on leakage)."""
+    rng = np.random.default_rng(seed)
+    n = sr * ms // 1000
+    t = np.arange(n, dtype=np.float64) / sr
+    f0, f1 = 200 + 300 * rng.random(), 1500 + 1500 * rng.random()
+    sweep = np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t * t / (2 * t[-1])))
+    env = 0.4 + 0.3 * np.sin(2 * np.pi * (2 + 3 * rng.random()) * t)
+    return (env * sweep).astype(np.float32)
+
+
+def _ber(a: "np.ndarray", b: "np.ndarray") -> float:
+    L = min(a.size, b.size)
+    x = np.bitwise_xor(a[:L], b[:L])
+    return sum(int(v).bit_count() for v in x) / (16.0 * L)
+
+
+def test_fingerprint_exactly_gain_invariant():
+    w = _chirp(7)
+    fp = audio.fingerprint_of(w, 16000)
+    assert fp.size > 50
+    for g in (0.1, 0.5, 2.0, 10.0):
+        assert np.array_equal(fp, audio.fingerprint_of(g * w, 16000))
+
+
+def test_fingerprint_robust_to_quantization_gain_and_noise():
+    w = _chirp(11)
+    fp = audio.fingerprint_of(w, 16000)
+    # int16 round-trip at 0.7 gain plus -40 dBFS additive noise: the
+    # Haitsma-Kalker operating point is BER <= 0.35; a true transform
+    # copy should sit far inside it.
+    rng = np.random.default_rng(3)
+    noisy = 0.7 * w + 0.01 * rng.standard_normal(w.size).astype(np.float32)
+    dec = audio.decode("pcm_s16le", audio.encode_pcm_s16le(noisy))
+    assert _ber(fp, audio.fingerprint_of(dec, 16000)) < 0.3
+
+
+def test_fingerprint_separates_unrelated_audio():
+    a = audio.fingerprint_of(_chirp(21), 16000)
+    b = audio.fingerprint_of(_chirp(22), 16000)
+    assert _ber(a, b) > 0.35
+
+
+def test_fingerprint_short_clip_is_empty():
+    assert audio.fingerprint_of(np.zeros(100, np.float32), 16000).size == 0
+    assert audio.fingerprint_of(_chirp(5), 0).size == 0
+
+
+def test_fingerprint_near_dup_end_to_end(spark):
+    """Exact copy and a gain-transformed copy are both found; unrelated
+    clips are not paired. Engine bit counts match the numpy kernel.
+    (A 0.7x-gain int16 re-encode keeps BER ~1e-3, so at least one
+    4-sub band survives verbatim and LSH buckets the pair; heavier
+    additive noise pushes BER toward ~0.2 where exact-band candidate
+    recall collapses — that regime is the kernel robustness test's
+    territory, not the LSH path's.)"""
+    waves = {f"clip-{i}": _chirp(100 + i) for i in range(6)}
+    waves["zz-copy"] = waves["clip-0"]
+    waves["zz-noisy"] = 0.7 * waves["clip-1"]
+    rows = [
+        (cid, bytearray(audio.encode_pcm_s16le(w)), 16000, 400, "pcm_s16le")
+        for cid, w in waves.items()
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): (r.bits_differ, r.bits_compared)
+        for r in audio.fingerprint_near_dup(
+            audio.fingerprint_clips(clips)).collect()
+    }
+    assert ("clip-0", "zz-copy") in pairs
+    assert pairs[("clip-0", "zz-copy")][0] == 0
+    assert ("clip-1", "zz-noisy") in pairs
+    bd, bc = pairs[("clip-1", "zz-noisy")]
+    assert bd * 10000 <= 3500 * bc
+    # engine bit count == kernel bit count for the noisy pair
+    rows_dict = {r[0]: r[1] for r in rows}
+    fa = audio.fingerprint_of(
+        audio.decode("pcm_s16le", bytes(rows_dict["clip-1"])), 16000)
+    fb = audio.fingerprint_of(
+        audio.decode("pcm_s16le", bytes(rows_dict["zz-noisy"])), 16000)
+    L = min(fa.size, fb.size)
+    kernel_bits = sum(
+        int(v).bit_count() for v in np.bitwise_xor(fa[:L], fb[:L]))
+    assert bd == kernel_bits and bc == 16 * L
+    # no unrelated chirps paired with each other
+    unrelated = [p for p in pairs if p[0].startswith("clip-")
+                 and p[1].startswith("clip-") ]
+    assert unrelated == []
