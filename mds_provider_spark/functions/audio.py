@@ -1190,6 +1190,7 @@ def fingerprint_near_dup(
     id_col: str = "clip_id",
     fp_col: str = "fp",
     max_bucket_size: int | None = 10_000,
+    persist_fps: bool = True,
 ) -> DataFrame:
     """Acoustic near-duplicate pairs via banded fingerprint LSH — the
     audio twin of ``minhash_lsh_candidates`` + exact verify, entirely in
@@ -1210,12 +1211,28 @@ def fingerprint_near_dup(
     Returns (id_a, id_b, bits_differ, bits_compared) with id_a < id_b.
     Scale shape: one shuffle to bucket, capped self-join, verify join
     touches only candidate ids — the same topology that holds the
-    minhash path scan-proportional at 10x data."""
+    minhash path scan-proportional at 10x data.
+
+    ``persist_fps`` (default True) caches the pruned (id, fp) frame
+    before it fans out: the plan references it SIX times (both
+    self-join sides, the bucket-cap aggregation, both verify sides),
+    and when ``fps`` is a live fingerprint_clips pipeline each
+    reference would otherwise re-decode every audio byte through the
+    Python worker — measured as six MapInPandas scans in the unpersisted
+    plan. The fp table is ~30x smaller than the audio (a few hundred
+    int32s per clip), so MEMORY_AND_DISK is the right trade at any
+    scale; lineage is kept (plain persist, not localCheckpoint), and
+    callers that already materialized fingerprints to a table can pass
+    persist_fps=False."""
+    from pyspark import StorageLevel
+
     from ..operators.dedup import _cap_buckets
 
     base = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")).where(
         F.size("_fp") >= band_frames
     )
+    if persist_fps:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     band_rows = (
         base.select(
             "_id",
