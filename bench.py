@@ -273,6 +273,7 @@ def main() -> None:
             "clip_consistency_rules",
             "loudness_normalize_clips",
             "filterbank_clips",
+            "audio_fingerprint_dedup",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]
@@ -312,6 +313,7 @@ def main() -> None:
                     "snapshot_diff_orders",
                     "rollup_events_hourly",
                     "embedding_quality_embeddings",
+                    "audio_fingerprint_dedup",
                 ],
             )
         except Exception as ex:  # never let evidence collection kill the bench line
