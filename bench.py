@@ -274,6 +274,7 @@ def main() -> None:
             "loudness_normalize_clips",
             "filterbank_clips",
             "audio_fingerprint_dedup",
+            "label_noise_clips",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]
