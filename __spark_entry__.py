@@ -829,6 +829,24 @@ def hll_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DIR = "/root/repo/.oracle"
 
 
+def _ledgers_on() -> bool:
+    """Whether the ledger-oracled queries should run their DRIVER-SIDE
+    oracle replay and write ``.oracle/`` parquet. The replay is test
+    scaffolding (it exists so DuckDB can restate the engine's result
+    cross-engine); it is NOT part of the engine, and at 10x scale it
+    dominates the wall time of the fingerprint/label-noise queries
+    (measured: 33 s replay vs 20 s engine at sf1). bench.py sets
+    ``SPARK_GRAFT_SKIP_LEDGER=1`` so the benchmark times the ENGINE
+    pipeline alone; the correctness driver and tools/oracle_check.py
+    never set the flag, so the gate always regenerates ledgers fresh.
+    Only pure replay+write blocks are gated — anything that builds the
+    query's INPUT (planted rows, items tables, clip_consistency_input)
+    runs unconditionally."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SKIP_LEDGER", "0") != "1"
+
+
 def _scale_mult(sf_dir: str) -> int:
     """Input multiplier for the ledger-oracled clip/item families (their
     inputs are seeded fixtures, not the sf_dir tables): 10x when pointed
@@ -980,15 +998,17 @@ def audio_quality_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     must reproduce them by decoding the table's binary column."""
     n = 400 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
-    expected = [
-        (cid, *audio.quality_features_of(w, sr))
-        for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
-    ]
-    spark.createDataFrame(
-        expected,
-        "clip_id string, silence_ratio double, clipping_ratio double, "
-        "dominant_hz double, spectral_centroid_hz double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/audio_quality_ledger")
+    if _ledgers_on():
+        expected = [
+            (cid, *audio.quality_features_of(w, sr))
+            for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
+        ]
+        spark.createDataFrame(
+            expected,
+            "clip_id string, silence_ratio double, clipping_ratio double, "
+            "dominant_hz double, spectral_centroid_hz double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/audio_quality_ledger")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     return audio.audio_quality_features(clips)
 
@@ -999,15 +1019,18 @@ def segment_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger like audio_quality_clips."""
     n = 300 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
-    expected = [
-        (cid, seg_idx, start_ms, n_samples, rms)
-        for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
-        for seg_idx, start_ms, n_samples, rms in audio.segment_features_of(w, sr, 50)
-    ]
-    spark.createDataFrame(
-        expected,
-        "clip_id string, seg_idx int, start_ms int, n_samples long, rms double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/audio_segment_ledger")
+    if _ledgers_on():
+        expected = [
+            (cid, seg_idx, start_ms, n_samples, rms)
+            for cid, w, sr in _replayed_clips(n, faults, require_sr=True)
+            for seg_idx, start_ms, n_samples, rms
+            in audio.segment_features_of(w, sr, 50)
+        ]
+        spark.createDataFrame(
+            expected,
+            "clip_id string, seg_idx int, start_ms int, n_samples long, rms double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/audio_segment_ledger")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     return audio.segment_clips(clips, segment_ms=50)
 
@@ -1317,24 +1340,26 @@ def loudness_normalize_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 300 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
-    expected = []
-    for cid, w, _sr in _replayed_clips(n, faults, require_sr=False):
-        if cid is None:  # UDF skips unidentified clips (missing_field's finding)
-            continue
-        x = w.astype(np.float64)
-        before = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
-        out = audio.normalize_wave(w, -20.0)
-        o = out.astype(np.float64)
-        after = float(np.sqrt(np.mean(o * o))) if o.size else 0.0
-        enc = audio.encode_pcm_s16le(out)
-        expected.append(
-            (cid, int(out.size), before, after, hashlib.md5(enc).hexdigest())
-        )
-    spark.createDataFrame(
-        expected,
-        "clip_id string, n_samples long, rms_before double, "
-        "rms_after double, bytes_md5 string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/loudness_ledger")
+    if _ledgers_on():
+        expected = []
+        for cid, w, _sr in _replayed_clips(n, faults, require_sr=False):
+            if cid is None:  # UDF skips unidentified clips (missing_field)
+                continue
+            x = w.astype(np.float64)
+            before = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+            out = audio.normalize_wave(w, -20.0)
+            o = out.astype(np.float64)
+            after = float(np.sqrt(np.mean(o * o))) if o.size else 0.0
+            enc = audio.encode_pcm_s16le(out)
+            expected.append(
+                (cid, int(out.size), before, after, hashlib.md5(enc).hexdigest())
+            )
+        spark.createDataFrame(
+            expected,
+            "clip_id string, n_samples long, rms_before double, "
+            "rms_after double, bytes_md5 string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/loudness_ledger")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     out = audio.normalize_clips(clips, target_rms_dbfs=-20.0)
     return out.select(
@@ -1353,14 +1378,16 @@ def filterbank_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_mels energies are checked, not a summary."""
     n = 250 * _scale_mult(sf_dir)
     faults = FX.default_fault_plan(n)
-    expected = []
-    for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
-        for i, le, dg in audio.filterbank_of(w, sr):
-            expected.append((cid, i, le, dg))
-    spark.createDataFrame(
-        expected,
-        "clip_id string, frame_idx int, log_energy double, fb_md5 string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{_ORACLE_DIR}/filterbank_ledger")
+    if _ledgers_on():
+        expected = []
+        for cid, w, sr in _replayed_clips(n, faults, require_sr=True):
+            for i, le, dg in audio.filterbank_of(w, sr):
+                expected.append((cid, i, le, dg))
+        spark.createDataFrame(
+            expected,
+            "clip_id string, frame_idx int, log_energy double, fb_md5 string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/filterbank_ledger")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
     return audio.filterbank_clips(clips)
 
@@ -1738,21 +1765,27 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf, max_bp, cap = 4, 3500, 10_000
     fps: dict[str, "np.ndarray"] = {}
     planted_rows = []
-    for i in range(n):
+    # the replay needs every clip's fingerprint; the INPUT only needs
+    # the K planted copies' raw rows — with ledgers off, stop at K
+    for i in range(n if _ledgers_on() else K):
         cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, None)
-        w = audio.decode(codec, bytes(buf))
-        fps[cid] = audio.fingerprint_of(w, int(sr))
+        if _ledgers_on():
+            w = audio.decode(codec, bytes(buf))
+            fps[cid] = audio.fingerprint_of(w, int(sr))
         if i < K:
-            fps["zz-" + cid] = fps[cid]
+            if _ledgers_on():
+                fps["zz-" + cid] = fps[cid]
             planted_rows.append(
                 ("zz-" + cid, bytearray(buf), int(sr), int(dur), codec, txt,
                  int(part))
             )
-    expected = _fp_pair_replay(fps, bf, max_bp, cap)
-    spark.createDataFrame(
-        expected, "id_a string, id_b string, bits_differ long, bits_compared long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{_ORACLE_DIR}/audio_fp_dedup_ledger")
+    if _ledgers_on():
+        expected = _fp_pair_replay(fps, bf, max_bp, cap)
+        spark.createDataFrame(
+            expected,
+            "id_a string, id_b string, bits_differ long, bits_compared long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/audio_fp_dedup_ledger")
     ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
            "codec string, transcript string, part_id int")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
@@ -1786,30 +1819,36 @@ def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps: dict = {}
     planted_rows = []
     txt_rows = []
-    for i in range(n):
+    # replay + txt ledger need all n rows; the INPUT only needs the K
+    # planted copies — with ledgers off, stop at K
+    for i in range(n if _ledgers_on() else K):
         cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, None)
-        w = audio.decode(codec, bytes(buf))
-        fps[cid] = audio.fingerprint_of(w, int(sr))
-        txt_rows.append((cid, txt))
+        if _ledgers_on():
+            w = audio.decode(codec, bytes(buf))
+            fps[cid] = audio.fingerprint_of(w, int(sr))
+            txt_rows.append((cid, txt))
         if i < K:
             zid = "zz-" + cid
-            fps[zid] = fps[cid]
             ztxt = (f"zzcorrupt{i} zzlabel{i} zznoise{i}"
                     if i % 2 == 0 else txt)
             planted_rows.append(
                 (zid, bytearray(buf), int(sr), int(dur), codec, ztxt,
                  int(part))
             )
-            txt_rows.append((zid, ztxt))
-    expected = _fp_pair_replay(fps, bf, max_bp, cap)
-    spark.createDataFrame(
-        expected, "id_a string, id_b string, bits_differ long, bits_compared long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{_ORACLE_DIR}/label_noise_pairs_ledger")
-    spark.createDataFrame(
-        txt_rows, "clip_id string, transcript string"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{_ORACLE_DIR}/label_noise_input")
+            if _ledgers_on():
+                fps[zid] = fps[cid]
+                txt_rows.append((zid, ztxt))
+    if _ledgers_on():
+        expected = _fp_pair_replay(fps, bf, max_bp, cap)
+        spark.createDataFrame(
+            expected,
+            "id_a string, id_b string, bits_differ long, bits_compared long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/label_noise_pairs_ledger")
+        spark.createDataFrame(
+            txt_rows, "clip_id string, transcript string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/label_noise_input")
     ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
            "codec string, transcript string, part_id int")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42).select(

@@ -227,6 +227,12 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
+    # Time the ENGINE, not the oracle: the ledger-oracled clip queries
+    # normally replay their whole algorithm driver-side so DuckDB can
+    # restate the result (test scaffolding — 33 s replay vs 20 s engine
+    # for the fingerprint dedup at sf1). The correctness gate
+    # (tools/oracle_check.py / the round driver) never sets this flag.
+    os.environ["SPARK_GRAFT_SKIP_LEDGER"] = "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 

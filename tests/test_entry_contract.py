@@ -37,3 +37,28 @@ def test_entry_runs_and_has_stable_schema(spark):
     df = E.entry(spark)
     assert df.columns == ["rule_id", "clip_id", "column_name", "message", "part_id"]
     assert df.count() >= 0
+
+
+def test_skip_ledger_times_engine_only(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_SKIP_LEDGER=1 (set by bench.py) must change WHAT IS
+    TIMED, never WHAT IS COMPUTED: the engine result is identical with
+    the flag on, and the .oracle/ ledger is not rewritten (so a bench
+    run can never clobber the gate's fresh ledgers with stale ones —
+    it does not touch them at all)."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_SKIP_LEDGER", raising=False)
+    assert E._ledgers_on()
+    on = sorted(map(str, E.queries()["label_noise_clips"](spark, SF).collect()))
+    ledger = os.path.join(E._ORACLE_DIR, "label_noise_pairs_ledger")
+    stamp = max(
+        os.path.getmtime(os.path.join(ledger, f)) for f in os.listdir(ledger)
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_LEDGER", "1")
+    assert not E._ledgers_on()
+    off = sorted(map(str, E.queries()["label_noise_clips"](spark, SF).collect()))
+    assert on == off
+    assert max(
+        os.path.getmtime(os.path.join(ledger, f)) for f in os.listdir(ledger)
+    ) == stamp
