@@ -1763,34 +1763,33 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 2000 * _scale_mult(sf_dir)
     K = 40 * _scale_mult(sf_dir)
     bf, max_bp, cap = 4, 3500, 10_000
-    fps: dict[str, "np.ndarray"] = {}
-    planted_rows = []
-    # the replay needs every clip's fingerprint; the INPUT only needs
-    # the K planted copies' raw rows — with ledgers off, stop at K
-    for i in range(n if _ledgers_on() else K):
-        cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, None)
-        if _ledgers_on():
+    if _ledgers_on():
+        # the replay needs every clip's fingerprint (driver-side, by
+        # construction — it is the independent restatement)
+        fps: dict[str, "np.ndarray"] = {}
+        for i in range(n):
+            cid, buf, sr, _d, codec, _t, _p = FX._make_row(42, i, 8, None)
             w = audio.decode(codec, bytes(buf))
             fps[cid] = audio.fingerprint_of(w, int(sr))
-        if i < K:
-            if _ledgers_on():
+            if i < K:
                 fps["zz-" + cid] = fps[cid]
-            planted_rows.append(
-                ("zz-" + cid, bytearray(buf), int(sr), int(dur), codec, txt,
-                 int(part))
-            )
-    if _ledgers_on():
         expected = _fp_pair_replay(fps, bf, max_bp, cap)
         spark.createDataFrame(
             expected,
             "id_a string, id_b string, bits_differ long, bits_compared long",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{_ORACLE_DIR}/audio_fp_dedup_ledger")
-    ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
-           "codec string, transcript string, part_id int")
-    clips = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
+    # the ENGINE input's planted copies are derived DISTRIBUTED from the
+    # generated table itself (same generator, byte-identical bytes) —
+    # only the K target ids are computed driver-side (no audio synth)
+    base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
-    ).unionByName(spark.createDataFrame(planted_rows, ddl))
+    )
+    plant_ids = spark.createDataFrame(
+        [(FX.clip_id_at(42, i),) for i in range(K)], "clip_id string")
+    planted = base.join(F.broadcast(plant_ids), "clip_id").withColumn(
+        "clip_id", F.concat(F.lit("zz-"), "clip_id"))
+    clips = base.unionByName(planted.select(*base.columns))
     fpdf = audio.fingerprint_clips(clips)
     return audio.fingerprint_near_dup(
         fpdf, band_frames=bf, max_ber_bp=max_bp, max_bucket_size=cap
@@ -1816,29 +1815,24 @@ def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 1200 * _scale_mult(sf_dir)
     K = 40 * _scale_mult(sf_dir)
     bf, max_bp, cap = 4, 3500, 10_000
-    fps: dict = {}
-    planted_rows = []
-    txt_rows = []
-    # replay + txt ledger need all n rows; the INPUT only needs the K
-    # planted copies — with ledgers off, stop at K
-    for i in range(n if _ledgers_on() else K):
-        cid, buf, sr, dur, codec, txt, part = FX._make_row(42, i, 8, None)
-        if _ledgers_on():
+    if _ledgers_on():
+        # replay + transcript ledger: driver-side restatement over all
+        # n rows plus the K plants (same ztxt rule as the engine input)
+        fps: dict = {}
+        txt_rows = []
+        for i in range(n):
+            cid, buf, sr, _d, codec, txt, _p = FX._make_row(42, i, 8, None)
             w = audio.decode(codec, bytes(buf))
             fps[cid] = audio.fingerprint_of(w, int(sr))
             txt_rows.append((cid, txt))
-        if i < K:
-            zid = "zz-" + cid
-            ztxt = (f"zzcorrupt{i} zzlabel{i} zznoise{i}"
-                    if i % 2 == 0 else txt)
-            planted_rows.append(
-                (zid, bytearray(buf), int(sr), int(dur), codec, ztxt,
-                 int(part))
-            )
-            if _ledgers_on():
+            if i < K:
+                zid = "zz-" + cid
                 fps[zid] = fps[cid]
-                txt_rows.append((zid, ztxt))
-    if _ledgers_on():
+                txt_rows.append((
+                    zid,
+                    f"zzcorrupt{i} zzlabel{i} zznoise{i}" if i % 2 == 0
+                    else txt,
+                ))
         expected = _fp_pair_replay(fps, bf, max_bp, cap)
         spark.createDataFrame(
             expected,
@@ -1849,11 +1843,28 @@ def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
             txt_rows, "clip_id string, transcript string"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{_ORACLE_DIR}/label_noise_input")
-    ddl = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
-           "codec string, transcript string, part_id int")
-    clips = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
+    # engine input: planted copies derived DISTRIBUTED from the generated
+    # table (byte-identical audio); even plant ranks get the out-of-
+    # vocabulary transcript in Catalyst, odd ranks keep the donor's
+    base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
-    ).unionByName(spark.createDataFrame(planted_rows, ddl))
+    )
+    ranks = spark.createDataFrame(
+        [(FX.clip_id_at(42, i), i) for i in range(K)],
+        "clip_id string, _rk int")
+    planted = (
+        base.join(F.broadcast(ranks), "clip_id")
+        .withColumn(
+            "transcript",
+            F.when(
+                F.col("_rk") % 2 == 0,
+                F.format_string(
+                    "zzcorrupt%d zzlabel%d zznoise%d", "_rk", "_rk", "_rk"),
+            ).otherwise(F.col("transcript")),
+        )
+        .withColumn("clip_id", F.concat(F.lit("zz-"), "clip_id"))
+    )
+    clips = base.unionByName(planted.select(*base.columns))
     return audio.label_noise_pairs(
         clips, band_frames=bf, max_ber_bp=max_bp, max_bucket_size=cap,
         jaccard_max=0.5,
