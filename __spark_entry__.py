@@ -1871,6 +1871,66 @@ def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio corpus dedup: fingerprint extraction -> banded
+    LSH pairs -> pointer-doubling connected components -> keep-one
+    materialization (the audio twin of dedup_materialize_documents /
+    embedding_dedup_materialize — completes the story: a near-dup PAIR
+    detector alone doesn't shrink a corpus). Keep-one drops every
+    member of a connected group except its minimum-id exemplar, so the
+    'zz-'-prefixed planted copies (lexicographically after every donor)
+    MUST all vanish while their donors survive.
+
+    Oracle: the pair set is replayed driver-side through the shared
+    fingerprint kernel (_fp_pair_replay) into a ledger, the id universe
+    (derivable without audio synthesis) into another; DuckDB then
+    recomputes the connected components with a recursive CTE and the
+    keep-one anti-join from those two tables — so a wrong component, a
+    dropped exemplar, or a surviving duplicate all hash-mismatch."""
+    n = 1000 * _scale_mult(sf_dir)
+    K = 30 * _scale_mult(sf_dir)
+    bf, max_bp, cap = 4, 3500, 10_000
+    if _ledgers_on():
+        fps: dict = {}
+        for i in range(n):
+            cid, buf, sr, _d, codec, _t_, _p = FX._make_row(42, i, 8, None)
+            w = audio.decode(codec, bytes(buf))
+            fps[cid] = audio.fingerprint_of(w, int(sr))
+            if i < K:
+                fps["zz-" + cid] = fps[cid]
+        expected = _fp_pair_replay(fps, bf, max_bp, cap)
+        spark.createDataFrame(
+            expected,
+            "id_a string, id_b string, bits_differ long, bits_compared long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/audio_dedup_pairs_ledger")
+        ids = [
+            (cid, FX.part_id_of(cid, 8))
+            for i in range(n)
+            for cid in [FX.clip_id_at(42, i)]
+        ]
+        ids += [("zz-" + cid, pid) for cid, pid in ids[:K]]
+        spark.createDataFrame(
+            ids, "clip_id string, part_id int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/audio_dedup_input")
+    base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
+    )
+    plant_ids = spark.createDataFrame(
+        [(FX.clip_id_at(42, i),) for i in range(K)], "clip_id string")
+    planted = base.join(F.broadcast(plant_ids), "clip_id").withColumn(
+        "clip_id", F.concat(F.lit("zz-"), "clip_id"))
+    clips = base.unionByName(planted.select(*base.columns))
+    fpdf = audio.fingerprint_clips(clips)
+    pairs = audio.fingerprint_near_dup(
+        fpdf, band_frames=bf, max_ber_bp=max_bp, max_bucket_size=cap
+    ).select("id_a", "id_b")
+    kept = D.deduplicate(
+        clips.select("clip_id", "part_id"), pairs, "clip_id")
+    return kept.select("clip_id", "part_id")
+
+
 def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column validation (similarity.embedding_quality_violations)
     — detection-vs-injection oracle: md5-bucket of vec_id plants three
@@ -2354,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acoustic_fp_clips": acoustic_fp_clips,
         "audio_fingerprint_dedup": audio_fingerprint_dedup,
         "label_noise_clips": label_noise_clips,
+        "audio_dedup_materialize": audio_dedup_materialize,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -3727,6 +3788,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.toks, b.toks))),
                         6) <= 0.5
+        """,
+        # Connected components + keep-one recomputed from the pair
+        # ledger with a recursive CTE (the dedup_materialize_documents
+        # pattern); the id universe comes from its own ledger so the
+        # exemplar anti-join is restated end to end.
+        "audio_dedup_materialize": f"""
+            WITH RECURSIVE p AS (
+              SELECT id_a, id_b FROM read_parquet(
+                '{_ORACLE_DIR}/audio_dedup_pairs_ledger/*.parquet')
+            ),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ),
+            reach(id, grp) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e2.src, r.grp FROM e e2 JOIN reach r ON e2.dst = r.id
+            ),
+            comp AS (SELECT id, min(grp) AS group_id FROM reach GROUP BY id)
+            SELECT i.clip_id, i.part_id
+            FROM read_parquet('{_ORACLE_DIR}/audio_dedup_input/*.parquet') i
+            WHERE i.clip_id NOT IN (SELECT id FROM comp WHERE id != group_id)
         """,
         "clip_consistency_rules": f"""
             WITH inp AS (

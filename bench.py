@@ -221,6 +221,11 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
             df = qs[name](spark, sf_dir)
             df.count()
             out[name] = round(time.monotonic() - t0, 3)
+            # each query persists its own intermediates (e.g. the
+            # fingerprint table inside the near-dup operators); drop
+            # them so one query's storage never squeezes the next —
+            # every timed run starts from a cold cache
+            spark.catalog.clearCache()
     finally:
         spark.stop()
     return out
@@ -281,6 +286,7 @@ def main() -> None:
             "filterbank_clips",
             "audio_fingerprint_dedup",
             "label_noise_clips",
+            "audio_dedup_materialize",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]
