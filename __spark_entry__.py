@@ -1931,6 +1931,42 @@ def audio_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("clip_id", "part_id")
 
 
+def duration_integrity_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-vs-metadata duration audit (audio.duration_violations):
+    the decoded sample count must agree with the DECLARED (dur_ms,
+    sr_hz) within 10 ms — catches truncated uploads and stale metadata
+    that every dur_ms-trusting rule silently inherits. Plants:
+    md5-routed ~10% of rows declare dur_ms + 40 ms (4x tolerance); the
+    engine must flag exactly those by actually decoding the audio.
+    Oracle: true sample counts replayed driver-side through the shared
+    kernel into a ledger; the mutated declarations are materialized
+    distributed; DuckDB re-runs the identical integer-arithmetic
+    predicate (no division, no floats) over the join of the two."""
+    n = 400 * _scale_mult(sf_dir)
+    if _ledgers_on():
+        expected = [
+            (cid, int(w.size))
+            for cid, w, _sr in _replayed_clips(n, {}, require_sr=True)
+        ]
+        spark.createDataFrame(
+            expected, "clip_id string, n_samples long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/duration_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42)
+    bump = (
+        F.conv(F.substring(F.md5("clip_id"), 1, 4), 16, 10).cast("long") % 10
+        == 0
+    )
+    mutated = clips.withColumn(
+        "dur_ms",
+        F.when(bump, F.col("dur_ms") + F.lit(40)).otherwise(F.col("dur_ms")),
+    )
+    if _ledgers_on():
+        mutated.select("clip_id", "sr_hz", "dur_ms", "part_id").write.mode(
+            "overwrite").parquet(f"{_ORACLE_DIR}/duration_input")
+    return audio.duration_violations(mutated, tol_ms=10)
+
+
 def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column validation (similarity.embedding_quality_violations)
     — detection-vs-injection oracle: md5-bucket of vec_id plants three
@@ -2415,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dedup": audio_fingerprint_dedup,
         "label_noise_clips": label_noise_clips,
         "audio_dedup_materialize": audio_dedup_materialize,
+        "duration_integrity_clips": duration_integrity_clips,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -3812,6 +3849,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.clip_id, i.part_id
             FROM read_parquet('{_ORACLE_DIR}/audio_dedup_input/*.parquet') i
             WHERE i.clip_id NOT IN (SELECT id FROM comp WHERE id != group_id)
+        """,
+        # True sample counts from the shared-kernel ledger; the mutated
+        # declarations from the materialized input; the predicate is the
+        # same integer arithmetic the engine runs (no division/floats).
+        "duration_integrity_clips": f"""
+            SELECT 'inconsistent:duration' AS rule_id, d.clip_id,
+                   l.n_samples,
+                   (CAST(d.dur_ms AS BIGINT) * d.sr_hz) // 1000
+                       AS expected_samples,
+                   d.part_id
+            FROM read_parquet('{_ORACLE_DIR}/duration_input/*.parquet') d
+            JOIN read_parquet('{_ORACLE_DIR}/duration_ledger/*.parquet') l
+              USING (clip_id)
+            WHERE d.dur_ms > 0 AND d.sr_hz > 0
+              AND abs(l.n_samples * 1000
+                      - CAST(d.dur_ms AS BIGINT) * d.sr_hz) > 10 * d.sr_hz
         """,
         "clip_consistency_rules": f"""
             WITH inp AS (

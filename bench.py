@@ -287,6 +287,7 @@ def main() -> None:
             "audio_fingerprint_dedup",
             "label_noise_clips",
             "audio_dedup_materialize",
+            "duration_integrity_clips",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]

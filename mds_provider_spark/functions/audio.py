@@ -1021,6 +1021,47 @@ def voiced_seconds_of(w: np.ndarray, sr_hz: int) -> float:
     return voiced * (frame / float(sr_hz))
 
 
+def duration_violations(
+    clips: DataFrame,
+    tol_ms: int = 10,
+    key_col: str = "clip_id",
+    part_col: str = "part_id",
+) -> DataFrame:
+    """PAYLOAD-vs-METADATA consistency: the decoded sample count must
+    agree with the DECLARED (dur_ms, sr_hz) within ``tol_ms`` — the
+    check that catches truncated uploads and stale metadata, which
+    every rule trusting dur_ms (rate bands, billing, segment planning)
+    silently inherits. Violation iff
+    ``|n_samples*1000 - dur_ms*sr_hz| > tol_ms*sr_hz`` — pure integer
+    arithmetic (no division, no float), so the oracle replays it
+    bit-for-bit.
+
+    Layered: rows with non-positive declared duration or sample rate
+    are skipped (those are range-rule findings), and rows whose bytes
+    are NULL / codec unknown / decode fails are absent because the
+    decode stage (audio_features' skip contract) never emits them.
+    One Arrow decode pass; everything after it is Catalyst."""
+    feats = audio_features(clips, key_col=key_col).select(key_col, "n_samples")
+    decl = clips.select(key_col, "sr_hz", "dur_ms", part_col).where(
+        (F.col("dur_ms") > 0) & (F.col("sr_hz") > 0)
+    )
+    dur = F.col("dur_ms").cast("long")
+    sr = F.col("sr_hz").cast("long")
+    return (
+        decl.join(feats, key_col)
+        .where(F.abs(F.col("n_samples") * F.lit(1000) - dur * sr)
+               > F.lit(int(tol_ms)) * sr)
+        .select(
+            F.lit(S.rule_id(S.INCONSISTENT, "duration")).alias("rule_id"),
+            key_col,
+            "n_samples",
+            F.expr("(cast(dur_ms as bigint) * sr_hz) div 1000").alias(
+                "expected_samples"),
+            part_col,
+        )
+    )
+
+
 def transcript_rate_violations(
     clips: DataFrame,
     lo: float = 30.0,
