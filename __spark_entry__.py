@@ -1967,6 +1967,59 @@ def duration_integrity_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.duration_violations(mutated, tol_ms=10)
 
 
+def audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic train/eval leakage (audio.split_leakage_pairs) — the
+    audio twin of contamination_documents: GAIN-AUGMENTED copies
+    (-3 dB, the 're-upload at a different mastering level' case) of K
+    donors are planted under 'zz-' ids, the corpus is id-hash split
+    80/20, and the engine must surface the near-dup pairs that CROSS
+    the split by actually decoding and fingerprinting the audio (the
+    fingerprint is gain-invariant pre-quantization; the int16
+    round-trip leaves a small bit-error the BER threshold absorbs).
+    Oracle: the full pair set is replayed driver-side through the SAME
+    kernels (decode -> augment_wave(-3 dB) -> s16le round-trip ->
+    fingerprint -> banding/cap/BER), and DuckDB recomputes both split
+    assignments from the md5 router arithmetic alone — a missing
+    cross-split pair, an extra one, or a split-assignment drift all
+    hash-mismatch."""
+    n = 1200 * _scale_mult(sf_dir)
+    K = 40 * _scale_mult(sf_dir)
+    bf, max_bp, cap = 4, 3500, 10_000
+    if _ledgers_on():
+        fps: dict = {}
+        for i in range(n):
+            cid, buf, sr, _d, codec, _t_, _p = FX._make_row(42, i, 8, None)
+            w = audio.decode(codec, bytes(buf))
+            fps[cid] = audio.fingerprint_of(w, int(sr))
+            if i < K:
+                a = audio.augment_wave(w, int(sr), str(cid), gain_db=-3.0)
+                w2 = audio.decode("pcm_s16le", audio.encode_pcm_s16le(a))
+                fps["zz-" + cid] = audio.fingerprint_of(w2, int(sr))
+        expected = _fp_pair_replay(fps, bf, max_bp, cap)
+        spark.createDataFrame(
+            expected,
+            "id_a string, id_b string, bits_differ long, bits_compared long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/split_leakage_ledger")
+    base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
+        "clip_id", "bytes", "codec", "sr_hz")
+    plant_ids = spark.createDataFrame(
+        [(FX.clip_id_at(42, i),) for i in range(K)], "clip_id string")
+    donors = base.join(F.broadcast(plant_ids), "clip_id")
+    aug = audio.augment_clips(donors, gain_db=-3.0)
+    planted = aug.select(
+        F.concat(F.lit("zz-"), "clip_id").alias("clip_id"),
+        "bytes",
+        F.lit("pcm_s16le").alias("codec"),
+        "sr_hz",
+    )
+    corpus = base.unionByName(planted)
+    return audio.split_leakage_pairs(
+        corpus, train_pct=80, band_frames=bf, max_ber_bp=max_bp,
+        max_bucket_size=cap,
+    )
+
+
 def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column validation (similarity.embedding_quality_violations)
     — detection-vs-injection oracle: md5-bucket of vec_id plants three
@@ -2452,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise_clips": label_noise_clips,
         "audio_dedup_materialize": audio_dedup_materialize,
         "duration_integrity_clips": duration_integrity_clips,
+        "audio_split_leakage": audio_split_leakage,
         "video_frames_items": video_frames_items,
         "image_features_items": image_features_items,
     }
@@ -3865,6 +3919,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.dur_ms > 0 AND d.sr_hz > 0
               AND abs(l.n_samples * 1000
                       - CAST(d.dur_ms AS BIGINT) * d.sr_hz) > 10 * d.sr_hz
+        """,
+        # Pair set from the shared-kernel ledger; BOTH split assignments
+        # recomputed here from the md5 router arithmetic alone, so the
+        # engine's split hashing is restated cross-engine.
+        "audio_split_leakage": f"""
+            SELECT id_a, id_b, split_a, split_b, bits_differ FROM (
+              SELECT id_a, id_b, bits_differ,
+                     CASE WHEN ('0x' || substr(md5(id_a), 1, 4))::BIGINT
+                               % 100 < 80
+                          THEN 'train' ELSE 'eval' END AS split_a,
+                     CASE WHEN ('0x' || substr(md5(id_b), 1, 4))::BIGINT
+                               % 100 < 80
+                          THEN 'train' ELSE 'eval' END AS split_b
+              FROM read_parquet(
+                     '{_ORACLE_DIR}/split_leakage_ledger/*.parquet')
+            ) WHERE split_a != split_b
         """,
         "clip_consistency_rules": f"""
             WITH inp AS (

@@ -288,6 +288,7 @@ def main() -> None:
             "label_noise_clips",
             "audio_dedup_materialize",
             "duration_integrity_clips",
+            "audio_split_leakage",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]

@@ -42,7 +42,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from mds_provider_spark import schema as S
 
@@ -1019,6 +1019,50 @@ def voiced_seconds_of(w: np.ndarray, sr_hz: int) -> float:
     if tail.size and float(np.sqrt((tail * tail).mean())) >= _SILENCE_RMS:
         voiced += 1
     return voiced * (frame / float(sr_hz))
+
+
+def split_leakage_pairs(
+    clips: DataFrame,
+    train_pct: int = 80,
+    band_frames: int = 4,
+    max_ber_bp: int = 3500,
+    max_bucket_size: int | None = 10_000,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Train/eval ACOUSTIC leakage detection — the audio twin of
+    benchmark decontamination (text.contamination): near-identical
+    audio (a re-upload at a different mastering level, a gain-tweaked
+    copy) leaking across an id-hash train/eval split poisons every
+    metric computed on the eval side, and no id- or text-level check
+    can see it. The split is the engine-portable md5 router (same
+    idiom as text.mix_sample — deterministic, append-stable, exactly
+    reproducible in any engine), the pairing is the gain-invariant
+    fingerprint LSH, and only pairs CROSSING the split are reported.
+
+    Scale shape: identical to fingerprint_near_dup (one Arrow decode
+    pass, banded capped self-join, candidate-proportional verify) plus
+    two hash projections — the split assignment adds no shuffle."""
+    fps = fingerprint_clips(clips, key_col=key_col)
+    pairs = fingerprint_near_dup(
+        fps,
+        band_frames=band_frames,
+        max_ber_bp=max_ber_bp,
+        max_bucket_size=max_bucket_size,
+    )
+
+    def split_of(c: Column) -> Column:
+        return F.when(
+            F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long") % 100
+            < F.lit(int(train_pct)),
+            F.lit("train"),
+        ).otherwise(F.lit("eval"))
+
+    return (
+        pairs.withColumn("split_a", split_of(F.col("id_a")))
+        .withColumn("split_b", split_of(F.col("id_b")))
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "bits_differ")
+    )
 
 
 def duration_violations(
