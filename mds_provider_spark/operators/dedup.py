@@ -359,51 +359,76 @@ def simhash_dedup(
 
 def resolve_duplicate_groups(
     pairs: DataFrame,
-    max_iters: int = 20,
+    max_iters: int = 40,
     reliable_checkpoint_dir: str | None = None,
     reliable_every: int = 4,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, group_id).
 
-    group_id = min id reachable through the pair graph (so a chain
-    a~b, b~c collapses to group a even if (a,c) was never emitted).
-    Iterative min-label propagation WITH pointer doubling: each round
-    (1) pulls the smallest neighbor label across the edge list, then
-    (2) shortcuts one label-chain hop (label := label(label)) — the
-    doubling step halves remaining chain length, so convergence is
-    O(log diameter) rounds, not O(diameter). The default ``max_iters=20``
-    therefore covers chains of diameter ~2^20 — template/boilerplate
-    chains at 10^12 rows included (same recurrence as the star-contraction
-    family of MapReduce CC algorithms, Kiveris et al. 2014, public).
+    group_id = min id reachable through the pair graph (a chain a~b,
+    b~c collapses to group a even if (a, c) was never emitted).
 
-    Non-convergence is LOUD: if the last round still changed labels the
-    function raises instead of returning partially-merged groups —
-    a silent under-merge would let keep-one retain extra "exemplars"
-    with no signal (round-4 fix).
+    Algorithm: alternating LARGE-STAR / SMALL-STAR edge contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public). Each round rewrites the EDGE SET itself:
+    large-star hangs every higher neighbor of u onto min(N(u) ∪ u),
+    small-star re-points u and its lower neighbors at their minimum.
+    Components contract geometrically until each is a star rooted at
+    its minimum id; termination is the exact structural test "no child
+    is also a root" (children ∩ roots = ∅ ⟺ the edge set is a star
+    forest), not an estimate.
 
-    Edge and label tables are O(pairs), never O(corpus): only ids that
-    appear in a pair get a row; everything else is its own group by
-    definition.
+    WHY edge contraction and not min-label propagation: the previous
+    implementation (pull min neighbor label + one pointer-doubling hop
+    per round) is O(log d) on paths but degrades toward O(d) on dense
+    blob graphs where the label forest keeps reforming — measured on a
+    real corpus: a 200k-clip near-dup graph (1.9M pairs, parameter-space
+    blob components) was still churning labels after 40 rounds while
+    the component count had been stable since round 20. Star
+    contraction converged the same graph in a handful of rounds, and
+    the edge table SHRINKS every round (a star forest has one edge per
+    non-root node), so per-round cost falls as it converges. Rounds are
+    O(log^2 n) worst-case, ~10 in practice; ``max_iters=40`` is a
+    safety bound, and the loop exits the moment the star test passes.
+
+    Non-convergence is LOUD: if the bound is exhausted before the edge
+    set is a star forest the function raises instead of returning
+    partially-merged groups — a silent under-merge would let keep-one
+    retain extra "exemplars" with no signal (round-4 fix).
+
+    Edge tables are O(pairs), never O(corpus): only ids that appear in
+    a pair get a row; everything else is its own group by definition.
+
+    Spark 4.x stats footgun (measured, fixed here): Dataset.checkpoint
+    propagates the pre-checkpoint plan's ESTIMATED statistics onto the
+    new LogicalRDD (LogicalRDD$.rewriteStatsAndConstraints), and join
+    size estimates are PRODUCTS of child sizeInBytes — so an iterative
+    checkpoint-per-round algorithm compounds the estimate, doubling its
+    BigInt bit length every round (measured 38 -> 2364 bits in 7 toy
+    rounds) until java.math.BigInteger overflows its 2^31-bit cap
+    ("BigInteger would overflow supported range" from
+    SizeInBytesOnlyStatsPlanVisitor, ~round 25 on the 1.9M-pair graph)
+    — and poisons broadcast decisions long before that. Every round
+    therefore rebuilds its DataFrame over the checkpointed RDD
+    (internalCreateDataFrame over queryExecution().toRdd()), which
+    keeps the lineage cut but resets stats to defaults; AQE re-plans
+    from RUNTIME sizes anyway.
 
     Fault tolerance vs plan hygiene (SCALE.md §Dedup): each round cuts
     lineage with ``localCheckpoint`` — executor-LOCAL, non-replicated
     blocks, so on a real cluster an executor loss mid-resolve kills the
-    job instead of recomputing. Right default here (the analyzer blow-up
-    it prevents is measured, and a dedup resolve is cheap to rerun), but
-    for 10^12-row pair graphs pass ``reliable_checkpoint_dir`` (a
-    cluster-visible path, e.g. HDFS/S3). In that mode ``localCheckpoint``
-    never runs: every ``reliable_every``-th round cuts lineage with a
-    RELIABLE ``checkpoint()`` to that directory, and the rounds BETWEEN
-    cuts keep their lineage INTACT (``persist()`` there is only a cost
-    cache, not a recovery point), so an executor loss recomputes at most
-    ``reliable_every - 1`` rounds from the last durable checkpoint — a
-    local truncation between cuts would make those rounds unrecoverable
-    and void the durability the directory is meant to buy. The price is
-    bounded plan growth between cuts (< 2^reliable_every plan nodes, vs
-    the unbounded 2^rounds the per-round cut prevents). Files of a
-    superseded checkpoint are swept best-effort once the next one lands
-    (local-FS paths; object stores fall back to the directory's own
-    lifecycle, logged once); the FINAL checkpoint's files back the
+    job instead of recomputing. Right default here (the analyzer
+    blow-up it prevents is measured, and a dedup resolve is cheap to
+    rerun), but for 10^12-row pair graphs pass
+    ``reliable_checkpoint_dir`` (a cluster-visible path, e.g. HDFS/S3).
+    In that mode ``localCheckpoint`` never runs: every
+    ``reliable_every``-th round cuts lineage with a RELIABLE
+    ``checkpoint()`` to that directory, and the rounds BETWEEN cuts
+    keep their lineage INTACT (``persist()`` there is only a cost
+    cache, not a recovery point), so an executor loss recomputes at
+    most ``reliable_every - 1`` rounds from the last durable
+    checkpoint. Files of a superseded checkpoint are swept best-effort
+    once the next one lands; the FINAL checkpoint's files back the
     returned DataFrame — the caller owns the directory and deletes it
     after consuming the result.
     """
@@ -447,90 +472,25 @@ def resolve_duplicate_groups(
                     "directory's own lifecycle",
                     type(exc).__name__, exc,
                 )
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-        .cache()
-    )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "group_id", F.col("id")
-    )
 
-    def round_once(labels: DataFrame) -> tuple[DataFrame, int]:
-        """One propagation round: pull min neighbor label, then pointer-
-        double (label := label(label) — label(x) is always a node in x's
-        component, so the invariant holds and the min fixed point is
-        unchanged, but chains collapse geometrically). Returns (new
-        labels, whether anything changed)."""
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("group_id").alias("_nbr"))
-            .withColumnRenamed("src", "id")
-        )
-        pulled = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(F.col("group_id"), F.coalesce("_nbr", F.col("group_id"))).alias(
-                "group_id"
-            ),
-        )
-        parent = pulled.select(
-            F.col("id").alias("group_id"), F.col("group_id").alias("_pp")
-        )
-        updated = (
-            pulled.join(parent, "group_id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("group_id"), F.coalesce("_pp", F.col("group_id"))
-                ).alias("group_id"),
-            )
-        )
-        # default mode: lineage cut EVERY round — the doubling step
-        # self-joins `pulled`, so an uncut logical plan doubles per
-        # iteration (2^rounds nodes — measured analyzer blow-up at ~15
-        # rounds even on a 60-row graph). Reliable mode must NOT cut
-        # locally between durable cuts (a localCheckpoint truncates the
-        # recipe an executor loss needs, making the round unrecoverable
-        # and voiding the durability bought by the directory): it cuts
-        # with checkpoint() every reliable_every-th round and only
-        # persist()s in between — growth < 2^reliable_every is bounded.
-        rounds_done[0] += 1
-        if reliable_checkpoint_dir is not None:
-            if rounds_done[0] % reliable_every == 0:
-                updated = updated.checkpoint(eager=True)
-                _sweep_superseded()
-            else:
-                updated = updated.persist()
-        else:
-            updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.group_id") != F.col("l.group_id"))
-            .limit(1)
-            .count()
-        )
-        return updated, changed
+    def rebuild_from_checkpoint(ck: DataFrame) -> DataFrame:
+        """Fresh LogicalRDD over the checkpointed RDD — lineage stays
+        cut, inherited stats estimate is DROPPED (see docstring)."""
+        sess = ck.sparkSession
+        jdf = sess._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False)
+        return DataFrame(jdf, sess)
 
     free_blocks_warned = [False]
 
     def free_blocks(df: DataFrame) -> None:
-        """Release a previous round's localCheckpoint blocks NOW instead
-        of waiting for JVM GC + ContextCleaner — at 20 rounds over an
-        O(pairs) table, lazily-freed rounds would otherwise stack up in
-        the block manager. The checkpoint RDD has no public Python
-        handle (``df.rdd`` wraps a DIFFERENT conversion RDD whose
-        unpersist would not touch the checkpoint blocks), so this
-        reaches the LogicalRDD via py4j; if a Spark version changes the
-        analyzed-plan shape, the failure is LOGGED once — block buildup
-        stays observable instead of silently returning."""
+        """Release a checkpointed round's blocks NOW instead of waiting
+        for JVM GC + ContextCleaner. The checkpoint RDD has no public
+        Python handle (``df.rdd`` wraps a DIFFERENT conversion RDD), so
+        this reaches the LogicalRDD via py4j; if a Spark version changes
+        the analyzed-plan shape the failure is LOGGED once — block
+        buildup stays observable instead of silently returning."""
         try:
-            # a localCheckpointed Dataset's analyzed plan is
-            # LogicalRDD(rdd) — that rdd holds the blocks
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception as exc:  # noqa: BLE001 — best-effort, but loud once
             if not free_blocks_warned[0]:
@@ -546,48 +506,105 @@ def resolve_duplicate_groups(
                     exc,
                 )
 
-    def release(df: DataFrame) -> None:
-        """Free a superseded round's storage: reliable mode used plain
-        persist() (public unpersist handle; a no-op on the checkpointed
-        rounds), default mode used localCheckpoint (py4j block release
-        above)."""
+    def release(handle: DataFrame) -> None:
         if reliable_checkpoint_dir is not None:
-            df.unpersist()
+            handle.unpersist()
         else:
-            free_blocks(df)
+            free_blocks(handle)
 
-    changed = 1
-    prev: DataFrame | None = None
-    for _ in range(max_iters):
-        updated, changed = round_once(labels)
-        if prev is not None:
-            release(prev)
-        prev, labels = labels, updated
-        if changed == 0:
-            break
-    if changed != 0:
-        # the budget's last round still moved labels — but it may have
-        # moved them ONTO the fixed point. One spare verification round
-        # decides; only a genuinely still-moving graph raises.
-        updated, changed = round_once(labels)
-        if prev is not None:
-            release(prev)
-        prev, labels = labels, updated
-    edges.unpersist()
-    if prev is not None:
-        release(prev)  # only the FINAL labels' blocks stay resident
-    if changed != 0:
-        raise RuntimeError(
-            f"resolve_duplicate_groups did not converge in {max_iters} rounds "
-            "(pair graph has a chain of diameter beyond 2^max_iters); raise "
-            "max_iters — returning partially-merged groups would silently "
-            "under-deduplicate"
+    def cut(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Materialize a round's edge set and cut lineage. Returns
+        (usable DataFrame, storage handle for release())."""
+        rounds_done[0] += 1
+        if reliable_checkpoint_dir is not None:
+            if rounds_done[0] % reliable_every == 0:
+                handle = df.checkpoint(eager=True)
+                _sweep_superseded()
+                return rebuild_from_checkpoint(handle), handle
+            handle = df.persist()
+            return handle, handle
+        handle = df.localCheckpoint(eager=True)
+        return rebuild_from_checkpoint(handle), handle
+
+    def canon(df: DataFrame) -> DataFrame:
+        """Canonical undirected edges: (a=greater, b=smaller), no self
+        loops, distinct."""
+        return (
+            df.where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .distinct()
         )
-    return labels.select(F.col("id").alias("doc_id"), "group_id")
+
+    def large_star(e: DataFrame) -> DataFrame:
+        """For every node u: hang each HIGHER neighbor v onto
+        m = min(N(u) ∪ {u}). Strictly decreases component height."""
+        nb = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = nb.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least("u", "_mn").alias("_m")
+        )
+        out = (
+            nb.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+        )
+        return canon(out)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        """For every node u: re-point u and ALL its lower neighbors at
+        m = min of the lower neighborhood. Flattens local minima into
+        stars. Canonical edges already have a > b, so the lower
+        neighborhood of a is exactly its b-side."""
+        m = e.groupBy("a").agg(F.min("b").alias("_m"))
+        out = (
+            e.join(m, "a")
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .unionByName(m.select(F.col("a"), F.col("_m").alias("b")))
+        )
+        return canon(out)
+
+    edges = canon(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    edges, handle = cut(edges)
+    prev_handle: DataFrame | None = handle
+    converged = False
+    for _ in range(max_iters):
+        new_edges, h1 = cut(small_star(large_star(edges)))
+        release(prev_handle)
+        prev_handle, edges = h1, new_edges
+        # exact structural termination: the edge set is a star forest
+        # iff no child (a-side) ever appears as a root (b-side)
+        is_star = (
+            edges.select("a").intersect(edges.select("b")).limit(1).count()
+            == 0
+        )
+        if is_star:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"resolve_duplicate_groups did not converge in {max_iters} "
+            "rounds (large-star/small-star contraction still finds "
+            "non-star structure); raise max_iters — returning "
+            "partially-merged groups would silently under-deduplicate"
+        )
+    # star forest: (child, root) edges with root = component min; roots
+    # map to themselves. The final handle's storage backs the result.
+    return edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("group_id")
+    ).unionByName(
+        edges.select("b").distinct().select(
+            F.col("b").alias("doc_id"), F.col("b").alias("group_id")
+        )
+    )
 
 
 def deduplicate(
-    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 40
 ) -> DataFrame:
     """Keep-one materializer: drop every near-duplicate except the
     minimum-id exemplar of its connected group. Rows never seen in a
