@@ -1873,7 +1873,7 @@ def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def audio_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END audio corpus dedup: fingerprint extraction -> banded
-    LSH pairs -> pointer-doubling connected components -> keep-one
+    LSH pairs -> star-contraction connected components -> keep-one
     materialization (the audio twin of dedup_materialize_documents /
     embedding_dedup_materialize — completes the story: a near-dup PAIR
     detector alone doesn't shrink a corpus). Keep-one drops every
