@@ -85,6 +85,14 @@ def polygon_literal(coords: list[tuple[float, float]]) -> Column:
     )
 
 
+def rings_literal(rings: list[list[tuple[float, float]]]) -> Column:
+    """Multipolygon boundary -> array<array<struct<x,y>>> literal: every
+    ring (outer shells AND holes, across all polygons) flattened into
+    one ring array — the even-odd rule below needs no shell/hole
+    distinction."""
+    return F.array(*[polygon_literal(r) for r in rings])
+
+
 def parse_boundary_geojson(geojson_text: str) -> list[tuple[float, float]]:
     """Boundary file (GeoJSON Polygon / Feature<Polygon>) -> ring coords."""
     obj = json.loads(geojson_text)
@@ -95,17 +103,46 @@ def parse_boundary_geojson(geojson_text: str) -> list[tuple[float, float]]:
     return [(float(x), float(y)) for x, y in obj["coordinates"][0]]
 
 
-def point_in_polygon(lon: Column, lat: Column, polygon: Column) -> Column:
-    """Ray-casting point-in-polygon, pure Catalyst.
+def parse_boundary_rings(geojson_text: str) -> list[list[tuple[float, float]]]:
+    """Full ``parse_boundary`` parity (mds/geometry.py ≈L40-100 accepts
+    FeatureCollection city boundaries): GeoJSON Polygon / MultiPolygon /
+    Feature / FeatureCollection -> flat list of rings, holes included.
+    Real city boundaries are multipolygons with holes; under the
+    even-odd rule a flat ring list is all the filter needs."""
+    obj = json.loads(geojson_text)
+    rings: list[list[tuple[float, float]]] = []
 
-    Counts edges crossed by a horizontal ray from the point: fold over
-    consecutive vertex pairs with ``aggregate``; odd crossings = inside.
-    Edges are formed by zipping the ring with itself shifted by one.
-    """
-    n = F.size(polygon)
-    shifted = F.concat(F.slice(polygon, F.lit(2), n - 1), F.slice(polygon, 1, 1))
+    def add_geometry(g: dict) -> None:
+        t = g.get("type")
+        if t == "Polygon":
+            for ring in g["coordinates"]:
+                rings.append([(float(x), float(y)) for x, y in ring])
+        elif t == "MultiPolygon":
+            for poly in g["coordinates"]:
+                for ring in poly:
+                    rings.append([(float(x), float(y)) for x, y in ring])
+        else:
+            raise ValueError(f"expected (Multi)Polygon geometry, got {t!r}")
+
+    if obj.get("type") == "FeatureCollection":
+        for feat in obj["features"]:
+            add_geometry(feat["geometry"])
+    elif obj.get("type") == "Feature":
+        add_geometry(obj["geometry"])
+    else:
+        add_geometry(obj)
+    if not rings:
+        raise ValueError("boundary contains no rings")
+    return rings
+
+
+def _ring_crossings(lon: Column, lat: Column, ring: Column) -> Column:
+    """Horizontal-ray crossing count for ONE ring (the point-in-polygon
+    kernel; operation order fixed so SQL oracles replay bit-exactly)."""
+    n = F.size(ring)
+    shifted = F.concat(F.slice(ring, F.lit(2), n - 1), F.slice(ring, 1, 1))
     edges = F.zip_with(
-        polygon, shifted, lambda a, b: F.struct(a.alias("p"), b.alias("q"))
+        ring, shifted, lambda a, b: F.struct(a.alias("p"), b.alias("q"))
     )
 
     def crosses(e: Column) -> Column:
@@ -115,12 +152,39 @@ def point_in_polygon(lon: Column, lat: Column, polygon: Column) -> Column:
         x_at_lat = x1 + (lat - y1) / (y2 - y1) * (x2 - x1)
         return straddles & (lon < x_at_lat)
 
-    crossings = F.aggregate(
+    return F.aggregate(
         edges,
         F.lit(0),
         lambda acc, e: acc + F.when(crosses(e), F.lit(1)).otherwise(F.lit(0)),
     )
-    return (crossings % 2) == 1
+
+
+def point_in_polygon(lon: Column, lat: Column, polygon: Column) -> Column:
+    """Ray-casting point-in-polygon, pure Catalyst.
+
+    Counts edges crossed by a horizontal ray from the point: fold over
+    consecutive vertex pairs with ``aggregate``; odd crossings = inside.
+    Edges are formed by zipping the ring with itself shifted by one.
+    """
+    return (_ring_crossings(lon, lat, polygon) % 2) == 1
+
+
+def point_in_rings(lon: Column, lat: Column, rings: Column) -> Column:
+    """Even-odd point-in-multipolygon over ``rings_literal`` rings, pure
+    Catalyst (a fold of per-ring folds — still one codegen'd projection,
+    no UDF, no shuffle).
+
+    The even-odd rule makes holes and disjoint shells uniform: total
+    crossings over ALL rings odd == inside. A point inside a hole
+    crosses the shell (odd) and the hole ring (odd again) -> even ->
+    outside, with no winding/orientation bookkeeping — which is also
+    why SQL oracles can replay it as one flat edge list."""
+    total = F.aggregate(
+        rings,
+        F.lit(0),
+        lambda acc, ring: acc + _ring_crossings(lon, lat, ring),
+    )
+    return (total % 2) == 1
 
 
 def outside_boundary_violations(

@@ -374,9 +374,11 @@ def resolve_duplicate_groups(
     large-star hangs every higher neighbor of u onto min(N(u) ∪ u),
     small-star re-points u and its lower neighbors at their minimum.
     Components contract geometrically until each is a star rooted at
-    its minimum id; termination is the exact structural test "no child
-    is also a root" (children ∩ roots = ∅ ⟺ the edge set is a star
-    forest), not an estimate.
+    its minimum id; termination is the exact structural test "the edge
+    set is a star forest": no child is also a root AND every child has
+    exactly one edge. (The first half alone is NOT sufficient — a child
+    can point at two distinct roots while children ∩ roots = ∅; see the
+    loop body for the measured counterexample.) Not an estimate.
 
     WHY edge contraction and not min-label propagation: the previous
     implementation (pull min neighbor label + one pointer-doubling hop
@@ -577,12 +579,37 @@ def resolve_duplicate_groups(
         release(prev_handle)
         prev_handle, edges = h1, new_edges
         # exact structural termination: the edge set is a star forest
-        # iff no child (a-side) ever appears as a root (b-side)
-        is_star = (
-            edges.select("a").intersect(edges.select("b")).limit(1).count()
-            == 0
+        # iff (i) no child (a-side) ever appears as a root (b-side) AND
+        # (ii) no child carries edges to two roots. (i) alone is NOT
+        # sufficient: on pairs {1-3, 3-4, 4-5, 2-5} one round yields
+        # {(3,1),(4,1),(3,2),(5,2)} — children ∩ roots = ∅, yet child 3
+        # points at roots 1 AND 2; stopping there splits one component
+        # into two groups and keep-one silently under-merges
+        # (regression: tests/test_pipeline_ops.py bridge-graph case).
+        # Both conditions in ONE aggregation job over the (shrinking)
+        # edge set: per node, child-degree and a root flag.
+        nodes = edges.select(
+            F.col("a").alias("n"),
+            F.lit(1).alias("_c"),
+            F.lit(0).alias("_r"),
+        ).unionByName(
+            edges.select(
+                F.col("b").alias("n"),
+                F.lit(0).alias("_c"),
+                F.lit(1).alias("_r"),
+            )
         )
-        if is_star:
+        non_star = (
+            nodes.groupBy("n")
+            .agg(F.sum("_c").alias("_c"), F.max("_r").alias("_r"))
+            .where(
+                (F.col("_c") > 1)
+                | ((F.col("_c") >= 1) & (F.col("_r") == 1))
+            )
+            .limit(1)
+            .count()
+        )
+        if non_star == 0:
             converged = True
             break
     if not converged:

@@ -9,17 +9,25 @@ fingerprint manifest with each validated snapshot; next run, diff the
 manifests and validate ONLY partitions whose content actually changed
 (plus added ones), carrying forward the recorded verdicts for the rest.
 
-Fingerprint: bit_xor over rows of a 60-bit md5 slice of the row's
-canonical string form. Order-insensitive (shuffle/compaction does not
-change it), one scan, map-side combinable — the manifest is one row per
-partition. Engine-portable (same arithmetic replays in DuckDB), so the
-whole delta protocol is oracle-checkable.
+Fingerprint: TWO independent order-insensitive folds over the row's
+canonical string form, one scan, map-side combinable — the manifest is
+one row per partition, engine-portable (the same arithmetic replays in
+DuckDB), so the whole delta protocol is oracle-checkable.
 
-Caveat (documented, standard for xor-folding): a partition whose row
-multiset changes by an EVEN number of copies of the same row keeps the
-same xor; ``n_rows`` is recorded alongside to catch the common
-pair-insert/delete case. Production hardening would add a second
-independent fold (e.g. sum mod 2^62 of a different hash slice).
+* ``fingerprint``  — bit_xor of a 60-bit md5 slice (hex chars 1-15).
+* ``fingerprint2`` — SUM mod 2^62 of a DIFFERENT 60-bit md5 slice (hex
+  chars 17-31), accumulated in decimal(38,0) so 10^12-row partitions
+  (~2^100 raw sum) cannot overflow before the mod.
+
+Why two folds: xor alone has an even-multiplicity blind spot — a
+partition whose row multiset changes by an EVEN number of copies of the
+same row keeps its xor (x ⊕ x = 0). The additive fold counts
+multiplicity (k copies contribute k·h₂ mod 2^62), so a pair-insert of
+the same row flips ``fingerprint2`` even though ``fingerprint`` and
+the common-case guard ``n_rows`` move too; the one change class BOTH
+folds miss together is a multiset swap where the xor difference AND the
+modular-sum difference cancel simultaneously — adversarial, not
+operational. ``n_rows`` still rides along for the cheap count check.
 """
 
 from __future__ import annotations
@@ -30,23 +38,50 @@ _NULL = "␀"  # printable sentinel so NULL != '' != absent
 _SEP = "|"
 
 
-def row_hash(cols: list[str]):
-    """60-bit engine-portable row content hash (column order matters)."""
-    canon = F.concat_ws(
+_MOD2 = 4611686018427387904  # 2^62 — modulus of the additive fold
+
+
+def _canon(cols: list[str]):
+    return F.concat_ws(
         _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols]
     )
-    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+
+
+def row_hash(cols: list[str]):
+    """60-bit engine-portable row content hash (column order matters)."""
+    return F.conv(F.substring(F.md5(_canon(cols)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def row_hash2(cols: list[str]):
+    """Independent second 60-bit hash: a DISJOINT md5 slice (chars
+    17-31) of the same canonical form — one md5 per row feeds both
+    folds (Catalyst CSEs the shared ``md5(canon)``)."""
+    return F.conv(F.substring(F.md5(_canon(cols)), 17, 15), 16, 10).cast(
+        "bigint"
+    )
 
 
 def partition_fingerprints(
     df: DataFrame, part_col: str, cols: list[str]
 ) -> DataFrame:
-    """One row per partition: (part, n_rows, fingerprint)."""
+    """One row per partition: (part, n_rows, fingerprint, fingerprint2).
+
+    ``fingerprint2`` sums in decimal(38,0) (exact, order-independent)
+    and reduces mod 2^62 AFTER the aggregate — a bigint sum would wrap
+    at ~8 rows of 60-bit values; decimal holds ~10^38 ≈ 2^126, far above
+    the 10^12-row design point's ~2^100 worst case.
+    """
     return (
         df.groupBy(F.col(part_col).alias("part"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.bit_xor(row_hash(cols)).alias("fingerprint"),
+            F.pmod(
+                F.sum(row_hash2(cols).cast("decimal(38,0)")),
+                F.lit(_MOD2).cast("decimal(38,0)"),
+            ).cast("bigint").alias("fingerprint2"),
         )
     )
 
@@ -62,11 +97,13 @@ def partition_delta(current: DataFrame, baseline: DataFrame) -> DataFrame:
         "part",
         F.col("n_rows").alias("n_rows_cur"),
         F.col("fingerprint").alias("fp_cur"),
+        F.col("fingerprint2").alias("fp2_cur"),
     )
     b = baseline.select(
         "part",
         F.col("n_rows").alias("n_rows_base"),
         F.col("fingerprint").alias("fp_base"),
+        F.col("fingerprint2").alias("fp2_base"),
     )
     j = c.join(b, "part", "full_outer")
     status = (
@@ -74,6 +111,7 @@ def partition_delta(current: DataFrame, baseline: DataFrame) -> DataFrame:
         .when(F.col("fp_cur").isNull(), F.lit("removed"))
         .when(
             (F.col("fp_cur") == F.col("fp_base"))
+            & (F.col("fp2_cur") == F.col("fp2_base"))
             & (F.col("n_rows_cur") == F.col("n_rows_base")),
             F.lit("unchanged"),
         )

@@ -59,9 +59,11 @@ def sessionize(
     tsu = F.col(ts_col).cast("timestamp").cast("long")
     prev = F.lag(tsu).over(w)
     is_new = F.when(prev.isNull() | ((tsu - prev) > F.lit(gap_s)), 1).otherwise(0)
+    # contract: output = input columns + session_idx, nothing else —
+    # callers persist/unionByName tagged events (round-5 advice: an
+    # internal _ts_unix helper column used to leak here)
     return (
         events.where(F.col(key_col).isNotNull())
-        .withColumn("_ts_unix", tsu)
         .withColumn(
             "session_idx",
             F.sum(is_new).over(
@@ -87,7 +89,11 @@ def session_stats(
     min/max of ``order_col`` within the session (deterministic without
     an ordered-aggregate dependency).
     """
-    tagged = sessionize(events, key_col, ts_col, order_col, gap_s)
+    tagged = sessionize(events, key_col, ts_col, order_col, gap_s).withColumn(
+        # recomputed here (not exported by sessionize — see its contract);
+        # a post-window projection, fuses into the same stage
+        "_ts_unix", F.col(ts_col).cast("timestamp").cast("long")
+    )
     return tagged.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("_ts_unix") - F.min("_ts_unix")).alias("duration_s"),

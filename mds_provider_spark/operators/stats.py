@@ -231,25 +231,47 @@ def frequent_items(
     summaries = df.select(F.col(col).cast("string").alias("v")).mapInPandas(
         mg, "value string, weight long"
     )
-    merged = summaries.groupBy("value").agg(F.sum("weight").alias("est")).collect()
-    n_total = sum(int(r["est"]) for r in merged if r["value"] is None)
-    if n_total == 0:
-        return df.select(F.col(col).alias("value")).limit(0).withColumn(
-            "cnt", F.lit(0).cast("long")
-        )
-    threshold = int(math.ceil(threshold_frac * n_total))
-    cutoff = threshold - n_total // (cap + 1)
-    cands = [r["value"] for r in merged
-             if r["value"] is not None and int(r["est"]) >= cutoff]
-    if len(cands) > max_candidates:
-        raise RuntimeError(
-            f"frequent_items: {len(cands)} candidates exceed "
-            f"max_candidates={max_candidates} — the column is too "
-            "high-entropy for this threshold; raise the threshold or the cap"
-        )
     # NOTE on the merge shuffle size: summaries hold <= (cap+1) rows per
-    # input partition, so even 10^6 partitions merge in one small stage;
-    # the driver collect above is that merged set, bounded the same way.
+    # input partition, so even 10^6 partitions merge in one small stage.
+    # The DRIVER, however, never sees that merged set: at 10^6 partitions
+    # it is up to ~partitions*(cap+1) ≈ 10^8-10^9 distinct rows — a
+    # driver-OOM if collected. n_total comes back as ONE row, the cutoff
+    # filter runs distributed, and the only collect is the candidate set
+    # itself, bounded by max_candidates + 1 BY CONSTRUCTION (limit before
+    # collect; the loud cap check runs on that bounded list). ``merged``
+    # is persisted so the sketch scan (stage 1) runs once, not three
+    # times — it is summary-scale, not data-scale.
+    merged = summaries.groupBy("value").agg(F.sum("weight").alias("est"))
+    merged.persist()
+    try:
+        row = merged.where(F.col("value").isNull()).agg(
+            F.coalesce(F.sum("est"), F.lit(0)).alias("n")
+        ).first()
+        n_total = int(row["n"])
+        if n_total == 0:
+            return df.select(F.col(col).alias("value")).limit(0).withColumn(
+                "cnt", F.lit(0).cast("long")
+            )
+        threshold = int(math.ceil(threshold_frac * n_total))
+        cutoff = threshold - n_total // (cap + 1)
+        cands = [
+            r["value"]
+            for r in merged.where(
+                F.col("value").isNotNull() & (F.col("est") >= F.lit(cutoff))
+            )
+            .select("value")
+            .limit(max_candidates + 1)
+            .collect()
+        ]
+        if len(cands) > max_candidates:
+            raise RuntimeError(
+                f"frequent_items: more than max_candidates="
+                f"{max_candidates} candidates survive the cutoff — the "
+                "column is too high-entropy for this threshold; raise "
+                "the threshold or the cap"
+            )
+    finally:
+        merged.unpersist()
     spark = df.sparkSession
     # "_fi_cand" dodges collisions with the caller's own columns (the
     # left_semi join resolves both sides' names in one scope)

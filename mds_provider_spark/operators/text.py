@@ -631,6 +631,89 @@ def chunk_fixed(
     )
 
 
+def paragraph_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode documents into (id, para_idx, para, norm) paragraph rows.
+
+    Paragraph = maximal run split on blank lines (``\\n{2,}``); ``norm``
+    is the dedup key (lowercase, whitespace collapsed, trimmed) while
+    ``para`` keeps the original bytes for rewriting. Blank paragraphs
+    are dropped. Catalyst-only (split + posexplode inside the scan
+    stage, no shuffle); engine-portable — DuckDB replays the split with
+    ``regexp_split_to_array`` + a lateral ``generate_series``.
+    """
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn(
+            "norm",
+            F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")),
+        )
+        .where(F.col("norm") != "")
+    )
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Paragraph-level EXACT substring dedup with keep-first-occurrence
+    rewrite — the training-data dedup mode motivated by Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", public),
+    approximated at paragraph granularity: a paragraph that occurs in
+    many documents (boilerplate, license headers, navigation chrome)
+    survives ONLY at its first occurrence ``(min doc_id, min para_idx)``
+    and is cut everywhere else, including repeats within one document.
+
+    100 TB shape — aggregate + join, NOT a window: keep-first needs the
+    global min occurrence per normalized paragraph. A ``row_number``
+    window over ``norm`` cannot split a hot key (one boilerplate
+    paragraph repeated 10^9 times lands on one task), so the winner is
+    computed as ``min(struct(doc_id, para_idx))`` — partial/merge
+    hash aggregation, map-side combinable, skew-immune — and kept
+    occurrences fall out of an equi-join on ``norm`` that AQE skew-split
+    CAN divide. Two shuffles total (winner agg + rebuild groupBy), no
+    driver collects, no caps needed.
+
+    Returns one row per surviving document: (id, text_dedup, n_paras,
+    n_kept) — ``n_paras`` counts the doc's non-blank paragraphs before
+    dedup. Documents losing every paragraph disappear from the output
+    (callers wanting them keep a left join on the input). The rewrite
+    joins surviving ORIGINAL paragraphs in order with a blank line.
+    """
+    paras = paragraph_rows(df, id_col, text_col)
+    winners = paras.groupBy("norm").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_w")
+    )
+    kept = (
+        paras.join(winners, "norm")
+        .where(
+            (F.col(id_col) == F.col(f"_w.{id_col}"))
+            & (F.col("para_idx") == F.col("_w.para_idx"))
+        )
+        .drop("_w")
+    )
+    n_paras = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "para"))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(n_paras, id_col).select(
+        id_col, "text_dedup", "n_paras", "n_kept"
+    )
+
+
 def compression_ratio(
     df: DataFrame,
     id_col: str,

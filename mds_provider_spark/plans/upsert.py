@@ -10,9 +10,22 @@ the same two properties that matter:
   read with a ``part_id IN (...)`` partition-pruned scan, and dynamic
   partition overwrite rewrites exactly those directories. A 10^12-row
   table with a 10^6-row update batch does 10^6-row-scale work.
-* **idempotent**: re-running the same upsert produces byte-identical
-  partitions (anti-join + union is a pure function of (table, updates)),
-  so a retry after a crash mid-write converges instead of duplicating.
+* **idempotent + crash-safe per partition**: the merged result is first
+  written to an underscore-prefixed STAGING directory inside the table
+  (Spark/Hadoop readers ignore ``_``/``.`` paths), then each touched
+  partition is swapped in with three renames: old → ``_upsert_bak__*``,
+  staged → final, delete bak. A rename is atomic on POSIX/HDFS, so at
+  every instant the final directory holds either the complete old or
+  the complete new partition — never a half-deleted one (round-5
+  advice: the previous in-place dynamic overwrite could lose a
+  partition's kept rows if killed between Spark's delete and rename).
+  On entry the function REPAIRS any interrupted predecessor: leftover
+  bak dirs are restored over their partition and stale staging roots
+  deleted, returning the table to a consistent pre/post mix; the merge
+  (a pure function of (table, updates)) then recomputes the identical
+  bytes, so any retry converges. On object stores without atomic rename
+  (S3), use a transactional table format — this is exactly the delta
+  Iceberg ``MERGE INTO`` closes (SURVEY §2 S8, env-blocked here).
 
 Atomicity across multiple partitions is the commit marker's job
 (``CommitLog``), exactly like the validation runner: pass ``log`` and a
@@ -80,6 +93,26 @@ def upsert_parquet(
         return {"parts": [], "upserted": 0, "existing_kept": 0}
 
     import os
+    import shutil
+
+    _BAK = "_upsert_bak__"
+    _STAGING = "_upsert_staging"
+
+    if os.path.isdir(table_path):
+        # repair an interrupted predecessor BEFORE reading: a leftover
+        # bak dir means a swap died mid-flight — restore the old
+        # partition (whether the final dir is absent or already holds
+        # the new bytes; the re-merge below regenerates them), and any
+        # staging root is a dead intermediate.
+        for d in os.listdir(table_path):
+            full = os.path.join(table_path, d)
+            if d.startswith(_BAK):
+                final = os.path.join(table_path, d[len(_BAK):])
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.rename(full, final)
+            elif d.startswith(_STAGING):
+                shutil.rmtree(full)
 
     if os.path.isdir(table_path):
         existing = (
@@ -96,13 +129,29 @@ def upsert_parquet(
         n_kept = 0
     n_up = updates.count()
 
+    # stage-and-swap (see module docstring): the merged partitions land
+    # in an ignored _staging dir, then each touched partition flips in
+    # with atomic renames — no instant at which a reader (or a crash)
+    # sees a partially-deleted partition directory.
+    staging = os.path.join(table_path, _STAGING)
     (
         merged.repartition(part_col)
         .write.mode("overwrite")
         .partitionBy(part_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(table_path)
+        .parquet(staging)
     )
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith(f"{part_col}="):
+            continue  # _SUCCESS etc.
+        staged = os.path.join(staging, d)
+        final = os.path.join(table_path, d)
+        bak = os.path.join(table_path, _BAK + d)
+        if os.path.exists(final):
+            os.rename(final, bak)
+        os.rename(staged, final)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+    shutil.rmtree(staging, ignore_errors=True)
     if log is not None and batch is not None:
         log.commit_group(batch, [int(p) for p in touched], "upsert",
                          batch=batch,

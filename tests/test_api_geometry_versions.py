@@ -85,6 +85,61 @@ def test_parse_boundary_geojson():
         G.parse_boundary_geojson('{"type":"Point","coordinates":[0,0]}')
 
 
+HOLE = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)]
+ISLAND = [(20.0, 20.0), (22.0, 20.0), (22.0, 22.0), (20.0, 22.0)]
+
+
+def test_point_in_rings_hole_and_island(spark):
+    df = spark.createDataFrame(
+        [("shell", 2.0, 2.0), ("in-hole", 5.0, 5.0), ("island", 21.0, 21.0),
+         ("nowhere", 15.0, 15.0), ("above-hole", 5.0, 9.0)],
+        "k string, lon double, lat double",
+    )
+    rings = G.rings_literal([SQUARE, HOLE, ISLAND])
+    got = {
+        r.k: r.inside
+        for r in df.select(
+            "k",
+            G.point_in_rings(F.col("lon"), F.col("lat"), rings).alias("inside"),
+        ).collect()
+    }
+    assert got == {"shell": True, "in-hole": False, "island": True,
+                   "nowhere": False, "above-hole": True}
+
+
+def test_point_in_rings_is_codegen(spark):
+    df = spark.createDataFrame([(5.0, 5.0)], "lon double, lat double")
+    plan = (
+        df.select(G.point_in_rings(F.col("lon"), F.col("lat"),
+                                   G.rings_literal([SQUARE, HOLE])))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_parse_boundary_rings_featurecollection():
+    import json
+
+    fc = json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Polygon", "coordinates":
+                [[[0, 0], [10, 0], [10, 10], [0, 10]],
+                 [[4, 4], [6, 4], [6, 6], [4, 6]]]}},
+            {"type": "Feature", "geometry": {"type": "MultiPolygon",
+                "coordinates": [[[[20, 20], [22, 20], [22, 22], [20, 22]]]]}},
+        ],
+    })
+    rings = G.parse_boundary_rings(fc)
+    assert len(rings) == 3 and rings[1][0] == (4.0, 4.0)
+    # bare Polygon with hole, Feature, and error path
+    assert len(G.parse_boundary_rings(
+        '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1]],[[0.2,0.2],[0.4,0.2],[0.4,0.4]]]}'
+    )) == 2
+    with pytest.raises(ValueError):
+        G.parse_boundary_rings('{"type":"Point","coordinates":[0,0]}')
+
+
 def test_versions():
     assert Version("0.4.0") == Version("0.4")
     assert Version("0.3.2") < Version("0.4.0") < Version("1.0.0")

@@ -32,6 +32,25 @@ def test_row_count_change_detected_even_when_xor_cancels(spark):
     assert d[0].status == "changed"
 
 
+def test_even_multiplicity_swap_detected_by_second_fold(spark):
+    """The xor fold's documented blind spot: swap 2 copies of row B for
+    2 more copies of row A — xor cancels (x ⊕ x = 0 on both sides) AND
+    n_rows is unchanged, so before the additive second fold this
+    partition read 'unchanged'. fingerprint2 counts multiplicity and
+    must flip it to 'changed'."""
+    base = _df(spark, [(0, 1, "a"), (0, 1, "a"), (0, 2, "b"), (0, 2, "b")])
+    cur = _df(spark, [(0, 1, "a")] * 4)
+    fb = INC.partition_fingerprints(base, "part", COLS).collect()[0]
+    fc = INC.partition_fingerprints(cur, "part", COLS).collect()[0]
+    # pin that this IS the xor blind spot (otherwise the test is vacuous)
+    assert fb.fingerprint == fc.fingerprint and fb.n_rows == fc.n_rows
+    assert fb.fingerprint2 != fc.fingerprint2
+    d = INC.partition_delta(
+        INC.partition_fingerprints(cur, "part", COLS),
+        INC.partition_fingerprints(base, "part", COLS)).collect()
+    assert d[0].status == "changed"
+
+
 def test_reorder_is_unchanged(spark):
     """Fingerprints are order-insensitive: compaction/shuffle of the
     same row multiset must not trigger revalidation."""

@@ -112,6 +112,27 @@ def test_resolve_duplicate_groups_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_resolve_duplicate_groups_bridge_graph_not_split(spark):
+    # Counterexample to the weaker "children ∩ roots = ∅" termination
+    # test: one contraction round over {1-3, 3-4, 4-5, 2-5} yields edges
+    # {(3,1),(4,1),(3,2),(5,2)} — a-side and b-side are disjoint but
+    # child 3 points at TWO roots. A loop that stops there returns doc 3
+    # in two groups and splits the single component {1,2,3,4,5} into
+    # groups 1 and 2.
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 4), (4, 5), (2, 5)], "id_a long, id_b long"
+    )
+    rows = D.resolve_duplicate_groups(pairs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.group_id)
+    # exactly one group row per doc, and the whole component roots at 1
+    assert {d: sorted(g) for d, g in got.items()} == {
+        1: [1], 2: [1], 3: [1], 4: [1], 5: [1]
+    }
+    assert len(rows) == 5
+
+
 def test_deduplicate_keeps_exemplars_and_untouched_rows(spark):
     df = _docs(spark)
     pairs = D.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5).select(
@@ -441,6 +462,67 @@ def test_luhn_valid_column(spark):
     df = spark.createDataFrame([(c,) for c, _ in rows], "card string")
     got = df.select("card", T.luhn_valid(F.col("card")).alias("ok")).collect()
     assert {r.card: r.ok for r in got} == dict(rows)
+
+
+def test_paragraph_dedup_keep_first_across_and_within_docs(spark):
+    boiler = "Subscribe now."
+    df = spark.createDataFrame(
+        [
+            (1, f"Unique one.\n\n{boiler}"),
+            (2, f"{boiler}\n\nUnique two.\n\n{boiler}"),   # cross + within-doc
+            (3, boiler),                                   # loses everything
+            (4, "Unique four."),
+            (5, None),                                     # null text dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           TX.paragraph_dedup(df, "doc_id", "text").collect()}
+    # doc 1 is the first occurrence (min doc_id, min idx) -> keeps both
+    assert got[1].text_dedup == f"Unique one.\n\n{boiler}"
+    assert (got[1].n_paras, got[1].n_kept) == (2, 2)
+    # doc 2 loses BOTH boilerplate copies (cross-doc + within-doc)
+    assert got[2].text_dedup == "Unique two."
+    assert (got[2].n_paras, got[2].n_kept) == (3, 1)
+    # doc 3 lost its only paragraph -> absent from output
+    assert 3 not in got and 5 not in got
+    assert got[4].text_dedup == "Unique four."
+
+
+def test_paragraph_dedup_normalized_key_original_bytes_kept(spark):
+    # dedup key is whitespace/case-insensitive, but the SURVIVING
+    # paragraph keeps its original bytes
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           TX.paragraph_dedup(df, "doc_id", "text").collect()}
+    assert got[1].text_dedup == "Hello   World" and 2 not in got
+
+
+def test_paragraph_dedup_drops_planted_repetition(spark):
+    # regression the VERDICT asked for: planting a shared paragraph
+    # raises the corpus's repeated-paragraph ratio; the cleaned corpus
+    # drops back to the pre-plant level
+    boiler = "One weird trick doctors hate."
+    base = [(i, f"Document body number {i} with its own words.")
+            for i in range(40)]
+    planted = [(i, t + ("\n\n" + boiler if i % 4 == 0 else ""))
+               for i, t in base]
+    df = spark.createDataFrame(planted, "doc_id long, text string")
+
+    def dup_para_ratio(frame, text_col):
+        paras = TX.paragraph_rows(frame, "doc_id", text_col)
+        total = paras.count()
+        distinct = paras.select("norm").distinct().count()
+        return (total - distinct) / total
+
+    before = dup_para_ratio(df, "text")
+    cleaned = TX.paragraph_dedup(df, "doc_id", "text")
+    after = dup_para_ratio(cleaned, "text_dedup")
+    assert before >= 9 / 50  # 9 duplicate copies of the plant
+    assert after == 0.0
 
 
 def test_repetition_profile_known_values(spark):

@@ -103,6 +103,39 @@ def test_frequent_items_candidate_cap_raises(spark):
         ST.frequent_items(df, "k", threshold_frac=0.02, max_candidates=5)
 
 
+def test_frequent_items_driver_collect_bounded_by_candidates(spark, monkeypatch):
+    # 600 distinct values across 8 partitions: the merged MG summary set
+    # is hundreds of rows (bounded by partitions*(cap+1)), but only ONE
+    # value survives the cutoff. Every driver collect inside the operator
+    # must be candidate-scale (<= max_candidates + 1 rows), never
+    # summary-scale — the 10^6-partition design point makes the summary
+    # set a driver-OOM.
+    rows = [("hot",)] * 4000 + [(f"v{i}",) for i in range(600)] * 4
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    # patch the CONCRETE class (classic/connect subclass the public
+    # pyspark.sql.DataFrame and override collect)
+    _DF = type(df)
+    max_candidates = 10
+    seen: list[int] = []
+    orig = _DF.collect
+
+    def spy(self):
+        out = orig(self)
+        seen.append(len(out))
+        return out
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    result_df = ST.frequent_items(
+        df, "k", threshold_frac=0.3, mg_capacity=64,
+        max_candidates=max_candidates,
+    )
+    internal = list(seen)  # collects issued while building the plan
+    assert internal, "operator no longer collects anything — update test"
+    assert max(internal) <= max_candidates + 1, internal
+    monkeypatch.undo()
+    assert {r.value: r.cnt for r in result_df.collect()} == {"hot": 4000}
+
+
 def test_frequent_items_broadcast_in_plan(spark):
     rows = [("x",)] * 20 + [("y",)] * 3
     df = spark.createDataFrame(rows, "k string").repartition(3)

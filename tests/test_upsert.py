@@ -48,6 +48,54 @@ def test_upsert_idempotent_rerun(spark, tmp_path):
     assert first == second and dict(first)[7] == "X"
 
 
+def test_upsert_recovers_crash_between_bak_and_swap(spark, tmp_path):
+    """Simulated kill after old→bak but before staged→final: the
+    partition's final dir is GONE and its contents live only in the bak
+    dir. Before the stage-and-swap protocol this was the data-loss
+    window (in-place dynamic overwrite deletes, then writes). A retry
+    must restore the bak, re-merge, and converge to the same result as
+    an uninterrupted run."""
+    import shutil
+
+    path = str(tmp_path / "tc")
+    _tbl(spark, path)
+    updates = spark.createDataFrame(
+        [(0, "NEW0", 0)], "k long, v string, part_id int"
+    )
+    # manufacture the crash state for part 0
+    os.rename(os.path.join(path, "part_id=0"),
+              os.path.join(path, "_upsert_bak__part_id=0"))
+    os.makedirs(os.path.join(path, "_upsert_staging", "part_id=0"))
+    res = upsert_parquet(spark, path, updates, ["k"])
+    assert res["parts"] == [0] and res["existing_kept"] == 24
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert len(got) == 100 and got[0] == "NEW0" and got[4] == "v4"
+    assert not any(d.startswith("_upsert") for d in os.listdir(path))
+
+
+def test_upsert_recovers_crash_after_swap_before_bak_delete(spark, tmp_path):
+    """Simulated kill after staged→final but before the bak delete: the
+    final dir already holds the NEW bytes and the bak still holds the
+    old partition. The repair restores the bak (pre-state) and the
+    re-merge regenerates the identical new partition."""
+    import shutil
+
+    path = str(tmp_path / "tc2")
+    _tbl(spark, path)
+    old_backup = str(tmp_path / "old_p0")
+    shutil.copytree(os.path.join(path, "part_id=0"), old_backup)
+    updates = spark.createDataFrame(
+        [(0, "NEW0", 0)], "k long, v string, part_id int"
+    )
+    upsert_parquet(spark, path, updates, ["k"])  # final = new bytes
+    shutil.copytree(old_backup, os.path.join(path, "_upsert_bak__part_id=0"))
+    res = upsert_parquet(spark, path, updates, ["k"])  # retry over crash state
+    assert res["parts"] == [0] and res["existing_kept"] == 24
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert len(got) == 100 and got[0] == "NEW0" and got[4] == "v4"
+    assert not any(d.startswith("_upsert") for d in os.listdir(path))
+
+
 def test_upsert_creates_table_when_absent(spark, tmp_path):
     path = str(tmp_path / "fresh")
     updates = spark.createDataFrame([(1, "a", 0)], "k long, v string, part_id int")
