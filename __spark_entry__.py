@@ -471,6 +471,24 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pack_token_budget(docs, "doc_id", "text", budget=200, n_packers=8)
 
 
+def pack_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful packing: the SAME md5-routed packer, driven by
+    a PRECOMPUTED token-count column instead of the portable regex
+    estimate (real tokenizers aren't engine-portable; their materialized
+    counts are). The stand-in external count here is the chars/4+1
+    heuristic computed identically in both engines; in production the
+    column comes from the actual tokenizer run that produced the
+    training shards."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pre = docs.withColumn(
+        "n_tok_ext", (F.floor(F.length("text") / 4) + 1).cast("long")
+    )
+    return TX.pack_token_budget(
+        pre, "doc_id", "text", budget=512, n_packers=8,
+        token_count_col="n_tok_ext",
+    )
+
+
 def empty_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
@@ -769,6 +787,22 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
                         n_lists=16, nprobe=16)
+
+
+def pq_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ (operators/similarity.py ivfpq_topk — Jégou et al. 2011)
+    in the oracle configuration: nprobe=n_lists and shortlist >= corpus,
+    so the ADC stage orders a shortlist that contains every candidate
+    and the exact re-rank equals brute force — the full train/encode/
+    LUT/fold/shortlist/re-rank machinery sits under the brute-force SQL
+    oracle. The scale configuration (nprobe << n_lists, bounded
+    shortlist) is covered by a recall pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb,
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        k=5, n_lists=8, nprobe=8, m=8, ksub=64, shortlist=10**6,
+    )
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2505,7 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "ivf_ann_embeddings": ivf_ann_embeddings,
         "referential_chain_counts": referential_chain_counts,
-        "ann_topk_embeddings": ann_topk_embeddings,
+        "pq_ann_embeddings": pq_ann_embeddings,
         "clip_consistency_rules": clip_consistency_rules,
         "audio_features_clips": audio_features_clips,
         "drift_quantiles_lineitem": drift_quantiles_lineitem,
@@ -2577,8 +2611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": stratified_sample_documents,
         "contamination_documents": contamination_documents,
         "pack_documents": pack_documents,
+        "pack_documents_tokens": pack_documents_tokens,
         "curation_pipeline_documents": curation_pipeline_documents,
         "voiced_rate_clips": voiced_rate_clips,
+        "ann_topk_embeddings": ann_topk_embeddings,
     }
 
 
@@ -3093,6 +3129,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 200
         """,
         # IVF at nprobe=n_lists probes every list -> exact == brute force.
+        "pq_ann_embeddings": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.e, c.e) /
+                           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+                       AS cosine_sim
+              FROM v q, v c
+              WHERE q.vec_id >= 10 AND q.vec_id < 20 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         "ivf_ann_embeddings": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
             scored AS (
@@ -3282,6 +3334,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Token-budget packing: identical md5 packer route, id-ordered
         # running total, and floor((cum - n)/budget) window replayed.
+        "pack_documents_tokens": """
+            WITH t AS (
+              SELECT doc_id,
+                     (floor(length(text) / 4) + 1)::BIGINT AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS packer
+              FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, packer,
+                     sum(n_tokens) OVER (
+                       PARTITION BY packer ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens, packer,
+                   (packer * 1000000000
+                    + floor((cum - n_tokens) / 512.0))::BIGINT AS pack_id
+            FROM c
+        """,
         "pack_documents": f"""
             WITH t AS (
               SELECT doc_id,

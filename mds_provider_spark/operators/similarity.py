@@ -452,6 +452,316 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------ IVF + PQ (ADC rerank)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 256,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    public) over coarse-quantizer RESIDUALS: the vector dimension is
+    split into ``m`` subspaces and each gets its own ``ksub``-entry
+    k-means codebook, trained on the same deterministic hash-membership
+    driver sample discipline as the coarse quantizer (an index is always
+    trained on a sample; the ENCODE pass is the distributed part).
+
+    Returns codebooks of shape (m, ksub_eff, dim/m), float64. ``m`` must
+    divide the vector dimension; ksub_eff <= ksub when the sample is
+    small (codes stay dense either way).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sample_mod = 64
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod))
+            == 0
+        )
+        .orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < min(train_sample, ksub):
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    # residuals against each sample's nearest coarse centroid
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    R = X - C[d.argmin(1)]
+    dsub = dim // m
+    k_eff = min(ksub, len(R))
+    return np.stack(
+        [
+            _kmeans_centroids(
+                R[:, j * dsub : (j + 1) * dsub].copy(), k_eff, kmeans_iters,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def save_pq_index(spark, codebooks: np.ndarray, path: str) -> None:
+    """Persist PQ codebooks as engine-portable parquet (sub int,
+    code int, centroid array<double>) — byte-faithful float64, same
+    discipline as save_ivf_index (a last-ulp drift would silently
+    re-encode every vector differently)."""
+    B = np.asarray(codebooks)
+    rows = [
+        (j, c, [float(x) for x in B[j, c]])
+        for j in range(B.shape[0])
+        for c in range(B.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_index(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("sub", "code").collect()
+    if not rows:
+        raise ValueError(f"empty PQ index at {path!r}")
+    m = max(r["sub"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    B = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        B[r["sub"], r["code"]] = list(r["centroid"])
+    return B
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encode: (id, list, codes array<int>) — ``m`` small
+    ints per vector instead of dim floats (the 10^9-10^12-vector memory
+    story: at m=8 over 64 float32 dims that is a 32x smaller scan
+    footprint for the shortlist stage; raw vectors are only read back
+    for the candidate-proportional exact re-rank).
+
+    One Arrow-batched pandas UDF (BLAS per subspace), no shuffle — the
+    encode rides the corpus scan. Null / wrong-dim vectors get a null
+    code row and drop out of the list join (the embedding_quality rules
+    own that finding)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+    dim = C.shape[1]
+    c2 = (C * C).sum(1)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<list:int, codes:array<int>>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        lists: list = [None] * len(v)
+        codes: list = [None] * len(v)
+        valid = [i for i, x in enumerate(v) if x is not None and len(x) == dim]
+        if valid:
+            X = np.stack(
+                [np.asarray(v.iloc[i], dtype=np.float64) for i in valid]
+            )
+            d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            assign = d.argmin(1)
+            R = X - C[assign]
+            cs = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * dsub : (j + 1) * dsub]
+                Bj = B[j]
+                dj = (
+                    (Rj * Rj).sum(1)[:, None]
+                    - 2.0 * (Rj @ Bj.T)
+                    + (Bj * Bj).sum(1)[None, :]
+                )
+                cs[:, j] = dj.argmin(1)
+            for row, i in enumerate(valid):
+                lists[i] = int(assign[row])
+                codes[i] = cs[row]
+        return pd.DataFrame({"list": lists, "codes": codes})
+
+    return corpus.select(
+        F.col(id_col),
+        enc(as_double(vec_col)).alias("_e"),
+    ).select(
+        F.col(id_col),
+        F.col("_e.list").alias("list"),
+        F.col("_e.codes").alias("codes"),
+    ).where(F.col("list").isNotNull())
+
+
+def _adc_lut(centroids: np.ndarray, codebooks: np.ndarray):
+    """pandas UDF: (query vec, probed list) -> flattened ADC lookup
+    table (m*ksub doubles): LUT[j*ksub + c] = ||(q - C_list)_sub_j -
+    B[j][c]||^2. One table per (query, probed list) row; the per-pair
+    scoring is then a pure-Catalyst fold over the candidate's codes."""
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    b2 = (B * B).sum(2)  # (m, ksub)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def lut(v: pd.Series, lst: pd.Series) -> pd.Series:
+        out: list = [None] * len(v)
+        for i in range(len(v)):
+            x = v.iloc[i]
+            li = lst.iloc[i]
+            if x is None or li is None:
+                continue
+            r = np.asarray(x, dtype=np.float64) - C[int(li)]
+            t = np.empty((m, ksub), dtype=np.float64)
+            for j in range(m):
+                rj = r[j * dsub : (j + 1) * dsub]
+                t[j] = (rj @ rj) - 2.0 * (B[j] @ rj) + b2[j]
+            out[i] = t.ravel()
+        return pd.Series(out, dtype=object)
+
+    return lut
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 256,
+    shortlist: int = 64,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 7,
+    round_digits: int = 6,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF + product quantization with asymmetric-distance shortlisting
+    and exact re-rank — the memory-bounded ANN shape for 10^9-10^12
+    vectors (Jégou et al. 2011):
+
+    1. coarse-assign corpus vectors to lists, PQ-encode residuals to
+       ``m`` byte-scale codes (``pq_encode`` — the only full-corpus
+       artifact the search touches; 32-64x smaller than raw vectors),
+    2. per query, probe ``nprobe`` lists; ONE ADC lookup table per
+       (query, list) (Arrow UDF), then score every candidate code with
+       a pure-Catalyst fold (element_at into the LUT — no Python in
+       the pair loop, which is the hot path),
+    3. keep the ``shortlist`` best ADC candidates per query (window over
+       candidate-proportional rows), re-rank EXACTLY (cosine over raw
+       vectors, candidate-proportional join) and return top-k.
+
+    With nprobe=n_lists and shortlist >= corpus the result equals exact
+    brute force — the oracle configuration (ADC only orders a shortlist
+    that then contains everything); the scale configuration's recall is
+    pinned by pytest. Skewed list sizes ride AQE skew-join on ``list``.
+    """
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = train_ivf_index(
+            corpus, id_col, vec_col, n_lists, train_sample, kmeans_iters, seed
+        )
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+    else:
+        books = train_pq_codebooks(
+            corpus, cents, id_col, vec_col, m, ksub, train_sample,
+            kmeans_iters, seed + 1000,
+        )
+    m_eff, ksub_eff, _ = books.shape
+
+    codes = pq_encode(corpus, cents, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "list", "codes"
+    )
+    lut_udf = _adc_lut(cents, books)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+        )
+        .withColumn(
+            "list",
+            F.explode(
+                _nearest_centroids(F.col("_qv"), cents, nprobe, "auto")
+            ),
+        )
+        .withColumn("_lut", lut_udf(F.col("_qv"), F.col("list")))
+        .drop("_qv")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_eff - 1)),
+            lambda c, j: F.element_at(
+                F.col("_lut"), (j * ksub_eff + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        q.join(codes, "list")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("_adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("_adc"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .where(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
+    ).withColumn("_cn", l2norm(F.col("_cv")))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    ).withColumn("_qn", l2norm(F.col("_qv")))
+    rer = (
+        short.join(qvec, "query_id")
+        .join(cvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

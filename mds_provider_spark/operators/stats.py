@@ -150,6 +150,47 @@ def merge_hll(sketches: DataFrame) -> DataFrame:
     )
 
 
+def mg_partition_summaries(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Stage-1 Misra–Gries sketch: one ``capacity``-counter summary per
+    input partition (vectorized: pandas value_counts per Arrow batch;
+    each trim subtracts the (cap+1)-th largest weight, so a partition
+    undercounts any value by at most n_part/(cap+1) — the classic
+    mergeable-summaries bound). Output rows are (value string,
+    weight long), plus ONE NULL-value row per partition carrying its
+    non-null row count. Shared by ``frequent_items`` (batch, with exact
+    verify) and the streaming marker-borne heavy-hitter snapshots."""
+    import pandas as pd
+
+    cap = int(capacity)
+
+    def mg(batches) -> "pd.DataFrame":
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["v"].dropna().value_counts()
+            n += int(vc.sum())
+            for value, c in vc.items():
+                counters[value] = counters.get(value, 0) + int(c)
+            if len(counters) > cap:
+                ws = sorted(counters.values(), reverse=True)
+                d = ws[cap]  # (cap+1)-th largest
+                counters = {k: w - d for k, w in counters.items() if w > d}
+        yield pd.DataFrame(
+            {
+                "value": pd.array(list(counters) + [None], dtype="string"),
+                "weight": pd.array(
+                    list(counters.values()) + [n], dtype="int64"
+                ),
+            }
+        )
+
+    return df.select(F.col(col).cast("string").alias("v")).mapInPandas(
+        mg, "value string, weight long"
+    )
+
+
 def frequent_items(
     df: DataFrame,
     col: str,
@@ -194,8 +235,6 @@ def frequent_items(
     """
     import math
 
-    import pandas as pd
-
     if threshold_frac <= 0 or threshold_frac > 1:
         raise ValueError(f"threshold_frac must be in (0, 1]: {threshold_frac}")
     if threshold_frac <= 1.0 / (mg_capacity + 1):
@@ -206,31 +245,7 @@ def frequent_items(
             "Raise mg_capacity above 1/threshold_frac - 1."
         )
     cap = int(mg_capacity)
-
-    def mg(batches) -> "pd.DataFrame":
-        counters: dict = {}
-        n = 0
-        for pdf in batches:
-            vc = pdf["v"].dropna().value_counts()
-            n += int(vc.sum())
-            for value, c in vc.items():
-                counters[value] = counters.get(value, 0) + int(c)
-            if len(counters) > cap:
-                ws = sorted(counters.values(), reverse=True)
-                d = ws[cap]  # (cap+1)-th largest
-                counters = {k: w - d for k, w in counters.items() if w > d}
-        yield pd.DataFrame(
-            {
-                "value": pd.array(list(counters) + [None], dtype="string"),
-                "weight": pd.array(
-                    list(counters.values()) + [n], dtype="int64"
-                ),
-            }
-        )
-
-    summaries = df.select(F.col(col).cast("string").alias("v")).mapInPandas(
-        mg, "value string, weight long"
-    )
+    summaries = mg_partition_summaries(df, col, cap)
     # NOTE on the merge shuffle size: summaries hold <= (cap+1) rows per
     # input partition, so even 10^6 partitions merge in one small stage.
     # The DRIVER, however, never sees that merged set: at 10^6 partitions

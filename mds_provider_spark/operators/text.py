@@ -240,6 +240,7 @@ def pack_token_budget(
     budget: int,
     n_packers: int = 32,
     salt: str = "",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Deterministic distributed sequence packing (the concat-then-chunk
     style of pre-training batch construction): returns
@@ -254,12 +255,36 @@ def pack_token_budget(
     packer, so parallelism = n_packers with no global sort; at 10^12
     rows raise n_packers to the cluster width (packing quality is
     per-stream and independent of stream count). Token measure is the
-    engine-portable BPE-ish regex, so the identical md5/cumsum/floor
-    replays in DuckDB/Trino for audits."""
+    engine-portable BPE-ish regex by default, so the identical
+    md5/cumsum/floor replays in DuckDB/Trino for audits.
+
+    Tokenizer-faithful mode: pass ``token_count_col`` naming a
+    PRECOMPUTED per-doc token count (a real tokenizer's counts,
+    materialized upstream — tokenizers are not engine-portable, their
+    counts are) and the same md5-routed packer runs on those numbers
+    instead of the regex estimate. NULL or negative counts violate the
+    precomputed-column contract and raise inside codegen (loud, never
+    a silently mispacked batch).
+    """
     bucket = _md5_bucket(id_col, salt, n_packers)
+    if token_count_col is None:
+        ntok = bpe_ish_token_count(text_col).cast("long")
+    else:
+        c = F.col(token_count_col).cast("long")
+        ntok = F.when(c.isNotNull() & (c >= 0), c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_token_budget: NULL or negative token count "
+                        f"in {token_count_col!r} for id "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
     step = df.select(
         F.col(id_col),
-        bpe_ish_token_count(text_col).cast("long").alias("n_tokens"),
+        ntok.alias("n_tokens"),
         bucket.alias("packer"),
     )
     w = (

@@ -70,6 +70,8 @@ def validate_stream_committed(
     drift_cols: "list[str] | None" = None,
     hist_bins: "dict[str, tuple[float, float]] | None" = None,
     hist_n_bins: int = 10,
+    hh_col: "str | None" = None,
+    hh_capacity: int = 64,
 ) -> StreamingQuery:
     """Streaming validation routed through the SAME ``CommitLog`` protocol
     as batch resume (round-4 unification) -> exactly-once violation rows
@@ -124,7 +126,16 @@ def validate_stream_committed(
     ``committed_stream_histogram_drift`` can compute per-batch PSI / JS
     divergence vs a baseline with the same exactly-once guarantee — the
     shape-change detector (bimodality, tail inflation) that quantile
-    drift misses, now marker-borne for streams."""
+    drift misses, now marker-borne for streams.
+
+    ``hh_col``: when set, each micro-batch embeds a Misra–Gries heavy-
+    hitter summary of that column in its commit marker (re-trimmed to
+    ``hh_capacity`` counters driver-side — Agarwal et al. mergeable
+    summaries, payload O(hh_capacity), batch-size independent), so
+    ``committed_stream_heavy_hitters`` raises per-batch hot-key alerts
+    (the mid-stream codec/provider hot-spot detector) with the same
+    exactly-once guarantee: a replayed batch skips before the sketch
+    recomputes."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
@@ -200,9 +211,9 @@ def validate_stream_committed(
             {ckpt_key} | legacy_keys
         ):
             return  # durable already; this is a post-crash replay
-        if drift_cols or hist_bins:
-            # drift/histogram mode adds extra passes over the batch;
-            # cache it so counts + violations + snapshot + histogram
+        if drift_cols or hist_bins or hh_col:
+            # drift/histogram/heavy-hitter mode adds extra passes over
+            # the batch; cache it so counts + violations + snapshots
             # share one materialization. Released in the finally below —
             # a failed write/profile must not leave the batch pinned in
             # executor storage across foreachBatch retries.
@@ -210,7 +221,7 @@ def validate_stream_committed(
         try:
             _process_batch(batch_df, bid, ckpt_key)
         finally:
-            if drift_cols or hist_bins:
+            if drift_cols or hist_bins or hh_col:
                 batch_df.unpersist()
 
     def _process_batch(batch_df: DataFrame, bid: int, ckpt_key: str) -> None:
@@ -274,6 +285,49 @@ def validate_stream_committed(
                         batch_df, hist_bins, hist_n_bins
                     ).collect()
                 ],
+            }
+        if hh_col:
+            from mds_provider_spark.operators.stats import (
+                mg_partition_summaries,
+            )
+
+            merged = mg_partition_summaries(
+                batch_df, hh_col, hh_capacity
+            ).groupBy("value").agg(F.sum("weight").alias("est"))
+            merged.persist()
+            try:
+                n_nonnull = int(
+                    merged.where(F.col("value").isNull())
+                    .agg(F.coalesce(F.sum("est"), F.lit(0)))
+                    .first()[0]
+                )
+                # driver-side MG re-trim to hh_capacity needs only the
+                # top cap+1 merged rows (everything below the (cap+1)-th
+                # weight is dropped by the trim anyway), so the collect
+                # is bounded by the CAPACITY, not by batch partitions —
+                # the frequent_items discipline applied to the stream.
+                top = (
+                    merged.where(F.col("value").isNotNull())
+                    .orderBy(F.desc("est"), F.asc("value"))
+                    .limit(int(hh_capacity) + 1)
+                    .collect()
+                )
+            finally:
+                merged.unpersist()
+            d = int(top[-1]["est"]) if len(top) > int(hh_capacity) else 0
+            counters = {
+                r["value"]: int(r["est"]) - d
+                for r in top
+                if int(r["est"]) > d
+            }
+            extra["hh"] = {
+                "capacity": int(hh_capacity),
+                "n": n_nonnull,
+                # [value, weight] pairs, at most hh_capacity of them
+                "counters": sorted(
+                    ([v, int(w)] for v, w in counters.items()),
+                    key=lambda p: (-p[1], p[0]),
+                ),
             }
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(
@@ -498,6 +552,81 @@ def committed_stream_histogram_drift(
         psi_drift=psi_drift,
         group_cols=["batch_id"],
     ).orderBy("batch_id", "column_name")
+
+
+def committed_stream_heavy_hitters(
+    spark: SparkSession,
+    out_dir: str,
+    threshold_frac: float = 0.1,
+) -> DataFrame:
+    """Per-micro-batch hot-key alerts from marker-borne Misra–Gries
+    summaries alone — the streaming twin of ``stats.frequent_items``
+    (which exactly-verifies with a second scan; a marker reader has no
+    data to rescan, so it reports the sketch's PROVEN bounds instead).
+
+    For each marked batch and each summarized value: est_min = the MG
+    weight (never exceeds the true count), est_max = weight + n/(cap+1)
+    (the summary's undercount bound). Verdicts:
+
+    * ``hot``       — est_min >= threshold: the true count provably
+      clears the threshold.
+    * ``candidate`` — est_max >= threshold > est_min: cannot be ruled
+      out (no false negatives above the slack — a genuinely hot key is
+      always at least a candidate in its batch).
+
+    Values with est_max below the threshold are omitted. Exactly-once
+    per batch follows from the commit protocol (summaries are written
+    with the marker, never on replay); a mid-stream hot key surfaces in
+    exactly the batch where it lands. Raises loudly on a marked batch
+    without a summary, matching the other marker readers."""
+    import math
+
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    if threshold_frac <= 0 or threshold_frac > 1:
+        raise ValueError(f"threshold_frac must be in (0, 1]: {threshold_frac}")
+    rows = []
+    for b, meta in sorted(CommitLog(out_dir).committed_groups().items()):
+        hh = meta.get("hh")
+        if hh is None:
+            raise RuntimeError(
+                f"commit marker for batch {b} carries no heavy-hitter "
+                "summary (the sink ran without hh_col); hot keys cannot "
+                "be reconstructed from markers — rerun the stream with "
+                "hh_col set"
+            )
+        n = int(hh["n"])
+        if n == 0:
+            continue
+        cap = int(hh["capacity"])
+        if threshold_frac <= 1.0 / (cap + 1):
+            raise ValueError(
+                f"threshold_frac={threshold_frac} is within the sketch "
+                f"slack 1/(capacity+1)={1.0 / (cap + 1):.6f} for batch "
+                f"{b}: a hot value could have been trimmed from the "
+                "summary — rerun the stream with a larger hh_capacity"
+            )
+        threshold = int(math.ceil(threshold_frac * n))
+        slack = n // (cap + 1)
+        for value, weight in hh["counters"]:
+            w = int(weight)
+            if w + slack < threshold:
+                continue
+            rows.append(
+                (
+                    int(b),
+                    value,
+                    w,
+                    w + slack,
+                    n,
+                    "hot" if w >= threshold else "candidate",
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, value string, est_min long, est_max long, "
+        "n_rows long, verdict string",
+    )
 
 
 def committed_stream_violations(spark: SparkSession, out_dir: str) -> DataFrame:

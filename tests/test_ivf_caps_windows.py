@@ -52,6 +52,68 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert full == exact
 
 
+def test_ivfpq_full_probe_full_shortlist_equals_brute_force(spark):
+    """nprobe == n_lists and shortlist >= corpus: the ADC stage only
+    orders a shortlist that contains everything, so the exact re-rank
+    must reproduce brute force bit-for-bit."""
+    e = _emb(spark, n=60)
+    q = e.where("vec_id < 4")
+    exact = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in SIM.brute_force_topk(e, q, k=3).collect()
+    )
+    full = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in SIM.ivfpq_topk(
+            e, q, k=3, n_lists=6, nprobe=6, m=4, ksub=32, shortlist=10**6
+        ).collect()
+    )
+    assert full == exact
+
+
+def test_ivfpq_scale_config_recall(spark):
+    """Scale configuration (nprobe < n_lists, bounded shortlist): ADC
+    shortlisting over PQ codes must keep recall@k >= 0.9 vs exact."""
+    e = _emb(spark, n=200)
+    q = e.where("vec_id < 8")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(e, q, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivfpq_topk(
+            e, q, k=3, n_lists=8, nprobe=6, m=4, ksub=64, shortlist=48
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_pq_codebooks_save_load_byte_faithful(spark, tmp_path):
+    e = _emb(spark, n=80)
+    cents = SIM.train_ivf_index(e, n_lists=4)
+    books = SIM.train_pq_codebooks(e, cents, m=4, ksub=16)
+    path = str(tmp_path / "pq")
+    SIM.save_pq_index(spark, books, path)
+    loaded = SIM.load_pq_index(spark, path)
+    assert loaded.shape == books.shape
+    assert (loaded == books).all()  # bitwise, not approx — index contract
+    # encode with loaded books matches encode with in-memory books
+    a = sorted(map(tuple, SIM.pq_encode(e, cents, books).collect()))
+    b = sorted(map(tuple, SIM.pq_encode(e, cents, loaded).collect()))
+    assert a == b
+
+
+def test_pq_encode_null_and_ragged_vectors_drop(spark):
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.asarray([[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]])
+    books = np.zeros((2, 4, 2))
+    got = SIM.pq_encode(df, cents, books).collect()
+    assert [r.vec_id for r in got] == [0]
+    assert len(got[0].codes) == 2
+
+
 def test_lsh_bucket_cap_bounds_degenerate_content(spark):
     # 200 identical docs -> one giant bucket in every band; cap must kill
     # the quadratic pair set entirely (they're still exact-dup territory,

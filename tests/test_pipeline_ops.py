@@ -311,6 +311,35 @@ def test_pack_token_budget_partitioning_invariant(spark):
     assert pack(a) == pack(b)
 
 
+def test_pack_token_budget_pluggable_token_counts(spark):
+    # a precomputed (tokenizer-faithful) count column drives the packer:
+    # identical docs with different external counts pack differently
+    rows = [(i, "same text", 10 * (1 + i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_ext long")
+    got = TX.pack_token_budget(
+        df, "doc_id", "text", budget=35, n_packers=2,
+        token_count_col="n_ext",
+    ).toPandas().sort_values(["packer", "doc_id"]).reset_index(drop=True)
+    assert set(got["n_tokens"]) == {10, 20, 30}  # external counts, not regex
+    for packer, g in got.groupby("packer"):
+        cum = g["n_tokens"].cumsum()
+        expect = (cum - g["n_tokens"]) // 35
+        assert list(g["pack_id"]) == [
+            int(packer) * 1_000_000_000 + int(b) for b in expect
+        ]
+
+
+def test_pack_token_budget_null_external_count_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", None)], "doc_id long, text string, n_ext long"
+    )
+    with pytest.raises(Exception, match="NULL or negative token count"):
+        TX.pack_token_budget(
+            df, "doc_id", "text", budget=10, n_packers=2,
+            token_count_col="n_ext",
+        ).collect()
+
+
 def test_pack_token_budget_index_overflow_raises(spark, monkeypatch):
     """A packer stream exceeding budget * ID_SPAN tokens must RAISE, not
     silently alias pack_ids into the next packer's id space (round-4

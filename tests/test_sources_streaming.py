@@ -484,6 +484,74 @@ def test_legacy_markers_need_metadata_older_than_markers(spark, tmp_path):
     assert STR.committed_stream_violations(spark, out_ok).count() == 0
 
 
+def test_committed_stream_heavy_hitters_exactly_once(spark, tmp_path):
+    """Marker-borne Misra-Gries twin: a hot key planted MID-STREAM is
+    flagged in exactly the batch where it lands (batch 0, all-distinct
+    keys, reports nothing), the summary rides the commit marker with a
+    capacity-bounded payload, and a kill/restart replay neither
+    duplicates nor drops the alert."""
+    src = tmp_path / "hhsrc"
+    src.mkdir()
+    out = str(tmp_path / "hhout")
+    ckpt = str(tmp_path / "hhckpt")
+    ddl = "clip_id string, codec string, part_id int"
+    rs = R.RuleSet().add(R.not_null("codec"))
+
+    # batch 0: 200 distinct codecs, no hot key
+    spark.createDataFrame(
+        [(f"a{i}", f"codec_{i}", 0) for i in range(200)], ddl
+    ).coalesce(1).write.parquet(str(src / "f_a"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream, rs, out, ckpt, hh_col="codec", hh_capacity=32
+    ).awaitTermination(120)
+    r0 = STR.committed_stream_heavy_hitters(spark, out, 0.25).collect()
+    assert r0 == []
+
+    # batch 1 (restart): 40% of rows share one codec -> hot
+    rows1 = [(f"b{i}", "opus" if i % 5 < 2 else f"c_{i}", 0)
+             for i in range(300)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(
+        str(src / "f_b")
+    )
+    stream2 = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream2, rs, out, ckpt, hh_col="codec", hh_capacity=32
+    ).awaitTermination(120)
+    found = STR.committed_stream_heavy_hitters(spark, out, 0.25).collect()
+    hot = [(r.batch_id, r.value, r.verdict) for r in found
+           if r.verdict == "hot"]
+    assert hot == [(1, "opus", "hot")], found
+    opus = [r for r in found if r.value == "opus"][0]
+    # MG bounds bracket the true count (120 of 300)
+    assert opus.est_min <= 120 <= opus.est_max and opus.n_rows == 300
+
+    # payload is capacity-bounded even though the batch had ~181 codecs
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    hh1 = CommitLog(out).committed_groups()[1]["hh"]
+    assert len(hh1["counters"]) <= 32
+
+    # restart with no new data: replay must change nothing
+    stream3 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream3, rs, out, ckpt, hh_col="codec", hh_capacity=32
+    ).awaitTermination(120)
+    again = STR.committed_stream_heavy_hitters(spark, out, 0.25).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, found))
+
+    # reader raises on markers written without summaries
+    out2, ckpt2 = str(tmp_path / "hhout2"), str(tmp_path / "hhckpt2")
+    stream4 = spark.readStream.schema(ddl).parquet(str(src / "f_a"))
+    STR.validate_stream_committed(stream4, rs, out2, ckpt2).awaitTermination(120)
+    with pytest.raises(RuntimeError, match="no heavy-hitter summary"):
+        STR.committed_stream_heavy_hitters(spark, out2, 0.25)
+
+
 def test_committed_stream_histogram_drift_exactly_once(spark, tmp_path):
     """Marker-borne PSI twin: a mid-stream SHAPE change (bimodality over
     the same range) fires PSI in exactly the batch where it lands, the
