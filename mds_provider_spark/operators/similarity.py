@@ -564,7 +564,15 @@ def pq_encode(
     One Arrow-batched pandas UDF (BLAS per subspace), no shuffle — the
     encode rides the corpus scan. Null / wrong-dim vectors get a null
     code row and drop out of the list join (the embedding_quality rules
-    own that finding)."""
+    own that finding).
+
+    The UDF is registered ``asNondeterministic`` deliberately: the
+    null-drop filter references the UDF's own output, and Catalyst
+    pushes such a filter BELOW the projection, duplicating the
+    ArrowEvalPython node — i.e. every vector would be PQ-encoded twice
+    (measured on the physical plan). Nondeterministic marking is the
+    documented single-evaluation barrier; the function is in fact a
+    pure function of its input, so no semantics change."""
     C = np.asarray(centroids, dtype=np.float64)
     B = np.asarray(codebooks, dtype=np.float64)
     m, _, dsub = B.shape
@@ -599,6 +607,7 @@ def pq_encode(
                 codes[i] = cs[row]
         return pd.DataFrame({"list": lists, "codes": codes})
 
+    enc = enc.asNondeterministic()
     return corpus.select(
         F.col(id_col),
         enc(as_double(vec_col)).alias("_e"),

@@ -696,10 +696,14 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     window over ``norm`` cannot split a hot key (one boilerplate
     paragraph repeated 10^9 times lands on one task), so the winner is
     computed as ``min(struct(doc_id, para_idx))`` — partial/merge
-    hash aggregation, map-side combinable, skew-immune — and kept
-    occurrences fall out of an equi-join on ``norm`` that AQE skew-split
-    CAN divide. Two shuffles total (winner agg + rebuild groupBy), no
-    driver collects, no caps needed.
+    hash aggregation, map-side combinable, skew-immune — and every
+    paragraph row is keep-FLAGGED by an equi-join on ``norm`` that AQE
+    skew-split CAN divide (the winner agg's hashpartitioning(norm) is
+    reused by the join's left side — no extra exchange). ONE doc-level
+    group-by then produces the rewrite AND both counters, so the
+    exploded paragraphs are scanned twice total (winner pass + tag
+    pass), with no third scan for pre-dedup counts, no driver collects,
+    no caps needed.
 
     Returns one row per surviving document: (id, text_dedup, n_paras,
     n_kept) — ``n_paras`` counts the doc's non-blank paragraphs before
@@ -711,31 +715,35 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     winners = paras.groupBy("norm").agg(
         F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_w")
     )
-    kept = (
-        paras.join(winners, "norm")
-        .where(
-            (F.col(id_col) == F.col(f"_w.{id_col}"))
-            & (F.col("para_idx") == F.col("_w.para_idx"))
-        )
-        .drop("_w")
+    tagged = paras.join(winners, "norm").withColumn(
+        "_kept",
+        (F.col(id_col) == F.col(f"_w.{id_col}"))
+        & (F.col("para_idx") == F.col("_w.para_idx")),
     )
-    n_paras = paras.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_paras")
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("para_idx", "para"))
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    # collect_list skips the NULLs the when() leaves for
+                    # dropped paragraphs
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
                 ),
-                lambda s: s["para"],
-            ),
-            "\n\n",
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return rebuilt.join(n_paras, id_col).select(
-        id_col, "text_dedup", "n_paras", "n_kept"
+                "\n\n",
+            ).alias("text_dedup"),
+        )
+        .where(F.col("n_kept") > 0)
+        .select(id_col, "text_dedup", "n_paras", "n_kept")
     )
 
 
