@@ -289,6 +289,11 @@ def main() -> None:
             "audio_dedup_materialize",
             "duration_integrity_clips",
             "audio_split_leakage",
+            # round 6
+            "paragraph_dedup_documents",
+            "pq_ann_embeddings",
+            "pack_documents_tokens",
+            "boundary_multipolygon_embeddings",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]
