@@ -188,16 +188,27 @@ def point_in_rings(lon: Column, lat: Column, rings: Column) -> Column:
 
 
 def outside_boundary_violations(
-    df, lon_col: str, lat_col: str, boundary: list[tuple[float, float]],
+    df, lon_col: str, lat_col: str, boundary,
     key_col: str = "clip_id", part_col: str = "part_id",
 ):
-    """Boundary-filter rule (P9): rows outside the polygon, canonical shape."""
-    poly = polygon_literal(boundary)
+    """Boundary-filter rule (P9): rows outside the boundary, canonical
+    violation shape. ``boundary`` is either a single ring
+    (``[(x, y), ...]`` — the round-1 contract, unchanged) or a list of
+    rings (``[[(x, y), ...], ...]`` from ``parse_boundary_rings`` —
+    multipolygons with holes, even-odd rule)."""
+    if boundary and isinstance(boundary[0][0], (tuple, list)):
+        inside = point_in_rings(
+            F.col(lon_col), F.col(lat_col), rings_literal(boundary)
+        )
+    else:
+        inside = point_in_polygon(
+            F.col(lon_col), F.col(lat_col), polygon_literal(boundary)
+        )
     return (
         df.where(
             F.col(lon_col).isNotNull()
             & F.col(lat_col).isNotNull()
-            & ~point_in_polygon(F.col(lon_col), F.col(lat_col), poly)
+            & ~inside
         )
         .select(
             F.lit(f"outside_boundary:{lon_col},{lat_col}").alias("rule_id"),

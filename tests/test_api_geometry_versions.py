@@ -117,6 +117,19 @@ def test_point_in_rings_is_codegen(spark):
     assert "EvalPython" not in plan
 
 
+def test_outside_boundary_rule_with_rings(spark):
+    df = spark.createDataFrame(
+        [("shell", 2.0, 2.0, 0), ("hole", 5.0, 5.0, 0),
+         ("island", 21.0, 21.0, 1), ("far", 50.0, 5.0, 1)],
+        "clip_id string, lon double, lat double, part_id int",
+    )
+    v = G.outside_boundary_violations(df, "lon", "lat", [SQUARE, HOLE, ISLAND])
+    assert sorted(r.clip_id for r in v.collect()) == ["far", "hole"]
+    # single-ring contract unchanged
+    v1 = G.outside_boundary_violations(df, "lon", "lat", SQUARE)
+    assert sorted(r.clip_id for r in v1.collect()) == ["far", "island"]
+
+
 def test_parse_boundary_rings_featurecollection():
     import json
 

@@ -104,6 +104,32 @@ def test_pq_codebooks_save_load_byte_faithful(spark, tmp_path):
     assert a == b
 
 
+def test_pq_index_build_search_matches_inline_and_prunes(spark, tmp_path):
+    """Persisted index path: build once (list-partitioned codes), search
+    without re-encoding; must equal ivfpq_topk on the same artifacts,
+    and the codes scan must be partition-pruned to the probed lists."""
+    e = _emb(spark, n=120)
+    q = e.where("vec_id < 4")
+    path = str(tmp_path / "pqidx")
+    info = SIM.build_pq_index(e, path, n_lists=6, m=4, ksub=32)
+    assert info["n_vectors"] == 120 and info["n_lists"] == 6
+    cents = SIM.load_ivf_index(spark, f"{path}/centroids")
+    books = SIM.load_pq_index(spark, f"{path}/codebooks")
+    inline = sorted(map(tuple, SIM.ivfpq_topk(
+        e, q, k=3, nprobe=3, m=4, shortlist=20,
+        centroids=cents, codebooks=books,
+    ).collect()))
+    searched_df = SIM.pq_search(
+        spark, path, q, e, k=3, nprobe=3, shortlist=20
+    )
+    assert sorted(map(tuple, searched_df.collect())) == inline
+    plan = searched_df._jdf.queryExecution().executedPlan().toString()
+    # the codes scan carries the probed lists as partition filters
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "list" in pf and "IN" in pf.upper(), pf
+
+
 def test_pq_encode_null_and_ragged_vectors_drop(spark):
     rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [1.0, 2.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
