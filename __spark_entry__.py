@@ -2444,6 +2444,40 @@ def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.split_leakage(docs.unionByName(copies), "doc_id", "text")
 
 
+def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof split routing (text.group_split_assign): the SAME
+    planted-copy corpus split_leakage_documents flags is routed by
+    duplicate-group exemplar instead of own id, and the output proves
+    the repair — per-split doc/group counts plus a global
+    n_leaked_groups that must be 0 (every fingerprint's docs share one
+    split by construction). The oracle replays the full chain in SQL:
+    fingerprint → min-id exemplar → md5-bucket route → split matrix."""
+    docs = _t(spark, sf_dir, "documents")
+    offset = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    copies = (
+        docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    )
+    routed = TX.group_split_assign(
+        docs.unionByName(copies), "doc_id", "text"
+    )
+    tagged = routed.select(
+        TX.fingerprint("text").alias("fp"), "split"
+    )
+    leaks = (
+        tagged.where(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("split").alias("_ns"))
+        .where(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_groups"))
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("n_groups"),
+    )
+    return per_split.crossJoin(leaks)
+
+
 def curation_pipeline_v2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 END-TO-END curation chain in one lazy plan: clean
     (tag/url/email scrub) -> quality filter on the CLEANED text ->
@@ -2597,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "compression_quality_documents": compression_quality_documents,
         "split_leakage_documents": split_leakage_documents,
+        "group_split_documents": group_split_documents,
         "curation_pipeline_v2_documents": curation_pipeline_v2_documents,
         # ---- rest of the training-pipeline ops ----
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -3575,6 +3610,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM tagged GROUP BY fingerprint
             HAVING count(DISTINCT split) > 1
+        """,
+        "group_split_documents": f"""
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+              FROM (SELECT doc_id, text FROM documents
+                    ORDER BY doc_id LIMIT 20)
+            ), keyed AS (
+              SELECT doc_id, md5({_NORM}) AS fp FROM unioned
+            ), ex AS (
+              SELECT fp, min(doc_id) AS exemplar FROM keyed
+              WHERE fp IS NOT NULL GROUP BY fp
+            ), tagged AS (
+              SELECT k.fp,
+                     CASE WHEN ('0x' || substr(md5(
+                            COALESCE(e.exemplar, k.doc_id)::VARCHAR
+                            || 'split'), 1, 4))::BIGINT % 100 < 80
+                            THEN 'train'
+                          WHEN ('0x' || substr(md5(
+                            COALESCE(e.exemplar, k.doc_id)::VARCHAR
+                            || 'split'), 1, 4))::BIGINT % 100 < 90
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM keyed k LEFT JOIN ex e USING (fp)
+            ), leaks AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_leaked_groups
+              FROM (SELECT fp FROM tagged WHERE fp IS NOT NULL
+                    GROUP BY fp HAVING count(DISTINCT split) > 1)
+            )
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+                   n_leaked_groups
+            FROM tagged, leaks
+            GROUP BY split, n_leaked_groups
         """,
         "compression_quality_documents": f"""
             SELECT doc_id, n_raw_bytes, n_compressed_bytes, ratio

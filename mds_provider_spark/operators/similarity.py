@@ -890,6 +890,102 @@ def pq_search(
     )
 
 
+def append_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance — the daily-ingest path: encode a
+    NEW vector batch with the FROZEN quantizer + codebooks already on
+    disk and append the codes to the inverted lists. No retraining, no
+    re-encode of the existing corpus — the append cost is proportional
+    to the batch, never the index (at 10^12 vectors a rebuild is a
+    full-corpus Arrow encode; an append is one scan of the delta).
+
+    Frozen artifacts mean a searched result over the appended index is
+    IDENTICAL to encoding old+new in one pass with the same artifacts
+    (pytest-pinned against ``ivfpq_topk``): PQ assignment is a pure
+    function of (vector, centroids, codebooks). The trade-off is
+    quantization drift — a batch from a shifted distribution encodes
+    with larger residual error; ``avg_quantization_err`` in the return
+    value is the retrain signal (compare against the build-time value).
+
+    Crash behavior: the parquet append commits per-task via rename, so
+    a killed append leaves only uncommitted ``_temporary`` files —
+    committed lists are never rewritten. Re-running the append after a
+    MID-WRITE crash can duplicate the delta's committed part; route
+    reruns through the same id-keyed dedup the caller's upsert uses, or
+    re-list ``neighbor_id`` against the batch before retrying.
+    """
+    spark = new_vectors.sparkSession
+    cents = load_ivf_index(spark, f"{path}/centroids")
+    books = load_pq_index(spark, f"{path}/codebooks")
+    codes = pq_encode(new_vectors, cents, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "list", "codes"
+    ).persist()
+    try:
+        codes.write.mode("append").partitionBy("list").parquet(
+            f"{path}/codes"
+        )
+        # retrain monitor over the SAME cached codes (one encode total):
+        # reconstruct each batch vector and measure the residual L2.
+        stats = _quantization_error(
+            codes, new_vectors, cents, books, id_col, vec_col
+        )
+    finally:
+        codes.unpersist()
+    total = spark.read.parquet(f"{path}/codes").count()
+    return {
+        "n_appended": int(stats["n"]),
+        "n_vectors_total": int(total),
+        "avg_quantization_err": float(stats["err"]),
+    }
+
+
+def _quantization_error(
+    codes: DataFrame,
+    vectors: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Mean L2 between each vector and its PQ reconstruction
+    (centroid[list] + codebook[j][codes[j]]) — one broadcast join on id
+    plus an Arrow-batched error UDF; rows count + mean only."""
+    C = np.asarray(cents, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    m, _, dsub = B.shape
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def err(v: pd.Series, lst: pd.Series, cds: pd.Series) -> pd.Series:
+        out = np.full(len(v), np.nan)
+        for i in range(len(v)):
+            x, l, c = v.iloc[i], lst.iloc[i], cds.iloc[i]
+            if x is None or l is None or c is None:
+                continue
+            rec = C[int(l)].copy()
+            for j in range(m):
+                rec[j * dsub : (j + 1) * dsub] += B[j][int(c[j])]
+            out[i] = float(np.linalg.norm(np.asarray(x, dtype=np.float64) - rec))
+        return pd.Series(out)
+
+    joined = codes.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    )
+    row = joined.select(
+        err(F.col("_v"), F.col("list"), F.col("codes")).alias("_e")
+    ).agg(
+        F.count("_e").alias("n"), F.avg("_e").alias("err")
+    ).collect()[0]
+    return {"n": row["n"] or 0, "err": row["err"] if row["err"] is not None else 0.0}
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

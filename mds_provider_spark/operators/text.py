@@ -174,15 +174,16 @@ def winnowing_fingerprint_rows(
     )
 
 
-def _md5_bucket(id_col: str, salt: str, mod: int) -> Column:
+def _md5_bucket(id_col: str | Column, salt: str, mod: int) -> Column:
     """Engine-portable deterministic bucket — the ONE routing expression
     every reproducible-membership feature shares (sampling, stratified
     mixing, packer streams). DuckDB/Trino replay:
     ``('0x' || substr(md5(id || salt), 1, 4))::BIGINT % mod``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+                F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 4
             ),
             16,
             10,
@@ -805,7 +806,7 @@ def compression_ratio(
 
 
 def split_assign(
-    id_col: str,
+    id_col: str | Column,
     boundaries: dict[str, int] | None = None,
     salt: str = "split",
 ) -> Column:
@@ -854,6 +855,57 @@ def split_leakage(
         )
         .where(F.col("n_splits") > 1)
     )
+
+
+def group_split_assign(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundaries: dict[str, int] | None = None,
+    salt: str = "split",
+    groups: DataFrame | None = None,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Leak-PROOF split routing — the repair to what ``split_leakage``
+    detects: every duplicate group lands wholly in ONE split, because
+    the routing hash is taken over the group's exemplar id (min id in
+    the group — the dedup exemplar discipline), not the row's own id.
+
+    Default grouping is the exact normalized-text fingerprint, the same
+    "same content" notion batch dedup and split_leakage use — so
+    ``split_leakage``-style leaks over the output are empty BY
+    CONSTRUCTION. Pass ``groups`` (``id_col`` → ``group_col``, e.g.
+    ``dedup.resolve_duplicate_groups`` output) to route by a NEAR-dup
+    resolver instead: the whole minhash/fingerprint component then
+    shares one split. Ungrouped rows (NULL text, or ids absent from
+    ``groups``) route by their own id — identical to ``split_assign``.
+
+    Scale shape: one fingerprint-keyed aggregate (partial/merge min)
+    plus one equi-join back — exactly the exact-dedup shuffle, reused.
+    A 10^9-copy boilerplate key skews the join back; that is the AQE
+    skew-split case (plain equi-join), same as paragraph_dedup. Output
+    = input columns + ``split``.
+    """
+    if groups is None:
+        keyed = df.withColumn("_grp", fingerprint(text_col))
+    else:
+        keyed = df.join(
+            groups.select(id_col, F.col(group_col).alias("_grp")),
+            id_col,
+            "left",
+        )
+    exemplars = (
+        keyed.where(F.col("_grp").isNotNull())
+        .groupBy("_grp")
+        .agg(F.min(id_col).alias("_exemplar"))
+    )
+    routed = keyed.join(exemplars, "_grp", "left")
+    return routed.withColumn(
+        "split",
+        split_assign(
+            F.coalesce(F.col("_exemplar"), F.col(id_col)), boundaries, salt
+        ),
+    ).drop("_grp", "_exemplar")
 
 
 def mix_sample(

@@ -130,6 +130,31 @@ def test_pq_index_build_search_matches_inline_and_prunes(spark, tmp_path):
     assert "list" in pf and "IN" in pf.upper(), pf
 
 
+def test_append_pq_index_matches_one_pass_encode(spark, tmp_path):
+    """Incremental append with frozen artifacts == encoding old+new in
+    one pass; the monitor reports the batch size and a finite error."""
+    e = _emb(spark, n=120)
+    old = e.where("vec_id < 100")
+    new = e.where("vec_id >= 100")
+    q = e.where("vec_id < 4")
+    path = str(tmp_path / "pqidx")
+    SIM.build_pq_index(old, path, n_lists=6, m=4, ksub=32)
+    info = SIM.append_pq_index(new, path)
+    assert info["n_appended"] == 20
+    assert info["n_vectors_total"] == 120
+    assert info["avg_quantization_err"] >= 0.0
+    cents = SIM.load_ivf_index(spark, f"{path}/centroids")
+    books = SIM.load_pq_index(spark, f"{path}/codebooks")
+    one_pass = sorted(map(tuple, SIM.ivfpq_topk(
+        e, q, k=3, nprobe=3, m=4, shortlist=20,
+        centroids=cents, codebooks=books,
+    ).collect()))
+    appended = sorted(map(tuple, SIM.pq_search(
+        spark, path, q, e, k=3, nprobe=3, shortlist=20
+    ).collect()))
+    assert appended == one_pass
+
+
 def test_pq_encode_null_and_ragged_vectors_drop(spark):
     rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [1.0, 2.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -617,3 +617,50 @@ def test_mix_sample_zero_shuffle_plan(spark):
     plan = TX.mix_sample(df, "lang", {"en": 0.5}, id_col="doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------- group_split_assign
+
+
+def test_group_split_assign_exact_groups_never_leak(spark):
+    # many duplicate groups planted across ids that would split apart
+    # under own-id routing; group routing must co-locate every group
+    rows = [(i, f"shared text number {i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.group_split_assign(df, "doc_id", "text")
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    per_group = (
+        out.groupBy(TX.fingerprint("text"))
+        .agg(F.count_distinct("split").alias("ns"))
+        .collect()
+    )
+    assert all(r.ns == 1 for r in per_group)
+    # own-id routing DOES leak on this corpus (the repair is real)
+    naive = df.withColumn("split", TX.split_assign("doc_id"))
+    leaked = (
+        naive.groupBy(TX.fingerprint("text"))
+        .agg(F.count_distinct("split").alias("ns"))
+        .where("ns > 1").count()
+    )
+    assert leaked > 0
+
+
+def test_group_split_assign_resolver_groups_and_ungrouped_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    # near-dup resolver says 1,2,3 are one component; 4 is ungrouped
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, group_id long"
+    )
+    out = {r.doc_id: r.split for r in
+           TX.group_split_assign(df, "doc_id", "text", groups=groups).collect()}
+    assert out[1] == out[2] == out[3]
+    # grouped rows route by exemplar id (min id = 1)
+    ref = df.where("doc_id = 1").withColumn(
+        "split", TX.split_assign("doc_id")).first().split
+    assert out[1] == ref
+    # ungrouped row routes by its own id, as split_assign would
+    ref4 = df.where("doc_id = 4").withColumn(
+        "split", TX.split_assign("doc_id")).first().split
+    assert out[4] == ref4
