@@ -2262,6 +2262,35 @@ def category_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.category_drift(cur, base, "event_type", share_threshold=0.02)
 
 
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label (drift.embedding_drift): the
+    representation-health check numeric/categorical drift can't see —
+    centroid rotation (cosine), centroid displacement (L2) and mean
+    magnitude per group between two snapshots. Current = even vec_ids
+    with label 3's vectors shifted +0.25 per element (the planted
+    drift); baseline = the full table. Every cross-row sum is exact
+    integer/decimal arithmetic over grid-quantized elements, so the
+    oracle replays the metrics bit-for-bit; label 3 surfaces with
+    cosine far below the untouched labels and a 2x mean norm."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cur = emb.where("vec_id % 2 = 0").withColumn(
+        "embedding",
+        F.when(
+            F.col("label") == 3,
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") + F.lit(0.25)).cast("float"),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    # exchange barrier: without it Catalyst collapses the planted-shift
+    # transform INTO every quantization expression inside
+    # embedding_drift (4+ copies of nested lambda transforms) and Janino
+    # spends ~30 s compiling the blown-up codegen function; behind the
+    # barrier the shift is evaluated once (measured 38 s -> 10 s)
+    return DR.embedding_drift(cur.repartition(8), emb, group_col="label")
+
+
 def robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD-based robust outlier buckets (sessions.
     robust_anomalous_buckets) — the screen a z-score can't run: one
@@ -2622,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples_lineitem": violation_examples_lineitem,
         "violation_rates_lineitem": violation_rates_lineitem,
         "category_drift_events": category_drift_events,
+        "embedding_drift_labels": embedding_drift_labels,
         "robust_anomalies_events": robust_anomalies_events,
         "mix_documents": mix_documents,
         "missing_hours_events": missing_hours_events,
@@ -3902,6 +3932,73 @@ def oracle_sql() -> dict[str, str]:
                      / (1.0 + (1.959964 * 1.959964) / nr::DOUBLE),
                      1.0), 6) AS ci_high
             FROM g, t
+        """,
+        "embedding_drift_labels": """
+            WITH base AS (
+              SELECT label, embedding FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+            ), cur AS (
+              SELECT label,
+                     CASE WHEN label = 3 THEN list_transform(
+                            embedding,
+                            x -> CAST(x::DOUBLE + 0.25 AS FLOAT))
+                          ELSE embedding END AS embedding
+              FROM embeddings
+              WHERE vec_id % 2 = 0
+                AND embedding IS NOT NULL AND len(embedding) = 64
+            ), bq AS (
+              SELECT grp, pos, sum(q)::HUGEINT AS s_base,
+                     count(*)::BIGINT AS n_base
+              FROM (SELECT label::VARCHAR AS grp,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS q
+                    FROM base)
+              GROUP BY grp, pos
+            ), cq AS (
+              SELECT grp, pos, sum(q)::HUGEINT AS s_cur,
+                     count(*)::BIGINT AS n_cur
+              FROM (SELECT label::VARCHAR AS grp,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS q
+                    FROM cur)
+              GROUP BY grp, pos
+            ), per_grp AS (
+              SELECT b.grp, max(b.n_base) AS n_base, max(c.n_cur) AS n_cur,
+                     sum(b.s_base * c.s_cur) AS dot,
+                     sum(b.s_base * b.s_base) AS b2,
+                     sum(c.s_cur * c.s_cur) AS c2,
+                     sum((b.s_base * c.n_cur - c.s_cur * b.n_base)
+                         * (b.s_base * c.n_cur - c.s_cur * b.n_base)) AS sq
+              FROM bq b JOIN cq c ON b.grp = c.grp AND b.pos = c.pos
+              GROUP BY b.grp
+            ), bn AS (
+              SELECT label::VARCHAR AS grp,
+                     sum(floor(sqrt(list_sum(list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1000000)::BIGINT
+                            * floor(x::DOUBLE * 1000000)::BIGINT))::DOUBLE)
+                       )::BIGINT)::HUGEINT AS nq_base
+              FROM base GROUP BY 1
+            ), cn AS (
+              SELECT label::VARCHAR AS grp,
+                     sum(floor(sqrt(list_sum(list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1000000)::BIGINT
+                            * floor(x::DOUBLE * 1000000)::BIGINT))::DOUBLE)
+                       )::BIGINT)::HUGEINT AS nq_cur
+              FROM cur GROUP BY 1
+            )
+            SELECT p.grp AS group_value, p.n_base, p.n_cur,
+                   round(p.dot::DOUBLE
+                         / (sqrt(p.b2::DOUBLE) * sqrt(p.c2::DOUBLE)), 6)
+                     AS centroid_cosine,
+                   round(sqrt(p.sq::DOUBLE)
+                         / (p.n_base::DOUBLE * p.n_cur::DOUBLE * 1000000), 6)
+                     AS centroid_shift_l2,
+                   round(bn.nq_base::DOUBLE
+                         / (p.n_base::DOUBLE * 1000000), 6) AS mean_norm_base,
+                   round(cn.nq_cur::DOUBLE
+                         / (p.n_cur::DOUBLE * 1000000), 6) AS mean_norm_cur
+            FROM per_grp p JOIN bn ON p.grp = bn.grp
+            JOIN cn ON p.grp = cn.grp
         """,
         "category_drift_events": """
             WITH e AS (

@@ -509,3 +509,123 @@ def category_drift(
             "status",
         )
     )
+
+
+# ------------------------------------------------- embedding-space drift
+
+
+def embedding_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    dim: int = 64,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-SPACE drift between two snapshots of a vector table —
+    the representation-health twin of the numeric/categorical drift
+    checks: per group (e.g. label, language, data source), how far did
+    the centroid move and did vector magnitudes change?
+
+    Output per group: ``n_base``, ``n_cur``, ``centroid_cosine``
+    (cosine between the two group centroids — 1.0 means no rotation),
+    ``centroid_shift_l2`` (L2 distance between centroids),
+    ``mean_norm_base`` / ``mean_norm_cur`` (mean vector magnitude —
+    collapse/explosion detector). Groups present in only one snapshot
+    are a ``category_drift`` finding, not a geometry finding — they are
+    excluded here (inner join on group); NULL group keys drop at the
+    null-strict join (a missing group key is a ``not_null`` finding).
+
+    Engine-portability discipline: every element is quantized to an
+    integer grid (``floor(x * grid)``) FIRST, all cross-row sums are
+    exact integer/decimal arithmetic (order-free — no float summation
+    across rows anywhere), and each output double is ONE fixed
+    expression over those exact sums, so DuckDB/Trino replay the
+    metrics bit-for-bit. Cosine is computed over per-dimension SUM
+    vectors (scaling by 1/n cancels in cosine, so no division enters
+    the exact stage).
+
+    Scale shape: one ``posexplode`` scan per side into a (group, pos)
+    partial/merge aggregate — shuffle rows = groups x dim x partitions,
+    independent of table size; the join + final per-group fold touch
+    groups x dim rows. Vectors that are NULL or not exactly ``dim``
+    long drop out (the shape rule owns that finding).
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        """ONE scan → one (grp, pos) partial/merge aggregate. The
+        per-row magnitude rides the same explode (rq repeats per pos,
+        so its per-(grp,pos) sum is the per-group sum at EVERY pos —
+        a cheap duplication that saves a second scan and a join)."""
+        g = (F.col(group_col).cast("string") if group_col
+             else F.lit("all")).alias("grp")
+        qarr = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * grid).cast("long"),
+        )
+        # exact integer magnitude on the SAME grid: sum of squared
+        # quantized elements, one sqrt+floor per row — order-free
+        sumsq = F.aggregate(
+            qarr, F.lit(0).cast("long"), lambda a, v: a + v * v
+        )
+        rows = df.where(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        ).select(
+            g,
+            qarr.alias("_q"),
+            F.floor(F.sqrt(sumsq.cast("double"))).cast("long").alias("rq"),
+        )
+        return (
+            rows.select("grp", "rq", F.posexplode("_q").alias("pos", "q"))
+            .groupBy("grp", "pos")
+            .agg(
+                F.sum("q").cast("decimal(38,0)").alias(f"s_{tag}"),
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+                F.sum(F.col("rq").cast("decimal(38,0)")).alias(f"nq_{tag}"),
+            )
+        )
+
+    joined = side(baseline, "base").join(side(current, "cur"), ["grp", "pos"])
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    per_grp = joined.groupBy("grp").agg(
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("nq_base").alias("nq_base"),
+        F.max("nq_cur").alias("nq_cur"),
+        F.sum(d("s_base") * d("s_cur")).alias("_dot"),
+        F.sum(d("s_base") * d("s_base")).alias("_b2"),
+        F.sum(d("s_cur") * d("s_cur")).alias("_c2"),
+        F.sum(
+            (d("s_base") * d("n_cur") - d("s_cur") * d("n_base"))
+            * (d("s_base") * d("n_cur") - d("s_cur") * d("n_base"))
+        ).alias("_sq"),
+    )
+    out = (
+        per_grp
+        .select(
+            F.col("grp").alias("group_value"),
+            "n_base",
+            "n_cur",
+            F.round(
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_b2").cast("double"))
+                   * F.sqrt(F.col("_c2").cast("double"))),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.col("_sq").cast("double"))
+                / (F.col("n_base").cast("double") * F.col("n_cur").cast("double") * grid),
+                6,
+            ).alias("centroid_shift_l2"),
+            F.round(
+                F.col("nq_base").cast("double")
+                / (F.col("n_base").cast("double") * grid),
+                6,
+            ).alias("mean_norm_base"),
+            F.round(
+                F.col("nq_cur").cast("double")
+                / (F.col("n_cur").cast("double") * grid),
+                6,
+            ).alias("mean_norm_cur"),
+        )
+    )
+    return out

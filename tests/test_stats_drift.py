@@ -210,3 +210,49 @@ def test_partition_health_zero_global_rate_any_null_flags(spark):
     out2 = ST.partition_health(df, "part_id", ["value"],
                                ratio_threshold=1.5).collect()
     assert len(out2) == 1 and out2[0].part == 1
+
+
+# ---------------------------------------------------- embedding drift
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, grp string, embedding array<float>")
+
+
+def test_embedding_drift_identical_snapshots_are_stationary(spark):
+    rows = [(i, "a", [float(i % 3), 1.0, -0.5]) for i in range(30)]
+    df = _vec_df(spark, rows)
+    out = DR.embedding_drift(df, df, group_col="grp", dim=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.centroid_cosine == 1.0
+    assert r.centroid_shift_l2 == 0.0
+    assert r.mean_norm_base == r.mean_norm_cur
+    assert r.n_base == r.n_cur == 30
+
+
+def test_embedding_drift_detects_shift_and_scale(spark):
+    base = _vec_df(spark, [(i, "g", [1.0, 0.0, 0.0]) for i in range(20)])
+    # rotated 90 degrees and doubled in magnitude
+    cur = _vec_df(spark, [(i, "g", [0.0, 2.0, 0.0]) for i in range(20)])
+    r = DR.embedding_drift(cur, base, group_col="grp", dim=3).collect()[0]
+    assert r.centroid_cosine == 0.0
+    assert r.centroid_shift_l2 == pytest.approx(5**0.5, abs=1e-4)
+    assert r.mean_norm_base == pytest.approx(1.0, abs=1e-4)
+    assert r.mean_norm_cur == pytest.approx(2.0, abs=1e-4)
+
+
+def test_embedding_drift_drops_ragged_and_single_side_groups(spark):
+    base = _vec_df(spark, [
+        (1, "a", [1.0, 0.0]), (2, "a", [1.0, 0.0, 9.0]),  # ragged drops
+        (3, "only_base", [1.0, 0.0]),
+        (4, None, [1.0, 0.0]),  # NULL group participates as a group
+    ])
+    cur = _vec_df(spark, [(1, "a", [1.0, 0.0]), (4, None, [1.0, 0.0])])
+    out = DR.embedding_drift(cur, base, group_col="grp", dim=2)
+    got = {r.group_value: r for r in out.collect()}
+    assert "only_base" not in got  # inner join: category_drift owns it
+    assert got["a"].n_base == 1 and got["a"].n_cur == 1
+    # NULL group keys drop at the null-strict join: a missing group key
+    # is a not_null rule finding, not a geometry finding
+    assert None not in got
