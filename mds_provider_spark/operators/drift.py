@@ -514,6 +514,56 @@ def category_drift(
 # ------------------------------------------------- embedding-space drift
 
 
+def embedding_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    dim: int = 64,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Exact, MERGEABLE embedding summary: one row per (group, pos)
+    with ``s`` = sum of grid-quantized elements (decimal-exact), ``n``
+    = vector count, ``nq`` = sum of grid-quantized per-row magnitudes.
+    Order-free integer arithmetic throughout, so summaries from
+    different partitions/batches/days merge by plain addition — the
+    property both ``embedding_drift`` and the marker-borne streaming
+    variant build on.
+
+    ONE scan → one (grp, pos) partial/merge aggregate; the per-row
+    magnitude rides the same explode (rq repeats per pos, so its
+    per-(grp,pos) sum is the per-group sum at EVERY pos — a cheap
+    duplication that saves a second scan and a join). Vectors that are
+    NULL or not exactly ``dim`` long drop (the shape rule owns those).
+    """
+    g = (F.col(group_col).cast("string") if group_col
+         else F.lit("all")).alias("grp")
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * grid).cast("long"),
+    )
+    # exact integer magnitude on the SAME grid: sum of squared
+    # quantized elements, one sqrt+floor per row — order-free
+    sumsq = F.aggregate(
+        qarr, F.lit(0).cast("long"), lambda a, v: a + v * v
+    )
+    rows = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
+        g,
+        qarr.alias("_q"),
+        F.floor(F.sqrt(sumsq.cast("double"))).cast("long").alias("rq"),
+    )
+    return (
+        rows.select("grp", "rq", F.posexplode("_q").alias("pos", "q"))
+        .groupBy("grp", "pos")
+        .agg(
+            F.sum("q").cast("decimal(38,0)").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rq").cast("decimal(38,0)")).alias("nq"),
+        )
+    )
+
+
 def embedding_drift(
     current: DataFrame,
     baseline: DataFrame,
@@ -552,36 +602,12 @@ def embedding_drift(
     long drop out (the shape rule owns that finding).
     """
     def side(df: DataFrame, tag: str) -> DataFrame:
-        """ONE scan → one (grp, pos) partial/merge aggregate. The
-        per-row magnitude rides the same explode (rq repeats per pos,
-        so its per-(grp,pos) sum is the per-group sum at EVERY pos —
-        a cheap duplication that saves a second scan and a join)."""
-        g = (F.col(group_col).cast("string") if group_col
-             else F.lit("all")).alias("grp")
-        qarr = F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * grid).cast("long"),
-        )
-        # exact integer magnitude on the SAME grid: sum of squared
-        # quantized elements, one sqrt+floor per row — order-free
-        sumsq = F.aggregate(
-            qarr, F.lit(0).cast("long"), lambda a, v: a + v * v
-        )
-        rows = df.where(
-            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-        ).select(
-            g,
-            qarr.alias("_q"),
-            F.floor(F.sqrt(sumsq.cast("double"))).cast("long").alias("rq"),
-        )
-        return (
-            rows.select("grp", "rq", F.posexplode("_q").alias("pos", "q"))
-            .groupBy("grp", "pos")
-            .agg(
-                F.sum("q").cast("decimal(38,0)").alias(f"s_{tag}"),
-                F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
-                F.sum(F.col("rq").cast("decimal(38,0)")).alias(f"nq_{tag}"),
-            )
+        s = embedding_summary(df, vec_col, group_col, dim, grid)
+        return s.select(
+            "grp", "pos",
+            F.col("s").alias(f"s_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
+            F.col("nq").alias(f"nq_{tag}"),
         )
 
     joined = side(baseline, "base").join(side(current, "cur"), ["grp", "pos"])
@@ -629,3 +655,25 @@ def embedding_drift(
         )
     )
     return out
+
+
+def embedding_baseline(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    dim: int = 64,
+    grid: int = 1_000_000,
+) -> dict:
+    """Collect an ``embedding_summary`` into the portable dict the
+    marker-borne streaming reader consumes: ``{"dim", "grid",
+    "groups": {grp: {"n", "nq", "s": [dim ints]}}}``. Driver size is
+    O(groups x dim) — the baseline snapshot you persist once (e.g.
+    last week's corpus) and hand to
+    ``committed_stream_embedding_drift``."""
+    groups: dict = {}
+    for r in embedding_summary(df, vec_col, group_col, dim, grid).collect():
+        g = groups.setdefault(r["grp"], {"n": 0, "nq": 0, "s": [0] * dim})
+        g["s"][int(r["pos"])] = int(r["s"])
+        g["n"] = int(r["n"])
+        g["nq"] = int(r["nq"])
+    return {"dim": int(dim), "grid": int(grid), "groups": groups}

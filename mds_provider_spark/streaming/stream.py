@@ -72,6 +72,10 @@ def validate_stream_committed(
     hist_n_bins: int = 10,
     hh_col: "str | None" = None,
     hh_capacity: int = 64,
+    emb_col: "str | None" = None,
+    emb_group_col: "str | None" = None,
+    emb_dim: int = 64,
+    emb_grid: int = 1_000_000,
 ) -> StreamingQuery:
     """Streaming validation routed through the SAME ``CommitLog`` protocol
     as batch resume (round-4 unification) -> exactly-once violation rows
@@ -135,7 +139,19 @@ def validate_stream_committed(
     ``committed_stream_heavy_hitters`` raises per-batch hot-key alerts
     (the mid-stream codec/provider hot-spot detector) with the same
     exactly-once guarantee: a replayed batch skips before the sketch
-    recomputes."""
+    recomputes.
+
+    ``emb_col``: when set, each micro-batch embeds its EXACT mergeable
+    embedding summary (``drift.embedding_summary`` — per group: vector
+    count, per-dimension grid-quantized sums, magnitude sum; all
+    order-free integer arithmetic) in the commit marker, so
+    ``committed_stream_embedding_drift`` computes per-batch centroid
+    rotation / displacement / magnitude drift vs a baseline with the
+    exactly-once guarantee — the representation-health monitor for
+    streaming vector ingest. Payload and driver collect are
+    O(groups x emb_dim), batch-size independent; ``emb_group_col``
+    must therefore be LOW-cardinality (label/domain/source), the same
+    contract as the other marker payloads."""
     from mds_provider_spark.plans.checkpoint import CommitLog
 
     log = CommitLog(out_dir)
@@ -211,7 +227,7 @@ def validate_stream_committed(
             {ckpt_key} | legacy_keys
         ):
             return  # durable already; this is a post-crash replay
-        if drift_cols or hist_bins or hh_col:
+        if drift_cols or hist_bins or hh_col or emb_col:
             # drift/histogram/heavy-hitter mode adds extra passes over
             # the batch; cache it so counts + violations + snapshots
             # share one materialization. Released in the finally below —
@@ -221,7 +237,7 @@ def validate_stream_committed(
         try:
             _process_batch(batch_df, bid, ckpt_key)
         finally:
-            if drift_cols or hist_bins or hh_col:
+            if drift_cols or hist_bins or hh_col or emb_col:
                 batch_df.unpersist()
 
     def _process_batch(batch_df: DataFrame, bid: int, ckpt_key: str) -> None:
@@ -328,6 +344,24 @@ def validate_stream_committed(
                     ([v, int(w)] for v, w in counters.items()),
                     key=lambda p: (-p[1], p[0]),
                 ),
+            }
+        if emb_col:
+            from mds_provider_spark.operators.drift import embedding_summary
+
+            groups: dict = {}
+            for r in embedding_summary(
+                batch_df, emb_col, emb_group_col, emb_dim, emb_grid
+            ).collect():
+                g = groups.setdefault(
+                    r["grp"], {"n": 0, "nq": 0, "s": [0] * int(emb_dim)}
+                )
+                g["s"][int(r["pos"])] = int(r["s"])
+                g["n"] = int(r["n"])
+                g["nq"] = int(r["nq"])
+            extra["emb"] = {
+                "dim": int(emb_dim),
+                "grid": int(emb_grid),
+                "groups": groups,
             }
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(
@@ -626,6 +660,79 @@ def committed_stream_heavy_hitters(
         rows,
         "batch_id long, value string, est_min long, est_max long, "
         "n_rows long, verdict string",
+    )
+
+
+def committed_stream_embedding_drift(
+    spark: SparkSession,
+    out_dir: str,
+    baseline: "dict | None" = None,
+) -> DataFrame:
+    """Per-micro-batch embedding-space drift from marker-borne exact
+    summaries alone — the streaming twin of
+    ``operators.drift.embedding_drift``. ``baseline`` is a summary dict
+    from ``drift.embedding_baseline`` (e.g. of last week's corpus);
+    when None, batch 0's summary is the baseline and later batches
+    compare against it.
+
+    The marker summaries are exact integers, so the metrics here are
+    computed with the SAME formulas as the batch operator (cosine over
+    per-dimension sum vectors, displacement via the cross-multiplied
+    difference, magnitudes from the quantized norm sums) — no sketch
+    error, and exactly-once per batch follows from the commit protocol.
+    Groups absent from either side are skipped (category story), and a
+    dim/grid mismatch between baseline and markers raises."""
+    import math
+
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    committed = sorted(CommitLog(out_dir).committed_groups().items())
+    for b, meta in committed:
+        if "emb" not in meta:
+            raise RuntimeError(
+                f"commit marker for batch {b} carries no embedding "
+                "summary (the sink ran without emb_col); embedding drift "
+                "cannot be reconstructed from markers — rerun the stream "
+                "with emb_col set"
+            )
+    rows = []
+    base = baseline
+    for b, meta in committed:
+        emb = meta["emb"]
+        if base is None:
+            base = emb
+            continue
+        if (int(base["dim"]), int(base["grid"])) != (
+            int(emb["dim"]), int(emb["grid"])
+        ):
+            raise ValueError(
+                f"baseline dim/grid {(base['dim'], base['grid'])} does not "
+                f"match marker dim/grid {(emb['dim'], emb['grid'])} for "
+                f"batch {b}"
+            )
+        grid = int(emb["grid"])
+        for grp in sorted(set(base["groups"]) & set(emb["groups"])):
+            gb, gc = base["groups"][grp], emb["groups"][grp]
+            sb, sc = [int(x) for x in gb["s"]], [int(x) for x in gc["s"]]
+            nb, nc = int(gb["n"]), int(gc["n"])
+            dot = sum(a * c for a, c in zip(sb, sc))
+            b2 = sum(a * a for a in sb)
+            c2 = sum(c * c for c in sc)
+            sq = sum((a * nc - c * nb) ** 2 for a, c in zip(sb, sc))
+            rows.append((
+                int(b), grp, nb, nc,
+                round(float(dot) / (math.sqrt(float(b2))
+                                    * math.sqrt(float(c2))), 6)
+                if b2 and c2 else None,
+                round(math.sqrt(float(sq)) / (float(nb) * float(nc) * grid), 6),
+                round(float(int(gb["nq"])) / (float(nb) * grid), 6),
+                round(float(int(gc["nq"])) / (float(nc) * grid), 6),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, group_value string, n_base long, n_cur long, "
+        "centroid_cosine double, centroid_shift_l2 double, "
+        "mean_norm_base double, mean_norm_cur double",
     )
 
 

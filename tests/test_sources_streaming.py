@@ -632,3 +632,84 @@ def test_committed_stream_histogram_requires_hist_markers(spark, tmp_path):
         STR.committed_stream_histogram_drift(
             spark, out, spark.createDataFrame([("a", 5, 0)], ddl)
         ).collect()
+
+
+def test_committed_stream_embedding_drift_exactly_once(spark, tmp_path):
+    """Marker-borne embedding-summary twin: a group rotated MID-STREAM
+    is flagged in exactly the batch where it lands, the exact summary
+    rides the commit marker with an O(groups x dim) payload, the
+    metrics agree with the batch operator's formulas, and a replay
+    changes nothing."""
+    from mds_provider_spark.operators import drift as DR
+
+    src = tmp_path / "edsrc"
+    src.mkdir()
+    out = str(tmp_path / "edout")
+    ckpt = str(tmp_path / "edckpt")
+    ddl = "clip_id string, grp string, embedding array<float>, part_id int"
+    rs = R.RuleSet().add(R.not_null("grp"))
+
+    # batch 0: two stable groups -> becomes the baseline
+    rows0 = [(f"a{i}", "g1", [1.0, 0.0, 0.0], 0) for i in range(20)] + \
+            [(f"b{i}", "g2", [0.0, 1.0, 0.0], 0) for i in range(20)]
+    spark.createDataFrame(rows0, ddl).coalesce(1).write.parquet(
+        str(src / "f_a"))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1").parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream, rs, out, ckpt, emb_col="embedding", emb_group_col="grp",
+        emb_dim=3,
+    ).awaitTermination(120)
+
+    # batch 1 (restart): g2 rotated 90 degrees and doubled; g1 unchanged
+    rows1 = [(f"c{i}", "g1", [1.0, 0.0, 0.0], 0) for i in range(10)] + \
+            [(f"d{i}", "g2", [0.0, 0.0, 2.0], 0) for i in range(10)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(
+        str(src / "f_b"))
+    stream2 = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", "1").parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream2, rs, out, ckpt, emb_col="embedding", emb_group_col="grp",
+        emb_dim=3,
+    ).awaitTermination(120)
+
+    got = {(r.batch_id, r.group_value): r for r in
+           STR.committed_stream_embedding_drift(spark, out).collect()}
+    # batch 0 IS the baseline -> only batch 1 rows
+    assert set(got) == {(1, "g1"), (1, "g2")}
+    assert got[(1, "g1")].centroid_cosine == 1.0
+    assert got[(1, "g2")].centroid_cosine == 0.0
+    assert abs(got[(1, "g2")].mean_norm_cur - 2.0) < 1e-4
+    assert got[(1, "g1")].n_base == 20 and got[(1, "g1")].n_cur == 10
+
+    # explicit baseline from a batch DataFrame (the persisted-snapshot path)
+    base_df = spark.createDataFrame(rows0, ddl)
+    base = DR.embedding_baseline(base_df, "embedding", "grp", dim=3)
+    got2 = {(r.batch_id, r.group_value): r.centroid_cosine for r in
+            STR.committed_stream_embedding_drift(spark, out, base).collect()}
+    assert got2[(0, "g1")] == 1.0 and got2[(1, "g2")] == 0.0
+
+    # payload shape: groups x dim ints in the marker
+    from mds_provider_spark.plans.checkpoint import CommitLog
+
+    emb1 = CommitLog(out).committed_groups()[1]["emb"]
+    assert set(emb1["groups"]) == {"g1", "g2"}
+    assert len(emb1["groups"]["g2"]["s"]) == 3
+
+    # replay with no new data: nothing changes
+    stream3 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(
+        stream3, rs, out, ckpt, emb_col="embedding", emb_group_col="grp",
+        emb_dim=3,
+    ).awaitTermination(120)
+    again = {(r.batch_id, r.group_value): r.centroid_cosine for r in
+             STR.committed_stream_embedding_drift(spark, out).collect()}
+    assert again == {k: v.centroid_cosine for k, v in got.items()}
+
+    # a sink run without emb_col yields markers this reader refuses
+    out2 = str(tmp_path / "edout2")
+    ckpt2 = str(tmp_path / "edckpt2")
+    stream4 = spark.readStream.schema(ddl).parquet(str(src / "f_*"))
+    STR.validate_stream_committed(stream4, rs, out2, ckpt2).awaitTermination(120)
+    with pytest.raises(RuntimeError, match="emb_col"):
+        STR.committed_stream_embedding_drift(spark, out2)
