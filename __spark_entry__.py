@@ -1454,6 +1454,54 @@ def filterbank_clips_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.filterbank_clips(clips)
 
 
+def audio_embedding_drift_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL representation drift: decode the binary audio column
+    to log-mel centroid embeddings (audio.audio_embedding_clips, shared
+    float64 kernel) and run drift.embedding_drift per CODEC between the
+    full corpus and an md5-even half whose flac clips are shifted +1.0
+    per mel bin (the planted spectral drift). ORACLED via the ledger
+    pattern: the per-clip embeddings are replayed driver-side from the
+    seeded generator, and DuckDB re-applies the identical bucket filter,
+    shift, and integer-grid drift arithmetic — flac must surface with
+    depressed cosine and inflated norm while other codecs show only
+    subset noise."""
+    n = 250 * _scale_mult(sf_dir)
+    faults = FX.default_fault_plan(n)
+    if _ledgers_on():
+        expected = []
+        for i in range(n):
+            cid, buf, sr, _d, codec, _t, _p = FX._make_row(42, i, 8, faults.get(i))
+            if buf is None or codec not in audio.DECODERS or int(sr) <= 0:
+                continue
+            try:
+                w = audio.decode(codec, bytes(buf))
+            except Exception:
+                continue
+            e = audio.audio_embedding_of(w, int(sr))
+            if e is not None:
+                expected.append((cid, codec, e))
+        spark.createDataFrame(
+            expected, "clip_id string, codec string, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_ORACLE_DIR}/audio_embedding_ledger")
+    clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
+    emb = audio.audio_embedding_clips(clips)
+    even = (
+        F.conv(F.substring(F.md5("clip_id"), 1, 4), 16, 10).cast("long") % 2
+        == 0
+    )
+    cur = emb.where(even).withColumn(
+        "embedding",
+        F.when(
+            F.col("codec") == "flac",
+            F.transform("embedding", lambda x: x + F.lit(1.0)),
+        ).otherwise(F.col("embedding")),
+    ).repartition(8)  # exchange barrier: same Janino-blowup guard as
+    # embedding_drift_labels (the shift otherwise inlines into every
+    # quantization expression of the drift plan)
+    return DR.embedding_drift(cur, emb, group_col="codec", dim=8)
+
+
 def grouped_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP drift (the hot-codec pattern): exact per-returnflag
     median shifts, baseline = shipdate < 1996-01-01 vs the rest — a
@@ -2625,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loudness_normalize_clips": loudness_normalize_clips,
         "image_features_items": image_features_items,
         "filterbank_clips": filterbank_clips_features,
+        "audio_embedding_drift_clips": audio_embedding_drift_clips,
         "embedding_dedup_materialize": embedding_dedup_materialize,
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "incremental_validation_events": incremental_validation_events,
@@ -4175,6 +4224,72 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'bad_shape:embedding', vec_id, 'embedding'
             FROM b WHERE bkt = 8
+        """,
+        "audio_embedding_drift_clips": f"""
+            WITH led AS (
+              SELECT clip_id, codec, embedding
+              FROM read_parquet('{_ORACLE_DIR}/audio_embedding_ledger/*.parquet')
+              WHERE embedding IS NOT NULL AND len(embedding) = 8
+            ), cur AS (
+              SELECT codec,
+                     CASE WHEN codec = 'flac'
+                          THEN list_transform(embedding, x -> x + 1.0)
+                          ELSE embedding END AS embedding
+              FROM led
+              WHERE ('0x' || substr(md5(clip_id), 1, 4))::BIGINT % 2 = 0
+            ), bq AS (
+              SELECT grp, pos, sum(q)::HUGEINT AS s_base,
+                     count(*)::BIGINT AS n_base
+              FROM (SELECT codec AS grp,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS q
+                    FROM led)
+              GROUP BY grp, pos
+            ), cq AS (
+              SELECT grp, pos, sum(q)::HUGEINT AS s_cur,
+                     count(*)::BIGINT AS n_cur
+              FROM (SELECT codec AS grp,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS q
+                    FROM cur)
+              GROUP BY grp, pos
+            ), per_grp AS (
+              SELECT b.grp, max(b.n_base) AS n_base, max(c.n_cur) AS n_cur,
+                     sum(b.s_base * c.s_cur) AS dot,
+                     sum(b.s_base * b.s_base) AS b2,
+                     sum(c.s_cur * c.s_cur) AS c2,
+                     sum((b.s_base * c.n_cur - c.s_cur * b.n_base)
+                         * (b.s_base * c.n_cur - c.s_cur * b.n_base)) AS sq
+              FROM bq b JOIN cq c ON b.grp = c.grp AND b.pos = c.pos
+              GROUP BY b.grp
+            ), bn AS (
+              SELECT codec AS grp,
+                     sum(floor(sqrt(list_sum(list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1000000)::BIGINT
+                            * floor(x::DOUBLE * 1000000)::BIGINT))::DOUBLE)
+                       )::BIGINT)::HUGEINT AS nq_base
+              FROM led GROUP BY 1
+            ), cn AS (
+              SELECT codec AS grp,
+                     sum(floor(sqrt(list_sum(list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1000000)::BIGINT
+                            * floor(x::DOUBLE * 1000000)::BIGINT))::DOUBLE)
+                       )::BIGINT)::HUGEINT AS nq_cur
+              FROM cur GROUP BY 1
+            )
+            SELECT p.grp AS group_value, p.n_base, p.n_cur,
+                   round(p.dot::DOUBLE
+                         / (sqrt(p.b2::DOUBLE) * sqrt(p.c2::DOUBLE)), 6)
+                     AS centroid_cosine,
+                   round(sqrt(p.sq::DOUBLE)
+                         / (p.n_base::DOUBLE * p.n_cur::DOUBLE * 1000000), 6)
+                     AS centroid_shift_l2,
+                   round(bn.nq_base::DOUBLE
+                         / (p.n_base::DOUBLE * 1000000), 6) AS mean_norm_base,
+                   round(cn.nq_cur::DOUBLE
+                         / (p.n_cur::DOUBLE * 1000000), 6) AS mean_norm_cur
+            FROM per_grp p JOIN bn ON p.grp = bn.grp
+            JOIN cn ON p.grp = cn.grp
         """,
         "filterbank_clips": f"""
             SELECT clip_id, frame_idx, log_energy, fb_md5

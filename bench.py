@@ -294,6 +294,8 @@ def main() -> None:
             "pq_ann_embeddings",
             "pack_documents_tokens",
             "boundary_multipolygon_embeddings",
+            "group_split_documents",
+            "embedding_drift_labels",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]

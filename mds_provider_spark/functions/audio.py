@@ -950,6 +950,83 @@ def filterbank_of(
     ]
 
 
+def audio_embedding_of(
+    w: np.ndarray,
+    sr_hz: int,
+    n_mels: int = 8,
+    frame: int = 256,
+    hop: int = 128,
+) -> "list[float] | None":
+    """Fixed-size ACOUSTIC EMBEDDING of a clip: the log of the mean
+    per-mel filterbank energy over all frames (a log-mel centroid) —
+    the cheapest clip-level representation that still moves when the
+    spectral balance of a group of clips moves, which is exactly what
+    ``drift.embedding_drift`` consumes for cross-modal representation
+    monitoring. Same framing/filterbank arithmetic as
+    ``filterbank_of`` (shared verbatim with the driver-side ledger, so
+    engine and oracle agree bit-for-bit); the log keeps values O(1-10)
+    so the drift operator's integer-grid quantization never overflows
+    its decimal accumulators at any corpus size. None when the clip is
+    shorter than one frame (layered skip, like the other kernels)."""
+    x = w.astype(np.float64)
+    if sr_hz <= 0 or x.size < frame:
+        return None
+    fb = _mel_filterbank(int(sr_hz), n_mels, frame)
+    n_frames = (x.size - frame) // hop + 1
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    power = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+    energies = np.einsum("fb,mb->fm", power, fb)
+    cent = np.log10(energies.mean(axis=0) + 1e-10)
+    return [float(v) for v in cent]
+
+
+def audio_embedding_clips(
+    clips: DataFrame,
+    n_mels: int = 8,
+    frame: int = 256,
+    hop: int = 128,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Corpus-scale acoustic-embedding extraction: one binary row in,
+    one (clip_id, codec, embedding array<double>) row out via
+    ``mapInPandas`` — the decode/feature stage feeding
+    ``drift.embedding_drift`` (group by codec/provider) or the ANN
+    family. Same layered skip contract as ``filterbank_clips`` (null
+    bytes / unknown codec / decode failure / sr<=0 / shorter than one
+    frame rows are absent)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, codecs, vecs = [], [], []
+            for cid, buf, codec, sr in zip(
+                pdf[key_col], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                if buf is None or codec not in DECODERS or pd.isna(sr) or int(sr) <= 0:
+                    continue
+                try:
+                    w = decode(codec, bytes(buf))
+                except Exception:
+                    continue
+                e = audio_embedding_of(w, int(sr), n_mels, frame, hop)
+                if e is None:
+                    continue
+                ids.append(cid)
+                codecs.append(codec)
+                vecs.append(e)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pd.array(ids, dtype="string"),
+                    "codec": pd.array(codecs, dtype="string"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    pruned = clips.select(key_col, "bytes", "codec", "sr_hz")
+    return pruned.mapInPandas(
+        work, "clip_id string, codec string, embedding array<double>"
+    )
+
+
 def filterbank_clips(
     clips: DataFrame,
     n_mels: int = 8,

@@ -360,3 +360,37 @@ def test_fingerprint_near_dup_end_to_end(spark):
     unrelated = [p for p in pairs if p[0].startswith("clip-")
                  and p[1].startswith("clip-") ]
     assert unrelated == []
+
+
+# ------------------------------------------------ acoustic embeddings
+
+
+def test_audio_embedding_of_shape_skip_and_gain_sensitivity():
+    w = FX.ref_waveform("tone-emb", 16000, 400)
+    e = audio.audio_embedding_of(w, 16000)
+    assert e is not None and len(e) == 8
+    # 10x amplitude lifts every log-mel bin by ~2 (log10 of 100x power)
+    e_loud = audio.audio_embedding_of(w * 10.0, 16000)
+    assert all(abs((b - a) - 2.0) < 0.05 for a, b in zip(e, e_loud))
+    # shorter than one frame -> None (layered skip)
+    assert audio.audio_embedding_of(w[:100], 16000) is None
+    assert audio.audio_embedding_of(w, 0) is None
+
+
+def test_audio_embedding_clips_skip_contract(spark):
+    w = FX.ref_waveform("tone-a", 16000, 400)
+    rows = [
+        ("ok", bytearray(audio.encode_pcm_s16le(w)), "pcm_s16le", 16000),
+        ("null_bytes", None, "pcm_s16le", 16000),
+        ("bad_codec", bytearray(b"xx"), "unknown", 16000),
+        ("bad_sr", bytearray(audio.encode_pcm_s16le(w)), "pcm_s16le", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r.clip_id: r for r in audio.audio_embedding_clips(df).collect()}
+    assert set(got) == {"ok"}
+    assert len(got["ok"].embedding) == 8
+    # the Spark path reproduces the shared kernel bit-for-bit (on the
+    # same int16 round-tripped waveform it decodes)
+    w_rt = audio.decode("pcm_s16le", bytes(audio.encode_pcm_s16le(w)))
+    assert got["ok"].embedding == audio.audio_embedding_of(w_rt, 16000)
