@@ -156,6 +156,61 @@ def ivfpq_leg(spark, n_vecs: int, n_queries: int = 50) -> dict:
     }
 
 
+def embedding_drift_leg(spark, n_vecs: int) -> dict:
+    """Leg 3 — embedding_drift at n_vecs (default 2M) 64-dim vectors in
+    10 groups (2 x n x 64 = ~256M exploded rows through the partial
+    aggregate — the shuffle after it carries only groups x dim x
+    partitions rows, which is the property under test). Current = the
+    id%3==0 third (hits every group) with group 3 shifted +0.5 on the
+    FIRST 32 dimensions only (a flat shift would not rotate the nearly
+    flat centroid — cosine stays 1.0; the half-space shift moves AND
+    rotates it). The gate is analytic: group 3's displacement must be
+    ~0.5*sqrt(32) = 2.828 and its cosine the strict minimum, while
+    every untouched group stays near 0 (two deterministic subsets of
+    the same pattern)."""
+    from mds_provider_spark.operators import drift as DR
+
+    t0 = time.monotonic()
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda p: ((F.col("id") * 31 + p * 17) % 997).cast("double") / 997.0,
+    )
+    base = spark.range(n_vecs).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), emb.alias("embedding")
+    )
+    cur = base.where("id % 3 = 0").withColumn(
+        "embedding",
+        F.when(
+            F.col("grp") == 3,
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i < 32, F.lit(0.5)).otherwise(F.lit(0.0)),
+            ),
+        ).otherwise(F.col("embedding")),
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    rows = {r.group_value: r for r in DR.embedding_drift(
+        cur, base, group_col="grp", dim=64
+    ).collect()}
+    sec = time.monotonic() - t0
+    shifted = rows["3"]
+    others = [r for g, r in rows.items() if g != "3"]
+    ok = (
+        len(rows) == 10
+        and abs(shifted.centroid_shift_l2 - 0.5 * 32 ** 0.5) < 0.05
+        and all(r.centroid_shift_l2 < 0.1 for r in others)
+        and shifted.centroid_cosine < min(r.centroid_cosine for r in others)
+        and sum(r.n_base for r in rows.values()) == n_vecs
+    )
+    return {
+        "sec": round(sec, 1),
+        "n_vectors": n_vecs,
+        "rows_per_sec": int(2 * n_vecs / sec),
+        "shifted_l2": shifted.centroid_shift_l2,
+        "max_other_l2": max(r.centroid_shift_l2 for r in others),
+        "ok": ok,
+    }
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -166,11 +221,14 @@ def main() -> None:
     spark = get_spark("stress-r6", parallelism=cpus,
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    n_drift = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
     out = {
         "paragraph_dedup": paragraph_leg(spark, n_docs),
         "ivfpq": ivfpq_leg(spark, n_vecs),
+        "embedding_drift": embedding_drift_leg(spark, n_drift),
     }
-    out["ok"] = out["paragraph_dedup"]["ok"] and out["ivfpq"]["ok"]
+    out["ok"] = (out["paragraph_dedup"]["ok"] and out["ivfpq"]["ok"]
+                 and out["embedding_drift"]["ok"])
     print(json.dumps(out))
     spark.stop()
 
