@@ -789,6 +789,25 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_lists=16, nprobe=16)
 
 
+def pq_index_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF+PQ index path (similarity.build_pq_index /
+    pq_search) in the oracle configuration: build the on-disk index
+    (byte-faithful quantizer + codebooks + list-partitioned codes),
+    then search WITHOUT re-encoding via the partition-pruned codes
+    scan. With nprobe = n_lists and shortlist >= corpus the result
+    equals brute force, so the whole persist/load/prune/ADC/re-rank
+    chain sits under the brute-force SQL oracle (the pruning itself is
+    plan-asserted in pytest at nprobe << n_lists)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pqidx_oracle_")
+    SIM.build_pq_index(emb, path, n_lists=8, m=8, ksub=64)
+    q = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    return SIM.pq_search(spark, path, q, emb, k=5, nprobe=8,
+                         shortlist=10**6)
+
+
 def pq_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ (operators/similarity.py ivfpq_topk — Jégou et al. 2011)
     in the oracle configuration: nprobe=n_lists and shortlist >= corpus,
@@ -2651,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_embeddings": ivf_ann_embeddings,
         "referential_chain_counts": referential_chain_counts,
         "pq_ann_embeddings": pq_ann_embeddings,
+        "pq_index_search_embeddings": pq_index_search_embeddings,
         "clip_consistency_rules": clip_consistency_rules,
         "audio_features_clips": audio_features_clips,
         "drift_quantiles_lineitem": drift_quantiles_lineitem,
@@ -3243,6 +3263,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 200
         """,
         # IVF at nprobe=n_lists probes every list -> exact == brute force.
+        "pq_index_search_embeddings": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.e, c.e) /
+                           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+                       AS cosine_sim
+              FROM v q, v c
+              WHERE q.vec_id >= 10 AND q.vec_id < 20 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         "pq_ann_embeddings": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
             scored AS (
