@@ -296,6 +296,7 @@ def main() -> None:
             "boundary_multipolygon_embeddings",
             "group_split_documents",
             "embedding_drift_labels",
+            "audio_embedding_drift_clips",
         ],
     )
     qtimes[f"clips_validation_local{LOW_PAR}"] = low["sec"]
