@@ -294,3 +294,28 @@ def test_sequence_integrity_bruteforce_parity(spark, poss):
         r = out[0]
         assert (r.n_dup_positions, r.n_missing) == (dups, missing)
         assert r.n_rows == len(poss) and r.n_positions == len(c)
+
+
+@settings(max_examples=30, deadline=None)
+@given(waves, st.floats(min_value=0.1, max_value=10.0))
+def test_audio_embedding_gain_moves_all_bins_equally(wave, gain):
+    """log-mel centroid property: scaling the waveform by g lifts every
+    bin by ~2*log10(g) (power scales by g^2) — the invariant the
+    per-codec drift check's mean-norm monitor rides on."""
+    e = audio.audio_embedding_of(wave, 8000)
+    eg = audio.audio_embedding_of(wave * gain, 8000)
+    assert e is not None and eg is not None
+    want = 2.0 * np.log10(gain)
+    # 1e-10 log floor distorts near-silent bins; tolerance covers it
+    deltas = [b - a for a, b in zip(e, eg)]
+    assert all(abs(d - want) < 0.1 for d in deltas)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=2**31 - 1))
+def test_audio_embedding_short_and_bad_sr_skip(seed):
+    w = (np.sin(np.arange(seed % 255) / 10.0)).astype(np.float32)
+    assert audio.audio_embedding_of(w, 8000) is None  # < one frame
+    full = np.sin(np.arange(400) / 10.0).astype(np.float32)
+    assert audio.audio_embedding_of(full, 0) is None
+    assert audio.audio_embedding_of(full, -1) is None
