@@ -762,7 +762,15 @@ def _adc_search(
     short = (
         cand.withColumn("_r", F.row_number().over(ws))
         .where(F.col("_r") <= shortlist)
+        # distinct: a neighbor can enter the shortlist once per probed
+        # list when codes rows are duplicated (e.g. an append replayed
+        # after a mid-write crash) — without it the final top-k would
+        # report the same neighbor at two ranks. Duplicate entries still
+        # consume shortlist slots; the slots, not the output, absorb the
+        # duplication. Shortlist-scale exchange only (queries x
+        # shortlist rows).
         .select("query_id", "neighbor_id")
+        .distinct()
     )
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")

@@ -321,3 +321,27 @@ def test_assignment_kernels_agree_on_distance_ties(spark):
     ).collect()
     for r in both:
         assert list(r.a) == list(r.b), (r.id, list(r.a), list(r.b))
+
+
+def test_append_replay_duplicates_never_duplicate_topk(spark, tmp_path):
+    """A replayed append (crash-window rerun) duplicates codes rows; the
+    search must still return each neighbor at most once per query."""
+    e = _emb(spark, n=60)
+    old = e.where("vec_id < 50")
+    new = e.where("vec_id >= 50")
+    q = e.where("vec_id < 3")
+    path = str(tmp_path / "pqidx")
+    SIM.build_pq_index(old, path, n_lists=4, m=4, ksub=16)
+    SIM.append_pq_index(new, path)
+    SIM.append_pq_index(new, path)  # simulated post-crash rerun
+    got = SIM.pq_search(spark, path, q, e, k=5, nprobe=4,
+                        shortlist=10**6).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in got]
+    assert len(pairs) == len(set(pairs))
+    # and the result still equals the clean one-pass reference
+    cents = SIM.load_ivf_index(spark, f"{path}/centroids")
+    books = SIM.load_pq_index(spark, f"{path}/codebooks")
+    ref = sorted(map(tuple, SIM.ivfpq_topk(
+        e, q, k=5, nprobe=4, m=4, shortlist=10**6,
+        centroids=cents, codebooks=books).collect()))
+    assert sorted(map(tuple, got)) == ref
