@@ -533,18 +533,32 @@ def embedding_summary(
     magnitude rides the same explode (rq repeats per pos, so its
     per-(grp,pos) sum is the per-group sum at EVERY pos — a cheap
     duplication that saves a second scan and a join). Vectors that are
-    NULL or not exactly ``dim`` long drop (the shape rule owns those).
+    NULL or not exactly ``dim`` long drop (the shape rule owns those);
+    NULL group keys drop too (a missing group key is a ``not_null``
+    finding, not a geometry finding — and this keeps the dict/JSON
+    forms free of None-key ambiguity).
+
+    Overflow discipline: every accumulator is decimal(38,0) from the
+    FIRST addition (never a long partial that wraps), and the per-row
+    magnitude fold squares in decimal — sums stay exact past 10^12
+    rows x |x|~10 x grid 1e6. The summary-SCALE final fold
+    (``drift_from_summaries``) then runs on unbounded Python ints, so
+    no product of sums can overflow anywhere.
     """
     g = (F.col(group_col).cast("string") if group_col
          else F.lit("all")).alias("grp")
+    dec = "decimal(38,0)"
     qarr = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * grid).cast("long"),
     )
     # exact integer magnitude on the SAME grid: sum of squared
-    # quantized elements, one sqrt+floor per row — order-free
+    # quantized elements (decimal accumulator — a long would wrap at
+    # dim x (grid*|x|)^2 ~ 9e18), one sqrt+floor per row — order-free
     sumsq = F.aggregate(
-        qarr, F.lit(0).cast("long"), lambda a, v: a + v * v
+        qarr,
+        F.lit(0).cast(dec),
+        lambda a, v: a + v.cast(dec) * v.cast(dec),
     )
     rows = df.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
@@ -552,14 +566,14 @@ def embedding_summary(
         g,
         qarr.alias("_q"),
         F.floor(F.sqrt(sumsq.cast("double"))).cast("long").alias("rq"),
-    )
+    ).where(F.col("grp").isNotNull())
     return (
         rows.select("grp", "rq", F.posexplode("_q").alias("pos", "q"))
         .groupBy("grp", "pos")
         .agg(
-            F.sum("q").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("q").cast(dec)).alias("s"),
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("rq").cast("decimal(38,0)")).alias("nq"),
+            F.sum(F.col("rq").cast(dec)).alias("nq"),
         )
     )
 
@@ -597,64 +611,80 @@ def embedding_drift(
 
     Scale shape: one ``posexplode`` scan per side into a (group, pos)
     partial/merge aggregate — shuffle rows = groups x dim x partitions,
-    independent of table size; the join + final per-group fold touch
-    groups x dim rows. Vectors that are NULL or not exactly ``dim``
-    long drop out (the shape rule owns that finding).
+    independent of table size. The FINAL fold runs driver-side on the
+    collected summaries with unbounded Python ints: products of sums
+    reach ~(n x grid x |x|)^2 ~ 10^76 at the 10^12-row design point,
+    past ANY fixed-width accumulator (decimal(38,0) products overflow
+    to NULL and would silently drop exactly the drifted dimensions), so
+    summary-scale bignum is the only representation that keeps the
+    "exact at any corpus size" claim true. Driver cost is
+    O(groups x dim) — ``group_col`` must be LOW-cardinality
+    (label/domain/source), the same contract as the marker-borne
+    streaming variant (which shares this code).
     """
-    def side(df: DataFrame, tag: str) -> DataFrame:
-        s = embedding_summary(df, vec_col, group_col, dim, grid)
-        return s.select(
-            "grp", "pos",
-            F.col("s").alias(f"s_{tag}"),
-            F.col("n").alias(f"n_{tag}"),
-            F.col("nq").alias(f"nq_{tag}"),
-        )
+    spark = current.sparkSession
+    base_s = embedding_baseline(baseline, vec_col, group_col, dim, grid)
+    cur_s = embedding_baseline(current, vec_col, group_col, dim, grid)
+    return spark.createDataFrame(
+        drift_from_summaries(base_s, cur_s),
+        "group_value string, n_base long, n_cur long, "
+        "centroid_cosine double, centroid_shift_l2 double, "
+        "mean_norm_base double, mean_norm_cur double",
+    )
 
-    joined = side(baseline, "base").join(side(current, "cur"), ["grp", "pos"])
-    d = lambda c: F.col(c).cast("decimal(38,0)")
-    per_grp = joined.groupBy("grp").agg(
-        F.max("n_base").alias("n_base"),
-        F.max("n_cur").alias("n_cur"),
-        F.max("nq_base").alias("nq_base"),
-        F.max("nq_cur").alias("nq_cur"),
-        F.sum(d("s_base") * d("s_cur")).alias("_dot"),
-        F.sum(d("s_base") * d("s_base")).alias("_b2"),
-        F.sum(d("s_cur") * d("s_cur")).alias("_c2"),
-        F.sum(
-            (d("s_base") * d("n_cur") - d("s_cur") * d("n_base"))
-            * (d("s_base") * d("n_cur") - d("s_cur") * d("n_base"))
-        ).alias("_sq"),
+
+def _round_half_up6(x: float) -> float:
+    """Match Spark's ``round(double, 6)`` (BigDecimal.valueOf → shortest
+    decimal string → HALF_UP) so driver-side metrics replay the same
+    values an in-plan round would — Python's builtin round() is
+    half-even and disagrees on exact .5e-6 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
     )
-    out = (
-        per_grp
-        .select(
-            F.col("grp").alias("group_value"),
-            "n_base",
-            "n_cur",
-            F.round(
-                F.col("_dot").cast("double")
-                / (F.sqrt(F.col("_b2").cast("double"))
-                   * F.sqrt(F.col("_c2").cast("double"))),
-                6,
-            ).alias("centroid_cosine"),
-            F.round(
-                F.sqrt(F.col("_sq").cast("double"))
-                / (F.col("n_base").cast("double") * F.col("n_cur").cast("double") * grid),
-                6,
-            ).alias("centroid_shift_l2"),
-            F.round(
-                F.col("nq_base").cast("double")
-                / (F.col("n_base").cast("double") * grid),
-                6,
-            ).alias("mean_norm_base"),
-            F.round(
-                F.col("nq_cur").cast("double")
-                / (F.col("n_cur").cast("double") * grid),
-                6,
-            ).alias("mean_norm_cur"),
+
+
+def drift_from_summaries(base: dict, cur: dict) -> list[tuple]:
+    """The exact summary-scale drift fold shared by ``embedding_drift``
+    (batch) and ``committed_stream_embedding_drift`` (marker reader):
+    given two ``embedding_baseline``-shaped dicts, return one metrics
+    tuple per group present in BOTH (groups on one side only are a
+    ``category_drift`` finding). All integer arithmetic is unbounded
+    Python int — no overflow at any corpus size; each emitted double is
+    one fixed expression over the exact sums, rounded exactly like
+    Spark's HALF_UP. Raises on a dim/grid mismatch between the two
+    summaries."""
+    if (int(base["dim"]), int(base["grid"])) != (
+        int(cur["dim"]), int(cur["grid"])
+    ):
+        raise ValueError(
+            f"baseline dim/grid {(base['dim'], base['grid'])} does not "
+            f"match current dim/grid {(cur['dim'], cur['grid'])}"
         )
-    )
-    return out
+    grid = int(cur["grid"])
+    rows = []
+    for grp in sorted(set(base["groups"]) & set(cur["groups"])):
+        gb, gc = base["groups"][grp], cur["groups"][grp]
+        sb = [int(x) for x in gb["s"]]
+        sc = [int(x) for x in gc["s"]]
+        nb, nc = int(gb["n"]), int(gc["n"])
+        dot = sum(a * c for a, c in zip(sb, sc))
+        b2 = sum(a * a for a in sb)
+        c2 = sum(c * c for c in sc)
+        sq = sum((a * nc - c * nb) ** 2 for a, c in zip(sb, sc))
+        rows.append((
+            grp, nb, nc,
+            _round_half_up6(
+                float(dot) / (math.sqrt(float(b2)) * math.sqrt(float(c2)))
+            ) if b2 and c2 else None,
+            _round_half_up6(
+                math.sqrt(float(sq)) / (float(nb) * float(nc) * grid)
+            ),
+            _round_half_up6(float(int(gb["nq"])) / (float(nb) * grid)),
+            _round_half_up6(float(int(gc["nq"])) / (float(nc) * grid)),
+        ))
+    return rows
 
 
 def embedding_baseline(

@@ -879,6 +879,10 @@ def group_split_assign(
     resolver instead: the whole minhash/fingerprint component then
     shares one split. Ungrouped rows (NULL text, or ids absent from
     ``groups``) route by their own id — identical to ``split_assign``.
+    ``groups`` MUST map each id to exactly one group — a duplicate id
+    mapping would duplicate corpus rows through the join
+    (resolve_duplicate_groups guarantees uniqueness; its star-forest
+    termination test exists for precisely this property).
 
     Scale shape: one fingerprint-keyed aggregate (partial/merge min)
     plus one equi-join back — exactly the exact-dedup shuffle, reused.

@@ -346,23 +346,11 @@ def validate_stream_committed(
                 ),
             }
         if emb_col:
-            from mds_provider_spark.operators.drift import embedding_summary
+            from mds_provider_spark.operators.drift import embedding_baseline
 
-            groups: dict = {}
-            for r in embedding_summary(
+            extra["emb"] = embedding_baseline(
                 batch_df, emb_col, emb_group_col, emb_dim, emb_grid
-            ).collect():
-                g = groups.setdefault(
-                    r["grp"], {"n": 0, "nq": 0, "s": [0] * int(emb_dim)}
-                )
-                g["s"][int(r["pos"])] = int(r["s"])
-                g["n"] = int(r["n"])
-                g["nq"] = int(r["nq"])
-            extra["emb"] = {
-                "dim": int(emb_dim),
-                "grid": int(emb_grid),
-                "groups": groups,
-            }
+            )
         # marker doubles as the lineage/metrics row (batch-runner parity)
         log.commit_group(
             bid, sorted(int(r["part_id"]) for r in per_part if r["part_id"] is not None),
@@ -686,14 +674,18 @@ def committed_stream_embedding_drift(
 
     from mds_provider_spark.plans.checkpoint import CommitLog
 
+    from mds_provider_spark.operators.drift import drift_from_summaries
+
     committed = sorted(CommitLog(out_dir).committed_groups().items())
     for b, meta in committed:
         if "emb" not in meta:
             raise RuntimeError(
                 f"commit marker for batch {b} carries no embedding "
                 "summary (the sink ran without emb_col); embedding drift "
-                "cannot be reconstructed from markers — rerun the stream "
-                "with emb_col set"
+                "cannot be reconstructed from markers. Markers already "
+                "committed without summaries are never rewritten (replay "
+                "skips committed batches), so start a NEW out/checkpoint "
+                "pair with emb_col set"
             )
     rows = []
     base = baseline
@@ -702,32 +694,9 @@ def committed_stream_embedding_drift(
         if base is None:
             base = emb
             continue
-        if (int(base["dim"]), int(base["grid"])) != (
-            int(emb["dim"]), int(emb["grid"])
-        ):
-            raise ValueError(
-                f"baseline dim/grid {(base['dim'], base['grid'])} does not "
-                f"match marker dim/grid {(emb['dim'], emb['grid'])} for "
-                f"batch {b}"
-            )
-        grid = int(emb["grid"])
-        for grp in sorted(set(base["groups"]) & set(emb["groups"])):
-            gb, gc = base["groups"][grp], emb["groups"][grp]
-            sb, sc = [int(x) for x in gb["s"]], [int(x) for x in gc["s"]]
-            nb, nc = int(gb["n"]), int(gc["n"])
-            dot = sum(a * c for a, c in zip(sb, sc))
-            b2 = sum(a * a for a in sb)
-            c2 = sum(c * c for c in sc)
-            sq = sum((a * nc - c * nb) ** 2 for a, c in zip(sb, sc))
-            rows.append((
-                int(b), grp, nb, nc,
-                round(float(dot) / (math.sqrt(float(b2))
-                                    * math.sqrt(float(c2))), 6)
-                if b2 and c2 else None,
-                round(math.sqrt(float(sq)) / (float(nb) * float(nc) * grid), 6),
-                round(float(int(gb["nq"])) / (float(nb) * grid), 6),
-                round(float(int(gc["nq"])) / (float(nc) * grid), 6),
-            ))
+        rows.extend(
+            (int(b),) + r for r in drift_from_summaries(base, emb)
+        )
     return spark.createDataFrame(
         rows,
         "batch_id long, group_value string, n_base long, n_cur long, "
