@@ -337,6 +337,12 @@ def main() -> None:
                     "rollup_events_hourly",
                     "embedding_quality_embeddings",
                     "audio_fingerprint_dedup",
+                    # round 6: scan-proportionality evidence at 10x for
+                    # the new dedup/ANN/drift/split families
+                    "paragraph_dedup_documents",
+                    "pq_ann_embeddings",
+                    "group_split_documents",
+                    "embedding_drift_labels",
                 ],
             )
         except Exception as ex:  # never let evidence collection kill the bench line
