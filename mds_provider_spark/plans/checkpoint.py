@@ -81,6 +81,26 @@ class CommitLog:
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
+    def invalidate_parts(self, part_ids: "list[int] | set[int]") -> list[int]:
+        """Delete the commit markers of every group touching the given
+        partitions, so a resume REVALIDATES exactly those groups (the
+        incremental-revalidation entry point: fingerprint delta →
+        invalidate dirty parts → normal resume skips the rest). Output
+        dirs are left in place — the rerun's clear_parts + dynamic
+        overwrite replaces them atomically, and readers keep trusting
+        the old marker-committed data until the new marker lands...
+        except the marker is deleted first, which is the point: a
+        reader between invalidate and recommit sees that group as
+        uncommitted, the same contract as a never-validated group.
+        Returns the invalidated group ids."""
+        dirty = {int(p) for p in part_ids}
+        dropped = []
+        for gid, meta in self.committed_groups().items():
+            if dirty & {int(p) for p in meta["part_ids"]}:
+                os.remove(os.path.join(self.commits_dir, f"{gid:05d}.json"))
+                dropped.append(gid)
+        return sorted(dropped)
+
     def commit_group(self, group_id: int, part_ids: list[int], run_id: str,
                      batch: int, extra: dict | None = None) -> None:
         os.makedirs(self.commits_dir, exist_ok=True)

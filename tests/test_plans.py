@@ -80,3 +80,47 @@ def test_verdicts_rowcount_scan_is_columnless(spark, clips_path):
     plan = _plan(rows)
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "struct<>" in read_schema, plan
+
+
+def test_incremental_revalidation_marker_invalidation(spark, tmp_path):
+    """Fingerprint delta -> invalidate_parts -> resume revalidates
+    EXACTLY the dirty groups: the library flow behind run_validation's
+    --manifest mode."""
+    from mds_provider_spark.operators import incremental as INC
+    from mds_provider_spark.plans.checkpoint import CommitLog
+    from mds_provider_spark.plans.runner import ValidationRun
+    from mds_provider_spark.sources import fixtures as FX
+
+    n, parts, gsize = 400, 8, 2  # 4 groups of 2 parts
+    clips = FX.generate_clips(spark, n, n_parts=parts, seed=42)
+    out = str(tmp_path / "out")
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+
+    run = ValidationRun(spark, out, n_parts=parts, group_size=gsize)
+    s1 = run.run(clips)
+    assert s1["groups_run"] == 4
+    manifest = INC.partition_fingerprints(clips, "part_id", cols)
+
+    # day 2: one partition's rows change (dur_ms bumped on part 3)
+    clips2 = clips.withColumn(
+        "dur_ms",
+        F.when(F.col("part_id") == 3, F.col("dur_ms") + 1)
+        .otherwise(F.col("dur_ms")),
+    )
+    delta = INC.partition_delta(
+        INC.partition_fingerprints(clips2, "part_id", cols), manifest
+    )
+    dirty = [int(r["part"]) for r in
+             delta.where("status in ('added','changed')").collect()]
+    assert dirty == [3]
+    log = CommitLog(out)
+    invalidated = log.invalidate_parts(dirty)
+    assert invalidated == [1]  # group 1 = parts {2, 3}
+
+    run2 = ValidationRun(spark, out, n_parts=parts, group_size=gsize)
+    s2 = run2.run(clips2)
+    # only the invalidated group reruns; the other three skip on markers
+    assert s2["groups_run"] == 1 and s2["groups_skipped"] == 3
+    # idempotent: a third resume with nothing dirty skips everything
+    s3 = ValidationRun(spark, out, n_parts=parts, group_size=gsize).run(clips2)
+    assert s3["groups_run"] == 0 and s3["groups_skipped"] == 4

@@ -41,6 +41,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--emit-snapshot", action="store_true",
                    help="write this table's drift snapshot to <out>/snapshot "
                         "even without a baseline (bootstraps the first run)")
+    p.add_argument("--manifest", default=None,
+                   help="incremental revalidation: path to the partition-"
+                        "fingerprint manifest (parquet). When it exists, "
+                        "partitions whose two-fold fingerprint changed (or "
+                        "are new) have their commit markers invalidated so "
+                        "the resume revalidates EXACTLY those groups; "
+                        "unchanged partitions skip via their markers. The "
+                        "manifest is rewritten after a successful run. "
+                        "First run (no manifest yet) validates everything "
+                        "and bootstraps it.")
+    p.add_argument("--fingerprint-cols",
+                   default="clip_id,sr_hz,dur_ms,codec,transcript",
+                   help="columns hashed into the partition fingerprints "
+                        "(exclude heavy binary columns; bytes changes "
+                        "without metadata changes need a content column "
+                        "like a checksum to be visible)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -81,8 +97,51 @@ def main(argv: list[str] | None = None) -> int:
         )
         kwargs["drift_cols"] = drift_cols
 
+    incremental: dict = {}
+    if args.manifest:
+        import os
+
+        from mds_provider_spark.operators import incremental as INC
+        from mds_provider_spark.plans.checkpoint import CommitLog
+
+        fp_cols = [c for c in args.fingerprint_cols.split(",") if c]
+        cur_fp = INC.partition_fingerprints(clips, "part_id", fp_cols)
+        if os.path.exists(args.manifest):
+            base_fp = spark.read.parquet(args.manifest)
+            delta = INC.partition_delta(cur_fp, base_fp)
+            by_status: dict = {}
+            for r in delta.collect():  # manifest-scale: one row per part
+                by_status.setdefault(r["status"], []).append(int(r["part"]))
+            dirty = sorted(
+                by_status.get("added", []) + by_status.get("changed", [])
+            )
+            log = CommitLog(args.out)
+            invalidated = log.invalidate_parts(dirty)
+            removed = sorted(by_status.get("removed", []))
+            if removed:
+                # the table no longer has these parts; drop their stale
+                # outputs so verdict readers don't resurrect them
+                log.clear_parts("violations", removed)
+                log.clear_parts("verdicts", removed)
+                log.invalidate_parts(removed)
+            incremental = {
+                "manifest": args.manifest,
+                "n_parts_unchanged": len(by_status.get("unchanged", [])),
+                "dirty_parts": dirty,
+                "removed_parts": removed,
+                "groups_invalidated": invalidated,
+            }
+        else:
+            incremental = {"manifest": args.manifest, "bootstrap": True}
+
     run = ValidationRun(**kwargs)
     summary = run.run(clips, ts)
+    if args.manifest:
+        # write-after-success: a crashed run leaves the old manifest, so
+        # the next invocation re-derives the same dirty set and the
+        # already-invalidated groups simply resume — convergent.
+        cur_fp.write.mode("overwrite").parquet(args.manifest)
+        summary["incremental"] = incremental
 
     if args.emit_snapshot and not args.baseline:
         # bootstrap: write the current snapshot so the NEXT run can drift
