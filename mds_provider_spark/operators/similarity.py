@@ -844,7 +844,6 @@ def build_pq_index(
         f"{path}/codes"
     )
     n = spark.read.parquet(f"{path}/codes").count()
-    _write_index_stats(spark, path, int(n))
     return {
         "n_vectors": int(n),
         "n_lists": int(np.asarray(cents).shape[0]),
@@ -852,21 +851,6 @@ def build_pq_index(
         "ksub": int(np.asarray(books).shape[1]),
     }
 
-
-def _write_index_stats(spark, path: str, n_vectors: int) -> None:
-    """1-row stats table beside the index — the running vector count, so
-    an append never has to re-scan the whole codes tree to report it."""
-    spark.createDataFrame(
-        [(int(n_vectors),)], "n_vectors long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-
-
-def _read_index_stats(spark, path: str) -> "int | None":
-    try:
-        row = spark.read.parquet(f"{path}/stats").collect()
-        return int(row[0]["n_vectors"]) if row else None
-    except Exception:
-        return None
 
 
 def pq_search(
@@ -960,15 +944,13 @@ def append_pq_index(
         )
     finally:
         codes.unpersist()
-    # running total from the 1-row stats table (batch-proportional —
-    # never a whole-index rescan); a legacy index without stats falls
-    # back to one full count and writes the table for next time
-    prev = _read_index_stats(spark, path)
-    if prev is None:
-        total = int(spark.read.parquet(f"{path}/codes").count())
-    else:
-        total = prev + int(stats["n"])
-    _write_index_stats(spark, path, total)
+    # ground-truth total: parquet count() is METADATA-only (footer row
+    # counts — no data pages are read), so the cost is proportional to
+    # the index's FILE count, not its bytes. A maintained running total
+    # was tried and rejected: any crash between the codes append and the
+    # total update leaves it permanently diverged from the table, and
+    # ground truth self-heals after every crash/retry instead.
+    total = int(spark.read.parquet(f"{path}/codes").count())
     return {
         "n_appended": int(stats["n"]),
         "n_vectors_total": int(total),

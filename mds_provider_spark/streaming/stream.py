@@ -670,11 +670,8 @@ def committed_stream_embedding_drift(
     error, and exactly-once per batch follows from the commit protocol.
     Groups absent from either side are skipped (category story), and a
     dim/grid mismatch between baseline and markers raises."""
-    import math
-
-    from mds_provider_spark.plans.checkpoint import CommitLog
-
     from mds_provider_spark.operators.drift import drift_from_summaries
+    from mds_provider_spark.plans.checkpoint import CommitLog
 
     committed = sorted(CommitLog(out_dir).committed_groups().items())
     for b, meta in committed:
@@ -694,9 +691,11 @@ def committed_stream_embedding_drift(
         if base is None:
             base = emb
             continue
-        rows.extend(
-            (int(b),) + r for r in drift_from_summaries(base, emb)
-        )
+        try:
+            batch_rows = drift_from_summaries(base, emb)
+        except ValueError as ex:
+            raise ValueError(f"{ex} (marker for batch {b})") from None
+        rows.extend((int(b),) + r for r in batch_rows)
     return spark.createDataFrame(
         rows,
         "batch_id long, group_value string, n_base long, n_cur long, "

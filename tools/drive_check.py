@@ -7,9 +7,12 @@ contract under test), e.g.:
     cd /tmp && spark-submit --py-files /tmp/engine.zip \
         /root/repo/tools/drive_check.py 2>/dev/null | tail -3
 
-Prints DRIVE-OK-1..45 (one per leg); any assertion failure aborts the
-run. Legs accumulate across rounds — add new ones at the end, never
-renumber. Leg inventory: .claude/skills/verify/SKILL.md.
+Prints DRIVE-OK-15..45, one per leg (any assertion failure aborts the
+run): legs 1-14's assertions were superseded when the script was
+rebuilt mid-round-5 — their surfaces are covered inside later legs and
+pytest — and the numbering is kept for cross-session continuity. Add
+new legs at the end, never renumber. Leg inventory:
+.claude/skills/verify/SKILL.md.
 """
 import shutil, tempfile, os
 from pyspark.sql import SparkSession, functions as F

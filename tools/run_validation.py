@@ -105,12 +105,23 @@ def main(argv: list[str] | None = None) -> int:
         from mds_provider_spark.plans.checkpoint import CommitLog
 
         fp_cols = [c for c in args.fingerprint_cols.split(",") if c]
-        cur_fp = INC.partition_fingerprints(clips, "part_id", fp_cols)
+        # persist: the manifest-scale result is needed twice (delta now,
+        # manifest rewrite after the run) — without it the full-table
+        # fingerprint scan would run twice per incremental invocation
+        cur_fp = INC.partition_fingerprints(
+            clips, "part_id", fp_cols
+        ).persist()
         if os.path.exists(args.manifest):
             base_fp = spark.read.parquet(args.manifest)
             delta = INC.partition_delta(cur_fp, base_fp)
             by_status: dict = {}
             for r in delta.collect():  # manifest-scale: one row per part
+                if r["part"] is None:
+                    # NULL part_id rows are outside the group universe
+                    # (the runner scans part_id IN (group parts) — a
+                    # not_null(part_id) rule owns them), and NULL never
+                    # matches itself across the delta join anyway
+                    continue
                 by_status.setdefault(r["status"], []).append(int(r["part"]))
             dirty = sorted(
                 by_status.get("added", []) + by_status.get("changed", [])
@@ -141,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         # the next invocation re-derives the same dirty set and the
         # already-invalidated groups simply resume — convergent.
         cur_fp.write.mode("overwrite").parquet(args.manifest)
+        cur_fp.unpersist()
         summary["incremental"] = incremental
 
     if args.emit_snapshot and not args.baseline:
