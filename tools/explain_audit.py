@@ -26,6 +26,9 @@ def formatted(df) -> str:
     return buf.getvalue()
 
 
+MANUAL_MARKER = "<!-- MANUAL ADDENDA — everything below survives regeneration -->"
+
+
 def main() -> None:
     import pyspark.sql.functions as F
 
@@ -200,9 +203,26 @@ def main() -> None:
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         out.append(f"## {title}\n\n{why}\n\n```\n{plan}```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    # everything below the marker in the existing file is HAND-WRITTEN
+    # plan analysis (the round-5/6 sections) — carry it across
+    # regenerations instead of silently deleting it
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    tail = ""
+    try:
+        with open(path) as f:
+            prev = f.read()
+        if MANUAL_MARKER in prev:
+            tail = prev[prev.index(MANUAL_MARKER):]
+    except OSError:
+        pass
+    with open(path, "w") as f:
         f.write("\n".join(out))
-    print("wrote PLANS.md")
+        if tail:
+            f.write("\n" + tail)
+    print("wrote PLANS.md" + (" (manual addenda preserved)" if tail else ""))
     spark.stop()
 
 
