@@ -306,9 +306,12 @@ def test_audio_embedding_gain_moves_all_bins_equally(wave, gain):
     eg = audio.audio_embedding_of(wave * gain, 8000)
     assert e is not None and eg is not None
     want = 2.0 * np.log10(gain)
-    # 1e-10 log floor distorts near-silent bins; tolerance covers it
-    deltas = [b - a for a, b in zip(e, eg)]
-    assert all(abs(d - want) < 0.1 for d in deltas)
+    # the 1e-10 log floor breaks the shift invariance for bins holding
+    # only leakage energy (a pure sine concentrates in ~one mel bin), so
+    # assert it only where the base energy sits well above the floor
+    loud = [(a, b) for a, b in zip(e, eg) if a > -6.0 and b > -6.0]
+    assert loud, e
+    assert all(abs((b - a) - want) < 0.1 for a, b in loud)
 
 
 @settings(max_examples=50, deadline=None)
