@@ -1913,7 +1913,8 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the K target ids are computed driver-side (no audio synth)
     base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
-    )
+    ).persist()  # referenced by BOTH union arms (base + planted join):
+    # unpersisted, the Python clip generator runs twice per pass
     plant_ids = spark.createDataFrame(
         [(FX.clip_id_at(42, i),) for i in range(K)], "clip_id string")
     planted = base.join(F.broadcast(plant_ids), "clip_id").withColumn(
@@ -1977,7 +1978,8 @@ def label_noise_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary transcript in Catalyst, odd ranks keep the donor's
     base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
-    )
+    ).persist()  # referenced by BOTH union arms (base + planted join):
+    # unpersisted, the Python clip generator runs twice per pass
     ranks = spark.createDataFrame(
         [(FX.clip_id_at(42, i), i) for i in range(K)],
         "clip_id string, _rk int")
@@ -2045,7 +2047,8 @@ def audio_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_ORACLE_DIR}/audio_dedup_input")
     base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"
-    )
+    ).persist()  # referenced by BOTH union arms (base + planted join):
+    # unpersisted, the Python clip generator runs twice per pass
     plant_ids = spark.createDataFrame(
         [(FX.clip_id_at(42, i),) for i in range(K)], "clip_id string")
     planted = base.join(F.broadcast(plant_ids), "clip_id").withColumn(
@@ -2131,7 +2134,9 @@ def audio_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{_ORACLE_DIR}/split_leakage_ledger")
     base = FX.generate_clips(spark, n, n_parts=8, seed=42).select(
-        "clip_id", "bytes", "codec", "sr_hz")
+        "clip_id", "bytes", "codec", "sr_hz").persist()
+    # ^ referenced by BOTH union arms (base + augmented plant join):
+    # unpersisted, the Python clip generator runs twice per pass
     plant_ids = spark.createDataFrame(
         [(FX.clip_id_at(42, i),) for i in range(K)], "clip_id string")
     donors = base.join(F.broadcast(plant_ids), "clip_id")

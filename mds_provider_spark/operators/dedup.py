@@ -100,17 +100,33 @@ def minhash_signature_from_hashes(hs_col: Column, n_hashes: int, seed: int) -> C
     """array<bigint> of n minhashes over a MATERIALIZED hash-array column.
 
     The input must be a plain column reference (not an expression): each
-    of the n permutations references it, and Catalyst duplicates
-    non-column subexpressions per reference — with n=64 that made the
-    shingle pipeline run 64x (measured: 57s -> <2s after splitting the
+    permutation references it, and Catalyst duplicates non-column
+    subexpressions per reference — with n=64 that made the shingle
+    pipeline run 64x (measured: 57s -> <2s after splitting the
     projection). Callers materialize the hash array in a prior select.
+
+    ONE ``aggregate`` fold instead of n unrolled
+    ``array_min(transform(...))`` loops: the permutation coefficients
+    live in a single literal struct array and the fold updates all n
+    running minima per element (``least`` over integers — associative,
+    commutative, exact, so the result is bit-identical to the per-
+    permutation array_min for any non-empty hash array; shingle_hashes
+    never yields an empty array — short/empty docs get one whole-doc
+    shingle). The unrolled form generated n separate codegen loops whose
+    Janino compile dominated the query's first execution (measured ~4 s
+    compile at n=64); this form is one small nested loop.
     """
     coeffs = _perm_coeffs(n_hashes, seed)
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(a * h + b, F.lit(_PRIME))
-
-    return F.array(*[F.array_min(F.transform(hs_col, perm(a, b))) for a, b in coeffs])
+    ab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+    )
+    return F.aggregate(
+        hs_col,
+        F.array_repeat(F.lit(_PRIME).cast("bigint"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(_PRIME)))
+        ),
+    )
 
 
 def minhash_signatures(
@@ -194,6 +210,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    # Persist the band table: the plan references it THREE times (the
+    # bucket-size aggregation inside _cap_buckets and both self-join
+    # sides), and each reference would otherwise re-run the whole
+    # shingle -> 64-permutation signature pipeline over the corpus —
+    # measured as three full signature passes at sf0.1 (the
+    # fingerprint_near_dup persist_fps rationale). The band table is
+    # (id, band, bucket) ~ 24 bytes x bands per document — far narrower
+    # than the text it derives from; MEMORY_AND_DISK spills instead of
+    # evicting at scale.
+    from pyspark import StorageLevel
+
+    band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
     band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -221,9 +249,15 @@ def minhash_lsh_dedup(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     The verify join touches only candidate ids — broadcast when small.
     """
+    from pyspark import StorageLevel
+
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes, bands, w, seed, max_bucket_size
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ the candidate set is referenced three times below (both arms of
+    # the candidate-id union and the verify join); unpersisted, each
+    # reference re-runs the banded self-join. Candidate-proportional
+    # rows only — the same bound the verify join relies on.
     # Compute shingle features ONLY for rows that appear in a candidate
     # pair (semi-join first): feature cost is proportional to the
     # candidate set, not the corpus — without this, each side of the
@@ -239,6 +273,9 @@ def minhash_lsh_dedup(
     feats = (
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col).alias("_fid"), shingle_hashes(text_col, w).alias("_feat"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        # ^ both verify-join sides read the feature table; unpersisted,
+        # the semi-join + shingling of candidate documents runs twice.
     )
     ja = (
         cands.join(feats.withColumnRenamed("_fid", "id_a"), "id_a")
@@ -339,6 +376,13 @@ def simhash_dedup(
             )
         ).alias("ck"),
     ).select("_id", "_sh", "ck.chunk", "ck.key")
+    # Same three-reference pattern as the minhash band table (cap
+    # aggregation + both self-join sides): persist so the token-hash ->
+    # 64-bit-vote signature pipeline runs ONCE per corpus instead of
+    # three times. (id, sh, chunk, key) is ~32 bytes x (d+1) per doc.
+    from pyspark import StorageLevel
+
+    chunk_rows = chunk_rows.persist(StorageLevel.MEMORY_AND_DISK)
     chunk_rows = _cap_buckets(chunk_rows, ["chunk", "key"], max_bucket_size)
     a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
     return (
@@ -362,6 +406,7 @@ def resolve_duplicate_groups(
     max_iters: int = 40,
     reliable_checkpoint_dir: str | None = None,
     reliable_every: int = 4,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, group_id).
 
@@ -568,32 +613,23 @@ def resolve_duplicate_groups(
         )
         return canon(out)
 
-    edges = canon(
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    )
-    edges, handle = cut(edges)
-    prev_handle: DataFrame | None = handle
-    converged = False
-    for _ in range(max_iters):
-        new_edges, h1 = cut(small_star(large_star(edges)))
-        release(prev_handle)
-        prev_handle, edges = h1, new_edges
-        # exact structural termination: the edge set is a star forest
-        # iff (i) no child (a-side) ever appears as a root (b-side) AND
-        # (ii) no child carries edges to two roots. (i) alone is NOT
-        # sufficient: on pairs {1-3, 3-4, 4-5, 2-5} one round yields
-        # {(3,1),(4,1),(3,2),(5,2)} — children ∩ roots = ∅, yet child 3
-        # points at roots 1 AND 2; stopping there splits one component
-        # into two groups and keep-one silently under-merges
-        # (regression: tests/test_pipeline_ops.py bridge-graph case).
-        # Both conditions in ONE aggregation job over the (shrinking)
-        # edge set: per node, child-degree and a root flag.
-        nodes = edges.select(
+    def is_star_forest(e: DataFrame) -> bool:
+        """Exact structural termination: the edge set is a star forest
+        iff (i) no child (a-side) ever appears as a root (b-side) AND
+        (ii) no child carries edges to two roots. (i) alone is NOT
+        sufficient: on pairs {1-3, 3-4, 4-5, 2-5} one round yields
+        {(3,1),(4,1),(3,2),(5,2)} — children ∩ roots = ∅, yet child 3
+        points at roots 1 AND 2; stopping there splits one component
+        into two groups and keep-one silently under-merges
+        (regression: tests/test_pipeline_ops.py bridge-graph case).
+        Both conditions in ONE aggregation job over the (shrinking)
+        edge set: per node, child-degree and a root flag."""
+        nodes = e.select(
             F.col("a").alias("n"),
             F.lit(1).alias("_c"),
             F.lit(0).alias("_r"),
         ).unionByName(
-            edges.select(
+            e.select(
                 F.col("b").alias("n"),
                 F.lit(0).alias("_c"),
                 F.lit(1).alias("_r"),
@@ -609,9 +645,82 @@ def resolve_duplicate_groups(
             .limit(1)
             .count()
         )
-        if non_star == 0:
+        return non_star == 0
+
+    edges = canon(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    edges, handle = cut(edges)
+    # Hybrid cutoff (the quicksort-insertion-sort discipline): below
+    # ``local_threshold`` edges the distributed contraction's per-round
+    # fixed cost (a checkpoint materialization + four shuffles + a
+    # termination-test job, times O(log^2) rounds) dominates by orders
+    # of magnitude, so solve the graph with a driver-side union-find
+    # instead — ONE bounded collect (<= threshold edges, ~5 MB at the
+    # default) replacing every round. The mapping is identical by
+    # construction: union-by-min-id root gives group_id = min reachable
+    # id, the same fixpoint the star contraction converges to (string
+    # comparison agrees between Python and Spark — UTF-8 byte order
+    # preserves code-point order). The count is a metadata-cheap job
+    # over the just-checkpointed edge set; graphs over the threshold
+    # take the unchanged distributed path, so the 100 TB story is
+    # untouched.
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for row in rows:
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        out = [(x, find(x)) for x in parent]
+        release(handle)
+        id_type = edges.schema["a"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, True),
+                StructField("group_id", id_type, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
+    prev_handle: DataFrame | None = handle
+    converged = False
+    # Test-BEFORE-contract: the canonical input edge set of a dedup
+    # corpus is very often already a star forest (disjoint duplicate
+    # pairs — e.g. planted copies, or singleton near-dup groups), and
+    # each contraction round costs a checkpoint materialization plus
+    # four shuffles. Checking first skips the whole contraction loop in
+    # that case at the price of one aggregation job — the SAME job the
+    # per-round termination test already paid. Graphs that do need
+    # contraction run exactly the rounds they ran before (the test is
+    # the unchanged exact structural condition, so the returned mapping
+    # is identical).
+    for it in range(max_iters + 1):
+        if is_star_forest(edges):
             converged = True
             break
+        if it == max_iters:
+            break
+        new_edges, h1 = cut(small_star(large_star(edges)))
+        release(prev_handle)
+        prev_handle, edges = h1, new_edges
     if not converged:
         raise RuntimeError(
             f"resolve_duplicate_groups did not converge in {max_iters} "

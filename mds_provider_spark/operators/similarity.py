@@ -142,13 +142,16 @@ def _sign_bits_pandas(vec: Column, planes_2d: list[list[float]]) -> Column:
 _PANDAS_SIGNS_MIN_PLANES = 64
 
 
-def _bucketed(
+def _bucketed_packed(
     df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int,
     sign_impl: str = "auto",
 ) -> DataFrame:
-    """Explode into one row per (table, bucket) — the multi-table recall
-    lever: a true neighbor missed by one table's split collides in
-    another with prob 1-(1-p^b)^L, tunable without coarsening buckets.
+    """df plus ONE ``_tb`` array<struct<table,bucket>> column — the
+    PRE-explode form of ``_bucketed``. Splitting this out lets callers
+    that reference the bucketed table several times persist the packed
+    row (one (table, bucket) array per input row, ~12 bytes per table)
+    instead of the exploded one (which would duplicate the vector
+    payload n_tables times in the cache).
 
     The sign bits of all n_tables*n_planes hyperplanes are computed in
     ONE array expression and MATERIALIZED as a column; the per-table
@@ -181,8 +184,26 @@ def _bucketed(
             for t in range(n_tables)
         ]
     )
-    return step.select("*", F.explode(tb).alias("_tb")).select(
-        *df.columns, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+    return step.select(*df.columns, tb.alias("_tb"))
+
+
+def _explode_buckets(packed: DataFrame) -> DataFrame:
+    """One row per (table, bucket) from the ``_bucketed_packed`` form."""
+    cols = [c for c in packed.columns if c != "_tb"]
+    return packed.select(*cols, F.explode("_tb").alias("_tbx")).select(
+        *cols, F.col("_tbx.table").alias("table"), F.col("_tbx.bucket").alias("bucket")
+    )
+
+
+def _bucketed(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int,
+    sign_impl: str = "auto",
+) -> DataFrame:
+    """Explode into one row per (table, bucket) — the multi-table recall
+    lever: a true neighbor missed by one table's split collides in
+    another with prob 1-(1-p^b)^L, tunable without coarsening buckets."""
+    return _explode_buckets(
+        _bucketed_packed(df, vec_col, dim, n_planes, n_tables, seed, sign_impl)
     )
 
 
@@ -214,7 +235,16 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
     ).withColumn("_cn", l2norm(F.col("_cv")))
-    c = _bucketed(c, "_cv", dim, n_planes, n_tables, seed, sign_impl)
+    # Two references follow (the _cap_buckets size aggregation and the
+    # probe join) — persist the PACKED form so the corpus scan + sign
+    # computation runs once without duplicating the vector payload
+    # n_tables times in the cache (embedding_near_duplicates rationale).
+    from pyspark import StorageLevel
+
+    c_packed = _bucketed_packed(
+        c, "_cv", dim, n_planes, n_tables, seed, sign_impl
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c = _explode_buckets(c_packed)
     c = _cap_buckets(c, ["table", "bucket"], max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
@@ -1028,7 +1058,23 @@ def embedding_near_duplicates(
     dim = len(df.select(vec_col).first()[0])
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
     v = v.withColumn("_n", l2norm(F.col("_v")))
-    rows = _bucketed(v, "_v", dim, n_planes, n_tables, seed, sign_impl)
+    # Persist the PACKED bucketed table (one (table,bucket) array per
+    # row, vector payload NOT duplicated per table): the plan references
+    # the bucketed rows three times (the bucket-size aggregation inside
+    # _cap_buckets and both self-join sides), and each reference would
+    # otherwise re-run the corpus scan + the n_tables*n_planes sign
+    # computation — for the pandas/BLAS sign path that is three
+    # ArrowEvalPython passes over the corpus instead of one (the
+    # fingerprint_near_dup persist_fps rationale). The cache holds
+    # corpus-size rows (vector + ~12 bytes/table), and MEMORY_AND_DISK
+    # spills instead of evicting at scale; the explode itself is cheap
+    # JVM work re-run per reference.
+    from pyspark import StorageLevel
+
+    packed = _bucketed_packed(
+        v, "_v", dim, n_planes, n_tables, seed, sign_impl
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = _explode_buckets(packed)
     rows = _cap_buckets(rows, ["table", "bucket"], max_bucket_size)
     a, b = rows.alias("a"), rows.alias("b")
     return (

@@ -363,14 +363,34 @@ def test_resolve_groups_long_chain_pointer_doubling(spark):
 
 
 def test_resolve_groups_nonconvergence_raises(spark):
-    """When max_iters genuinely can't cover the chain, the resolver must
-    RAISE, never return partially-merged groups (keep-one would silently
-    retain extra exemplars)."""
+    """When max_iters genuinely can't cover the chain, the DISTRIBUTED
+    resolver must RAISE, never return partially-merged groups (keep-one
+    would silently retain extra exemplars). local_threshold=0 forces the
+    contraction path — below the threshold the driver-side union-find
+    solves any graph exactly, so the guard is contraction-specific."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(49)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.resolve_duplicate_groups(pairs, max_iters=2)
+        D.resolve_duplicate_groups(pairs, max_iters=2, local_threshold=0)
+
+
+def test_resolve_groups_local_matches_distributed(spark):
+    """The hybrid cutoff (driver-side union-find below local_threshold
+    edges) must produce the identical (doc_id, group_id) mapping the
+    star-contraction path produces — bridge graph, chains, and
+    singleton pairs in one go."""
+    edges = [(1, 3), (3, 4), (4, 5), (2, 5), (10, 11), (20, 21), (21, 22),
+             (7, 7), (30, 31), (31, 30)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {(r.doc_id, r.group_id)
+             for r in D.resolve_duplicate_groups(pairs).collect()}
+    dist = {(r.doc_id, r.group_id)
+            for r in D.resolve_duplicate_groups(pairs, local_threshold=0).collect()}
+    assert local == dist
+    assert local == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                     (10, 10), (11, 10), (20, 20), (21, 20), (22, 20),
+                     (30, 30), (31, 30)}
 
 
 def test_resolve_groups_reliable_checkpoint_dir(spark, tmp_path):
@@ -390,7 +410,8 @@ def test_resolve_groups_reliable_checkpoint_dir(spark, tmp_path):
     got = {
         r.doc_id: r.group_id
         for r in D.resolve_duplicate_groups(
-            pairs, reliable_checkpoint_dir=str(ckpt), reliable_every=2
+            pairs, reliable_checkpoint_dir=str(ckpt), reliable_every=2,
+            local_threshold=0,  # force the contraction path under test
         ).collect()
     }
     assert got == {i: 0 for i in range(31)}
