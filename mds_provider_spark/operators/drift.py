@@ -560,8 +560,21 @@ def embedding_summary(
         F.lit(0).cast(dec),
         lambda a, v: a + v.cast(dec) * v.cast(dec),
     )
+    # Malformed ELEMENTS drop whole-row, exactly like wrong-dim vectors
+    # (round-6 advice): a NULL element inside a correctly-sized vector
+    # quantizes to NULL, which would silently drop that single element
+    # from the per-dimension sum while the row still incremented n —
+    # skewing the centroid with no finding raised; a NaN element
+    # quantizes to an engine-dependent integer (Spark casts NaN->0).
+    # The shape/type rules own flagging such vectors; the summary
+    # simply must not fold them.
     rows = df.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & F.forall(
+            F.col(vec_col),
+            lambda x: x.isNotNull() & ~F.isnan(x.cast("double")),
+        )
     ).select(
         g,
         qarr.alias("_q"),

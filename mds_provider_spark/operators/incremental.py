@@ -99,11 +99,20 @@ def partition_delta(current: DataFrame, baseline: DataFrame) -> DataFrame:
         F.col("fingerprint").alias("fp_cur"),
         F.col("fingerprint2").alias("fp2_cur"),
     )
+    # Manifests persisted by the pre-round-6 single-fold code lack
+    # fingerprint2; degrade gracefully instead of raising on the first
+    # incremental run after upgrade — a NULL fp2_base falls through the
+    # equality test to 'changed', forcing a safe full revalidation of
+    # every partition once, after which the rewritten manifest carries
+    # both folds (round-6 advice).
     b = baseline.select(
         "part",
         F.col("n_rows").alias("n_rows_base"),
         F.col("fingerprint").alias("fp_base"),
-        F.col("fingerprint2").alias("fp2_base"),
+        (
+            F.col("fingerprint2") if "fingerprint2" in baseline.columns
+            else F.lit(None).cast("bigint")
+        ).alias("fp2_base"),
     )
     j = c.join(b, "part", "full_outer")
     status = (

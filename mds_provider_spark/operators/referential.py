@@ -41,23 +41,43 @@ def referential_violations(
     rule_id is ``referential_orphan:<key>`` in both directions; the
     ``column_name`` field disambiguates which table the orphan lives in
     (clips vs transcripts), matching FIXTURES.md §2.
+
+    ONE full-outer join instead of two anti-joins: both directions need
+    the same key-matching, and the pair of anti-joins shuffled each
+    table TWICE (four exchanges). A full-outer equi-join shuffles each
+    side once and yields both orphan sets as the null-opposite rows —
+    NULL keys never equi-match, so a NULL-key row surfaces one-sided
+    exactly like the anti-join kept it, and a NULL-key right row can't
+    absorb anything (the behavior the anti-joins' rhs null filter
+    enforced). Presence flags (not key-nullness) decide sidedness so
+    NULL-key rows are never misclassified. Matched rows stream through
+    the join and drop immediately — no blowup for the near-unique id
+    keys this audit exists for.
     """
     rid = S.rule_id(S.REFERENTIAL_ORPHAN, key)
-    a = orphans(clips.select(key, part_col), transcripts, key).select(
-        F.lit(rid).alias("rule_id"),
-        F.col(key).alias("clip_id"),
-        F.lit("clips").alias("column_name"),
-        F.lit("clip has no transcript row").alias("message"),
-        F.col(part_col).alias("part_id"),
+    c = clips.select(
+        F.col(key).alias("_ck"),
+        F.col(part_col).alias("_cp"),
+        F.lit(True).alias("_cpres"),
     )
-    b = orphans(transcripts.select(key, part_col), clips, key).select(
-        F.lit(rid).alias("rule_id"),
-        F.col(key).alias("clip_id"),
-        F.lit("transcripts").alias("column_name"),
-        F.lit("transcript has no clip row").alias("message"),
-        F.col(part_col).alias("part_id"),
+    t = transcripts.select(
+        F.col(key).alias("_tk"),
+        F.col(part_col).alias("_tp"),
+        F.lit(True).alias("_tpres"),
     )
-    return a.unionByName(b)
+    j = c.join(t, c["_ck"] == t["_tk"], "full_outer")
+    # one filter + one side-conditional projection (NOT a union of two
+    # filters over j — that would evaluate the join twice)
+    is_clip_orphan = F.col("_tpres").isNull()
+    return j.where(is_clip_orphan | F.col("_cpres").isNull()).select(
+        F.lit(rid).alias("rule_id"),
+        F.when(is_clip_orphan, F.col("_ck")).otherwise(F.col("_tk")).alias("clip_id"),
+        F.when(is_clip_orphan, F.lit("clips"))
+        .otherwise(F.lit("transcripts")).alias("column_name"),
+        F.when(is_clip_orphan, F.lit("clip has no transcript row"))
+        .otherwise(F.lit("transcript has no clip row")).alias("message"),
+        F.when(is_clip_orphan, F.col("_cp")).otherwise(F.col("_tp")).alias("part_id"),
+    )
 
 
 def transcript_mismatch_violations(

@@ -786,11 +786,29 @@ def _adc_search(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("_adc"))
     )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.asc("_adc"), F.asc("neighbor_id")
+    # TWO-STAGE shortlist (the integrity.sample_per_group discipline —
+    # round-6 verdict #1): a plain row_number() over query_id lands ALL
+    # of one query's ADC candidates on a single window task; candidates
+    # per query = nprobe x avg-list-size, which at the 10^12-vector
+    # design point is ~10^9 rows through one task. Stage 1 ranks within
+    # (physical input partition, query_id) — the shuffle key includes
+    # the partition id, so a hot query's candidates spread uniformly —
+    # and keeps <= shortlist rows per (partition, query); stage 2 ranks
+    # the <= shortlist x P survivors globally. Top-k by (_adc,
+    # neighbor_id) distributes over union, so the shortlist SET is
+    # exactly the single-window one (identical duplicated rows may swap
+    # between stages, which the distinct below erases).
+    order = [F.asc("_adc"), F.asc("neighbor_id")]
+    w_local = Window.partitionBy(F.col("_pid"), F.col("query_id")).orderBy(*order)
+    pruned = (
+        cand.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= shortlist)
+        .drop("_pid", "_lr")
     )
+    ws = Window.partitionBy("query_id").orderBy(*order)
     short = (
-        cand.withColumn("_r", F.row_number().over(ws))
+        pruned.withColumn("_r", F.row_number().over(ws))
         .where(F.col("_r") <= shortlist)
         # distinct: a neighbor can enter the shortlist once per probed
         # list when codes rows are duplicated (e.g. an append replayed
@@ -906,17 +924,19 @@ def pq_search(
     artifacts (pytest-pinned)."""
     cents = load_ivf_index(spark, f"{index_path}/centroids")
     books = load_pq_index(spark, f"{index_path}/codebooks")
+    # distinct the probed lists IN SPARK before collecting, so the
+    # collect is genuinely bounded by n_lists (the docstring's claim) —
+    # collecting one row per query made this a query-batch-scale driver
+    # collect (round-6 advice). explode drops NULL probe arrays itself.
     probe_lists = sorted(
-        {
-            int(l)
-            for r in queries.select(
-                _nearest_centroids(
-                    as_double(vec_col), cents, nprobe, "auto"
-                ).alias("_p")
-            ).collect()
-            if r["_p"] is not None
-            for l in r["_p"]
-        }
+        int(r["_l"])
+        for r in queries.select(
+            F.explode(
+                _nearest_centroids(as_double(vec_col), cents, nprobe, "auto")
+            ).alias("_l")
+        )
+        .distinct()
+        .collect()
     )
     codes = (
         spark.read.parquet(f"{index_path}/codes")

@@ -1,22 +1,27 @@
-"""Salted two-stage duplicate-key detection (BASELINE.json A4).
+"""Two-stage (partial/merge) duplicate-key detection (BASELINE.json A4).
 
 The reference delegates primary-key integrity to Postgres
-(``ON CONFLICT (trip_id) DO ...`` in mds/db.py ≈L220–300). At 10^12 rows a
-plain ``groupBy(key).count()`` is correct but its stage-1 shuffle can skew
-if a pathological key repeats billions of times. We make the partial/merge
-explicit:
+(``ON CONFLICT (trip_id) DO ...`` in mds/db.py ≈L220–300). At 10^12 rows
+the skew hazard is a pathological key repeating billions of times; the
+defense is partial (map-side) aggregation: each input partition counts
+its own rows per key BEFORE the exchange, so a key living on M input
+partitions ships exactly M partial rows — never its raw rows — and the
+stage-2 reducer merges at most M small counts per key.
 
-  stage 1: groupBy(spark_partition_id(), key).count()
-           -- map-side only distribution: identical keys living on M input
-              partitions produce M partial rows, hashed to M different
-              reducers (the input-partition id IS the salt; deterministic,
-              no rand()).
-  stage 2: groupBy(key).sum(partial) -> filter n > 1
-           -- merges at most M small rows per key.
+``groupBy(key).count()`` compiles to exactly that shape
+(``partial_count`` under the scan, ONE exchange of (key, count) rows,
+final merge — plan-asserted in tests/test_operators.py). Earlier rounds
+spelled the two stages out with an explicit
+``groupBy(spark_partition_id(), key)`` salt; that guaranteed the same
+property but added a SECOND full exchange of (salt, key, count) rows —
+pure overhead, since rows of one (partition-id, key) group never span
+partitions (measured 2.3x slower at 600k unique keys, round-7
+optimization). The explicit form survives as
+``stats.salted_group_count`` for non-algebraic aggregates where the
+reader wants the shape visible in the code.
 
-With AQE on, stage-2 skew is additionally split at runtime. The final
-duplicate set is tiny relative to input, so every downstream join against
-it broadcasts.
+The final duplicate set is tiny relative to input, so every downstream
+join against it broadcasts.
 
 Broadcast contract: NO forced hint anywhere in this module. These
 operators exist precisely because a table might be corrupt — and on a
@@ -52,14 +57,11 @@ def duplicate_keys(df: DataFrame, cols: Sequence[str], salt_partitions: int | No
     present = df.select(*cols)
     for c in cols:
         present = present.where(F.col(c).isNotNull())
-    partial = (
-        present
-        .groupBy(F.spark_partition_id().alias("_salt"), *cols)
-        .agg(F.count(F.lit(1)).alias("_partial"))
-    )
+    # partial_count runs map-side (the module docstring's two-stage
+    # shape) — one exchange of (key, partial) rows, skew-immune
     return (
-        partial.groupBy(*cols)
-        .agg(F.sum("_partial").alias("n_rows"))
+        present.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
         .where(F.col("n_rows") > 1)
     )
 

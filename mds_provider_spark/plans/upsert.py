@@ -100,17 +100,29 @@ def upsert_parquet(
 
     if os.path.isdir(table_path):
         # repair an interrupted predecessor BEFORE reading: a leftover
-        # bak dir means a swap died mid-flight — restore the old
-        # partition (whether the final dir is absent or already holds
-        # the new bytes; the re-merge below regenerates them), and any
-        # staging root is a dead intermediate.
+        # bak dir means a swap died mid-flight. DIRECTION MATTERS
+        # (round-6 advice, high): the swap sequence is
+        # rename(final->bak); rename(staged->final); rmtree(bak) — so
+        # bak and final can only coexist AFTER the staged->final rename
+        # succeeded, which makes final the COMPLETE new partition while
+        # bak may already be HALF-DELETED (crash inside rmtree). In that
+        # state the only safe repair is to finish the interrupted swap:
+        # drop the bak and keep final. Restoring the bak over final (the
+        # previous behavior) replaced complete new data with a partial
+        # backup, and the re-merge then read the half-deleted partition
+        # as truth — silently losing every old row whose file was gone
+        # and whose key the retried batch did not carry. Only when final
+        # is ABSENT (crash between the two renames) does bak hold the
+        # complete old partition, and rolling it back is correct. Any
+        # staging root is a dead intermediate either way.
         for d in os.listdir(table_path):
             full = os.path.join(table_path, d)
             if d.startswith(_BAK):
                 final = os.path.join(table_path, d[len(_BAK):])
                 if os.path.exists(final):
-                    shutil.rmtree(final)
-                os.rename(full, final)
+                    shutil.rmtree(full)   # swap completed; bak is disposable
+                else:
+                    os.rename(full, final)  # swap died mid-flight; roll back
             elif d.startswith(_STAGING):
                 shutil.rmtree(full)
 

@@ -21,6 +21,19 @@ def test_delta_statuses(spark):
     assert d == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
 
 
+def test_legacy_manifest_without_fingerprint2_degrades_to_changed(spark):
+    """A manifest persisted by the pre-round-6 single-fold code has no
+    fingerprint2 column. The delta must not raise — it treats fp2_base
+    as NULL, the equality falls through, and every surviving partition
+    reports 'changed' (one safe full revalidation, after which the
+    rewritten manifest carries both folds). Round-6 advice."""
+    data = _df(spark, [(0, 1, "a"), (1, 2, "b")])
+    cur = INC.partition_fingerprints(data, "part", COLS)
+    legacy = cur.drop("fingerprint2")
+    d = {r.part: r.status for r in INC.partition_delta(cur, legacy).collect()}
+    assert d == {0: "changed", 1: "changed"}
+
+
 def test_row_count_change_detected_even_when_xor_cancels(spark):
     """Two identical copies of a row xor to zero — the n_rows guard
     still flags the partition as changed."""

@@ -43,10 +43,15 @@ def test_duplicate_violations_report_every_conflicting_row(spark):
 
 
 def test_duplicate_keys_is_two_stage(spark):
-    """Plan must show two aggregation exchanges (salted partial + final)."""
+    """Plan must show the partial/merge shape: a map-side partial_count
+    BELOW the single exchange (skew immunity — a hot key ships one
+    partial row per input partition, never its raw rows). Exactly ONE
+    exchange: the explicit spark_partition_id salt added a second full
+    exchange for the same guarantee (round-7 optimization)."""
     df = U.duplicate_keys(_clips(spark), ["clip_id"])
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") >= 2, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_referential_orphans_both_directions(spark):

@@ -256,3 +256,18 @@ def test_embedding_drift_drops_ragged_and_single_side_groups(spark):
     # NULL group keys drop at the null-strict join: a missing group key
     # is a not_null rule finding, not a geometry finding
     assert None not in got
+
+
+def test_embedding_summary_drops_rows_with_null_or_nan_elements(spark):
+    """A NULL or NaN element inside a correctly-sized vector must drop
+    the WHOLE row from the summary (like wrong-dim vectors) — folding
+    the remaining elements while still counting the row skews the
+    centroid with no finding raised (round-6 advice; Spark quantizes a
+    NULL element to NULL and casts NaN to 0, both silently)."""
+    df = spark.createDataFrame(
+        [([float("nan"), 1.0],), ([None, 1.0],), ([0.5, 1.0],), ([0.25, 2.0],)],
+        "embedding array<double>",
+    )
+    out = {r.pos: (int(r.s), r.n) for r in DR.embedding_summary(df, dim=2).collect()}
+    # only the two clean rows fold: pos0 = 500000+250000, pos1 = 1M+2M
+    assert out == {0: (750000, 2), 1: (3000000, 2)}

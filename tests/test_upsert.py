@@ -96,6 +96,41 @@ def test_upsert_recovers_crash_after_swap_before_bak_delete(spark, tmp_path):
     assert not any(d.startswith("_upsert") for d in os.listdir(path))
 
 
+def test_upsert_repair_keeps_final_over_partial_bak(spark, tmp_path):
+    """Crash DURING the bak delete (rmtree got through some files): the
+    final dir holds the complete NEW partition, the bak is partial. The
+    repair must finish the swap — drop the bak, keep final — because
+    bak+final can only coexist after staged->final succeeded. Restoring
+    the partial bak over final (the pre-round-7 behavior) and re-merging
+    from it silently lost every old row whose bak file was already
+    deleted and whose key the retry batch did not carry (round-6 advice,
+    high)."""
+    import shutil
+
+    path = str(tmp_path / "tc3")
+    _tbl(spark, path)
+    updates = spark.createDataFrame(
+        [(0, "NEW0", 0)], "k long, v string, part_id int"
+    )
+    upsert_parquet(spark, path, updates, ["k"])  # final = complete new bytes
+    # manufacture the mid-rmtree crash: a bak dir with MOST files gone
+    bak = os.path.join(path, "_upsert_bak__part_id=0")
+    os.makedirs(bak)
+    files = sorted(os.listdir(os.path.join(path, "part_id=0")))
+    shutil.copy(os.path.join(path, "part_id=0", files[0]), bak)
+    # retry with a DIFFERENT batch: rows outside it must all survive
+    retry = spark.createDataFrame(
+        [(4, "NEW4", 0)], "k long, v string, part_id int"
+    )
+    res = upsert_parquet(spark, path, retry, ["k"])
+    assert res["parts"] == [0] and res["existing_kept"] == 24
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert len(got) == 100                      # nothing lost
+    assert got[0] == "NEW0" and got[4] == "NEW4"
+    assert got[8] == "v8" and got[96] == "v96"  # part-0 rows outside both batches
+    assert not any(d.startswith("_upsert") for d in os.listdir(path))
+
+
 def test_upsert_creates_table_when_absent(spark, tmp_path):
     path = str(tmp_path / "fresh")
     updates = spark.createDataFrame([(1, "a", 0)], "k long, v string, part_id int")
