@@ -836,7 +836,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t_wide(spark, sf_dir, "embeddings")
     offset = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(offset))
-    return SIM.embedding_near_duplicates(emb.unionByName(dup), threshold=0.9)
+    return SIM.embedding_near_duplicates(emb.unionByName(dup), threshold=0.9,
+                                         dim=64)
 
 
 def tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,7 +1068,8 @@ def embedding_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     dup = emb.withColumn("vec_id", F.col("vec_id") + F.lit(offset))
     union = emb.unionByName(dup)
-    pairs = SIM.embedding_near_duplicates(union, threshold=0.9).select("id_a", "id_b")
+    pairs = SIM.embedding_near_duplicates(union, threshold=0.9,
+                                          dim=64).select("id_a", "id_b")
     return D.deduplicate(union, pairs, "vec_id").select("vec_id")
 
 

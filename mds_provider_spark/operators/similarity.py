@@ -810,13 +810,13 @@ def _adc_search(
     short = (
         pruned.withColumn("_r", F.row_number().over(ws))
         .where(F.col("_r") <= shortlist)
-        # distinct: a neighbor can enter the shortlist once per probed
-        # list when codes rows are duplicated (e.g. an append replayed
-        # after a mid-write crash) — without it the final top-k would
-        # report the same neighbor at two ranks. Duplicate entries still
-        # consume shortlist slots; the slots, not the output, absorb the
-        # duplication. Shortlist-scale exchange only (queries x
-        # shortlist rows).
+        # distinct: DEFENSE-IN-DEPTH against duplicated codes rows (the
+        # marker-committed append makes crash duplicates impossible at
+        # the index; this guards foreign/hand-built codes tables) —
+        # without it the final top-k would report the same neighbor at
+        # two ranks. Duplicate entries still consume shortlist slots;
+        # the slots, not the output, absorb the duplication.
+        # Shortlist-scale exchange only (queries x shortlist rows).
         .select("query_id", "neighbor_id")
         .distinct()
     )
@@ -949,11 +949,34 @@ def pq_search(
     )
 
 
+def _finish_pending_append(codes_dir: str, staging: str) -> None:
+    """Move every staged codes file into its inverted list — IDEMPOTENT
+    (file names are unique Spark part files; a file already moved is
+    simply absent from staging), so any entry can resume a move that a
+    crash interrupted."""
+    import os
+    import shutil
+
+    if not os.path.isdir(staging):
+        return
+    for d in sorted(os.listdir(staging)):
+        src_list = os.path.join(staging, d)
+        if not d.startswith("list=") or not os.path.isdir(src_list):
+            continue
+        dst_list = os.path.join(codes_dir, d)
+        os.makedirs(dst_list, exist_ok=True)
+        for f in os.listdir(src_list):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src_list, f), os.path.join(dst_list, f))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def append_pq_index(
     new_vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch: str | None = None,
 ) -> dict:
     """Incremental index maintenance — the daily-ingest path: encode a
     NEW vector batch with the FROZEN quantizer + codebooks already on
@@ -970,37 +993,104 @@ def append_pq_index(
     with larger residual error; ``avg_quantization_err`` in the return
     value is the retrain signal (compare against the build-time value).
 
-    Crash behavior: the parquet append commits per-task via rename, so
-    a killed append leaves only uncommitted ``_temporary`` files —
-    committed lists are never rewritten. Re-running the append after a
-    MID-WRITE crash can duplicate the delta's committed part; route
-    reruns through the same id-keyed dedup the caller's upsert uses, or
-    re-list ``neighbor_id`` against the batch before retrying.
+    Crash safety (round-6 verdict #2 — marker commit, the upsert/
+    CommitLog discipline): the delta is encoded into an underscore-
+    prefixed STAGING dir inside ``codes/`` (ignored by every parquet
+    reader), a marker file under ``_appends/`` is renamed into place
+    atomically, and only then are the staged files MOVED into their
+    inverted lists (idempotent per file — unique names). Repair on
+    entry: staging without a marker is uncommitted debris from a crash
+    mid-encode and is DELETED (the retry re-encodes; nothing reached
+    the index, so nothing duplicates); staging with a marker is a
+    committed append whose move was interrupted and is FINISHED.
+    Passing a stable ``batch`` token makes retries of the same logical
+    batch exactly-once: a retry that finds its marker returns the
+    recorded stats without re-encoding. Without a token, a retry AFTER
+    the marker landed re-appends the batch (the caller asked for the
+    same batch twice, indistinguishable from new data) — same contract
+    as ``upsert_parquet`` without a CommitLog.
     """
+    import json
+    import os
+    import shutil
+    import uuid
+
     spark = new_vectors.sparkSession
+    codes_dir = f"{path}/codes"
+    staging = os.path.join(codes_dir, "_append_staging")
+    appends_dir = os.path.join(path, "_appends")
+    os.makedirs(appends_dir, exist_ok=True)
+    pending = sorted(
+        f for f in os.listdir(appends_dir) if f.endswith(".pending")
+    )
+    if os.path.isdir(staging):
+        if pending:
+            # committed but un-moved: finish the interrupted append
+            _finish_pending_append(codes_dir, staging)
+            for f in pending:
+                os.rename(
+                    os.path.join(appends_dir, f),
+                    os.path.join(appends_dir, f[: -len(".pending")]),
+                )
+        else:
+            # crash mid-encode: nothing committed, nothing in the index
+            shutil.rmtree(staging, ignore_errors=True)
+    elif pending:
+        # moves finished but the pending->done rename didn't: finish it
+        for f in pending:
+            os.rename(
+                os.path.join(appends_dir, f),
+                os.path.join(appends_dir, f[: -len(".pending")]),
+            )
+
+    token = batch if batch is not None else uuid.uuid4().hex
+    marker = os.path.join(appends_dir, token)
+    if batch is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            stats = json.load(fh)
+        total = int(spark.read.parquet(codes_dir).count())
+        return {
+            "n_appended": int(stats["n_appended"]),
+            "n_vectors_total": total,
+            "avg_quantization_err": float(stats["avg_quantization_err"]),
+            "already_committed": True,
+        }
+
     cents = load_ivf_index(spark, f"{path}/centroids")
     books = load_pq_index(spark, f"{path}/codebooks")
     codes = pq_encode(new_vectors, cents, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "list", "codes"
     ).persist()
     try:
-        codes.write.mode("append").partitionBy("list").parquet(
-            f"{path}/codes"
-        )
+        codes.write.mode("overwrite").partitionBy("list").parquet(staging)
         # retrain monitor over the SAME cached codes (one encode total):
         # reconstruct each batch vector and measure the residual L2.
         stats = _quantization_error(
             codes, new_vectors, cents, books, id_col, vec_col
         )
-    finally:
+    except BaseException:
         codes.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    codes.unpersist()
+    # COMMIT: marker lands atomically (rename), THEN files move in.
+    # Crash before the rename -> staging is debris, repair deletes it.
+    # Crash after -> repair (or this batch's retry) finishes the moves.
+    tmp = marker + f".tmp{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"n_appended": int(stats["n"]),
+             "avg_quantization_err": float(stats["err"])}, fh)
+    os.replace(tmp, marker + ".pending")
+    _finish_pending_append(codes_dir, staging)
+    os.rename(marker + ".pending", marker)
     # ground-truth total: parquet count() is METADATA-only (footer row
     # counts — no data pages are read), so the cost is proportional to
     # the index's FILE count, not its bytes. A maintained running total
     # was tried and rejected: any crash between the codes append and the
     # total update leaves it permanently diverged from the table, and
     # ground truth self-heals after every crash/retry instead.
-    total = int(spark.read.parquet(f"{path}/codes").count())
+    total = int(spark.read.parquet(codes_dir).count())
     return {
         "n_appended": int(stats["n"]),
         "n_vectors_total": int(total),
@@ -1061,6 +1151,7 @@ def embedding_near_duplicates(
     seed: int = 2024,
     max_bucket_size: int | None = 10_000,
     sign_impl: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
 
@@ -1075,7 +1166,8 @@ def embedding_near_duplicates(
     the worst-case join size is bounded by n_tables * cap * |bucket
     count| rather than quadratic in the hottest bucket.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:  # a driver job; callers that know the width skip it
+        dim = len(df.select(vec_col).first()[0])
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
     v = v.withColumn("_n", l2norm(F.col("_v")))
     # Persist the PACKED bucketed table (one (table,bucket) array per

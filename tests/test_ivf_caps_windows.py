@@ -382,3 +382,71 @@ def test_adc_two_stage_shortlist_matches_single_window(spark):
     a = sorted(map(tuple, SIM.ivfpq_topk(e, q, **kw).collect()))
     b = sorted(map(tuple, SIM.ivfpq_topk(e, q, **kw).collect()))
     assert a == b and len(a) == 4 * 6
+
+
+def test_append_pq_index_crash_states_never_duplicate(spark, tmp_path):
+    """Marker-commit crash windows (round-6 verdict #2):
+    (a) kill mid-encode — staging exists, NO marker: the retry must
+        discard the debris and converge to the clean one-pass index;
+    (b) kill between the marker rename and the file moves — staging +
+        .pending marker: the next entry must FINISH the committed
+        append, and a same-batch retry must return already_committed
+        without re-encoding. In every state the index row set equals
+        the clean one-pass append (no duplicates, no losses)."""
+    import os
+    import shutil
+
+    e = _emb(spark, n=140)
+    old = e.where("vec_id < 100")
+    new = e.where("vec_id >= 100 and vec_id < 120")
+
+    def fresh(p):
+        SIM.build_pq_index(old, p, n_lists=6, m=4, ksub=32)
+
+    def rows_of(p):
+        return sorted(
+            (r.neighbor_id, tuple(r.codes))
+            for r in spark.read.parquet(f"{p}/codes").collect()
+        )
+
+    clean = str(tmp_path / "clean")
+    fresh(clean)
+    SIM.append_pq_index(new, clean, batch="b1")
+    want = rows_of(clean)
+
+    # (a) crash mid-encode: staged files present, marker never landed
+    pa = str(tmp_path / "crash_a")
+    fresh(pa)
+    staging = os.path.join(pa, "codes", "_append_staging")
+    SIM.append_pq_index(new, pa, batch="b1")
+    # re-manufacture the pre-marker state: move the appended rows back
+    # out is fiddly — instead plant debris on a fresh index and append
+    pb = str(tmp_path / "crash_a2")
+    fresh(pb)
+    os.makedirs(os.path.join(pb, "codes", "_append_staging", "list=0"))
+    with open(os.path.join(pb, "codes", "_append_staging", "list=0",
+                           "part-zz.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")  # debris must be deleted unread
+    info = SIM.append_pq_index(new, pb, batch="b1")
+    assert "already_committed" not in info
+    assert rows_of(pb) == want
+
+    # (b) crash between marker and moves: stage manually, plant marker
+    pc = str(tmp_path / "crash_b")
+    fresh(pc)
+    cents = SIM.load_ivf_index(spark, f"{pc}/centroids")
+    books = SIM.load_pq_index(spark, f"{pc}/codebooks")
+    codes = SIM.pq_encode(new, cents, books, "vec_id", "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), "list", "codes"
+    )
+    codes.write.mode("overwrite").partitionBy("list").parquet(
+        os.path.join(pc, "codes", "_append_staging"))
+    os.makedirs(os.path.join(pc, "_appends"), exist_ok=True)
+    with open(os.path.join(pc, "_appends", "b1.pending"), "w") as fh:
+        fh.write('{"n_appended": 20, "avg_quantization_err": 0.0}')
+    # same-batch retry: must finish the committed moves, then skip
+    info = SIM.append_pq_index(new, pc, batch="b1")
+    assert info.get("already_committed") is True
+    assert info["n_appended"] == 20
+    assert rows_of(pc) == want
+    assert not os.path.isdir(os.path.join(pc, "codes", "_append_staging"))
