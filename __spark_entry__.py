@@ -1506,7 +1506,9 @@ def audio_embedding_drift_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{_ORACLE_DIR}/audio_embedding_ledger")
     clips = FX.generate_clips(spark, n, n_parts=8, seed=42, faults=faults)
-    emb = audio.audio_embedding_clips(clips)
+    # persist: BOTH drift sides (current + baseline) read this table;
+    # unpersisted, the decode -> log-mel embedding Python pass ran twice
+    emb = audio.audio_embedding_clips(clips).persist()
     even = (
         F.conv(F.substring(F.md5("clip_id"), 1, 4), 16, 10).cast("long") % 2
         == 0
@@ -2567,16 +2569,24 @@ def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = routed.select(
         TX.fingerprint("text").alias("fp"), "split"
     )
+    # ONE shuffle over the routed corpus: aggregate to (fp, split, cnt)
+    # first (persisted — both outputs derive from it), then the leak
+    # audit and the per-split matrix are tiny rollups of that summary.
+    # Previously each output re-evaluated the whole group_split_assign
+    # chain (fingerprint agg + exemplar join) from scratch.
+    g1 = tagged.groupBy("fp", "split").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).persist()
     leaks = (
-        tagged.where(F.col("fp").isNotNull())
+        g1.where(F.col("fp").isNotNull())
         .groupBy("fp")
-        .agg(F.count_distinct("split").alias("_ns"))
+        .agg(F.count(F.lit(1)).alias("_ns"))   # one g1 row per (fp, split)
         .where(F.col("_ns") > 1)
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_groups"))
     )
-    per_split = tagged.groupBy("split").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count_distinct("fp").cast("long").alias("n_groups"),
+    per_split = g1.groupBy("split").agg(
+        F.sum("_cnt").cast("long").alias("n_docs"),
+        F.count("fp").cast("long").alias("n_groups"),  # count skips NULL fp
     )
     return per_split.crossJoin(leaks)
 

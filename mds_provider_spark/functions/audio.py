@@ -1505,21 +1505,39 @@ def label_noise_pairs(
     set it joins against is LSH-bounded (corpus x bands / cap at worst),
     so AQE broadcasts it when small and shuffle-joins on id otherwise.
     No token array ever crosses a shuffle attached to audio bytes."""
+    from pyspark import StorageLevel as _SL
+
     pairs = fingerprint_near_dup(
         fingerprint_clips(clips, key_col=id_col),
         band_frames=band_frames,
         max_ber_bp=max_ber_bp,
         max_bucket_size=max_bucket_size,
         id_col=id_col,
-    )
+    ).persist(_SL.MEMORY_AND_DISK)
+    # ^ referenced three times below (both pair-id arms + the verify
+    # chain); unpersisted, each reference re-ran the banded self-join.
     toks = F.array_distinct(
         F.split(
             F.lower(F.trim(F.regexp_replace(F.col(transcript_col), r"\s+", " "))),
             " ",
         )
     )
-    t = clips.where(F.col(transcript_col).isNotNull()).select(
-        F.col(id_col), toks.alias("_toks")
+    # token sets only for ids that appear in a pair (the minhash-verify
+    # semi-join discipline): tokenization cost is pair-proportional, not
+    # corpus-proportional, and the persisted table serves both join
+    # sides instead of re-deriving the corpus scan twice.
+    from pyspark import StorageLevel
+
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    t = (
+        clips.where(F.col(transcript_col).isNotNull())
+        .join(pair_ids, id_col, "left_semi")
+        .select(F.col(id_col), toks.alias("_toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ta = t.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
     tb = t.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
