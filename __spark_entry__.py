@@ -58,9 +58,29 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table read for compute-heavy operators: the test parquet is a
     SINGLE file, so without a repartition every downstream expression
     runs in one task. Production tables are bucketed/multi-file and
-    skip this (spark.sql.files.maxPartitionBytes splits the scan)."""
-    return _t(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism)
+    skip this (spark.sql.files.maxPartitionBytes splits the scan).
+
+    The partition count is SIZE-DERIVED (~1 MiB of parquet per
+    partition, clamped to [8, defaultParallelism]) rather than a flat
+    core count: every task of a Python-evaluating stage pays a
+    measurable dispatch cost (~10 ms serialized through the worker
+    daemon — measured: an identity pandas UDF over 4k rows took 1.58 s
+    at 128 tasks vs 0.44 s at 16), so spreading a sub-MB table over
+    32+ tasks is pure overhead, while at sf1-and-up sizes the clamp
+    restores full-width parallelism."""
+    import os
+
+    df = _t(spark, sf_dir, name)
+    try:
+        nbytes = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except OSError:
+        nbytes = 0
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(8, min(par, nbytes // (1 << 20) or 1))
+    return df.repartition(int(n_parts))
 
 
 # --------------------------------------------------------------- rulesets

@@ -219,7 +219,16 @@ def generate_clips(
                 columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "part_id"],
             )
 
-    return spark.range(n_rows).mapInPandas(gen, S.CLIPS_SCHEMA)
+    # size-derived range partitioning: each mapInPandas task pays a
+    # fixed Python-dispatch cost (~10 ms serialized), so a 2k-row table
+    # over 32 tasks is mostly overhead; ~256 rows/task floor, clamped
+    # to the session's parallelism so big tables keep full width.
+    # (range_parts, NOT n_parts — n_parts is the PART_ID routing arity
+    # the generator closure captures; shadowing it mis-routed part_id.)
+    par = spark.sparkContext.defaultParallelism
+    range_parts = max(1, min(par, n_rows // 256 or 1))
+    return spark.range(n_rows, numPartitions=range_parts).mapInPandas(
+        gen, S.CLIPS_SCHEMA)
 
 
 def generate_transcripts(
@@ -253,4 +262,8 @@ def generate_transcripts(
                 {"clip_id": ids, "transcript_ref": refs, "part_id": pd.array(parts, dtype="int32")}
             )
 
-    return spark.range(n_rows + orphan_count).mapInPandas(gen, S.TRANSCRIPTS_SCHEMA)
+    par = spark.sparkContext.defaultParallelism
+    total = n_rows + orphan_count
+    range_parts = max(1, min(par, total // 256 or 1))
+    return spark.range(total, numPartitions=range_parts).mapInPandas(
+        gen, S.TRANSCRIPTS_SCHEMA)
