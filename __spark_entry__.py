@@ -60,14 +60,17 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     runs in one task. Production tables are bucketed/multi-file and
     skip this (spark.sql.files.maxPartitionBytes splits the scan).
 
-    The partition count is SIZE-DERIVED (~1 MiB of parquet per
+    The partition count is SIZE-DERIVED (~256 KiB of parquet per
     partition, clamped to [8, defaultParallelism]) rather than a flat
     core count: every task of a Python-evaluating stage pays a
     measurable dispatch cost (~10 ms serialized through the worker
     daemon — measured: an identity pandas UDF over 4k rows took 1.58 s
     at 128 tasks vs 0.44 s at 16), so spreading a sub-MB table over
-    32+ tasks is pure overhead, while at sf1-and-up sizes the clamp
-    restores full-width parallelism."""
+    32+ tasks is pure overhead. The target is deliberately SMALL
+    (CPU per input byte is high for the shingle/permutation text ops —
+    measured at the 10x documents table: 8 partitions serialized the
+    64-permutation signature pass to 9.5 s where 32 ran it in 3.2 s),
+    so anything past a few MB restores full width."""
     import os
 
     df = _t(spark, sf_dir, name)
@@ -79,7 +82,7 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         nbytes = 0
     par = spark.sparkContext.defaultParallelism
-    n_parts = max(8, min(par, nbytes // (1 << 20) or 1))
+    n_parts = max(8, min(par, nbytes // (256 << 10) or 1))
     return df.repartition(int(n_parts))
 
 
