@@ -259,32 +259,40 @@ def frequent_items(
     merged = summaries.groupBy("value").agg(F.sum("weight").alias("est"))
     merged.persist()
     try:
-        row = merged.where(F.col("value").isNull()).agg(
-            F.coalesce(F.sum("est"), F.lit(0)).alias("n")
-        ).first()
-        n_total = int(row["n"])
+        # ONE bounded collect for BOTH the total and the candidates
+        # (round 7; previously two driver jobs): the NULL row (summed
+        # per-partition non-null counts) sorts first, then the top
+        # max_candidates+1 summary rows by estimate. Sorting by est is
+        # sound because the candidate set is {v: est >= cutoff} — if
+        # the LAST collected row still clears the cutoff the set may be
+        # truncated and the loud cap check fires; otherwise every
+        # candidate is inside the collected prefix. Still candidate-
+        # scale: max_candidates + 2 rows, never summary-scale.
+        head = (
+            merged.orderBy(
+                F.col("value").isNotNull().cast("int").asc(), F.desc("est")
+            )
+            .limit(max_candidates + 2)
+            .collect()
+        )
+        n_total = (
+            int(head[0]["est"]) if head and head[0]["value"] is None else 0
+        )
         if n_total == 0:
             return df.select(F.col(col).alias("value")).limit(0).withColumn(
                 "cnt", F.lit(0).cast("long")
             )
         threshold = int(math.ceil(threshold_frac * n_total))
         cutoff = threshold - n_total // (cap + 1)
-        cands = [
-            r["value"]
-            for r in merged.where(
-                F.col("value").isNotNull() & (F.col("est") >= F.lit(cutoff))
-            )
-            .select("value")
-            .limit(max_candidates + 1)
-            .collect()
-        ]
-        if len(cands) > max_candidates:
+        rest = head[1:]
+        if len(rest) > max_candidates and int(rest[-1]["est"]) >= cutoff:
             raise RuntimeError(
                 f"frequent_items: more than max_candidates="
                 f"{max_candidates} candidates survive the cutoff — the "
                 "column is too high-entropy for this threshold; raise "
                 "the threshold or the cap"
             )
+        cands = [r["value"] for r in rest if int(r["est"]) >= cutoff]
     finally:
         merged.unpersist()
     spark = df.sparkSession
