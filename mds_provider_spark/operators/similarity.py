@@ -354,6 +354,58 @@ def _nearest_centroids(
     return fn(vec, cents, nprobe)
 
 
+_TRAIN_SAMPLE_MOD = 64
+
+
+def _train_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_sample: int,
+    store: dict | None = None,
+):
+    """(filtered_rows, fallback_fn) for the deterministic training
+    sample both the coarse quantizer and the PQ codebooks draw: a
+    hash-membership prefilter (pushable, scan-proportional, partition-
+    independent), the tiny survivor set ordered for exact
+    reproducibility; ``fallback_fn`` lazily collects the direct ordered
+    take small corpora need. Both collects are DETERMINISTIC queries,
+    so callers that train quantizer + codebooks on the same corpus can
+    pass one shared ``store`` dict and pay each driver job once instead
+    of per-training (ivfpq_topk/build_pq_index ran four sample collects
+    where two suffice) — the rows each trainer sees are bit-identical
+    to independent collection."""
+    store = store if store is not None else {}
+    if "filtered" not in store:
+        store["filtered"] = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .where(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(_TRAIN_SAMPLE_MOD),
+                )
+                == 0
+            )
+            .orderBy(id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        )
+
+    def fallback():
+        if "fallback" not in store:
+            store["fallback"] = (
+                corpus.select(F.col(id_col), F.col(vec_col))
+                .orderBy(id_col)
+                .limit(train_sample)
+                .select(vec_col)
+                .collect()
+            )
+        return store["fallback"]
+
+    return store["filtered"], fallback
+
+
 def train_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -362,34 +414,21 @@ def train_ivf_index(
     train_sample: int = 2048,
     kmeans_iters: int = 8,
     seed: int = 7,
+    sample_store: dict | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer once; reuse via ``ivf_topk(...,
     centroids=...)`` or persist with ``save_ivf_index``.
 
-    Deterministic training sample WITHOUT a full-corpus TakeOrdered: a
-    hash-membership prefilter (pushable, scan-proportional, partition-
-    independent) shrinks the corpus ~sample_mod x, then the tiny
-    survivor set is ordered for exact reproducibility. Small corpora
-    that can't fill the sample fall back to the direct ordered take —
-    same centroids either way at test scale, cheap path at 10^12 rows.
+    Deterministic training sample WITHOUT a full-corpus TakeOrdered
+    (see ``_train_sample``); small corpora that can't fill the sample
+    fall back to the direct ordered take — same centroids either way at
+    test scale, cheap path at 10^12 rows.
     """
-    sample_mod = 64
-    filtered = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0)
-        .orderBy(id_col)
-        .limit(train_sample)
-        .select(vec_col)
-        .collect()
+    filtered, fallback = _train_sample(
+        corpus, id_col, vec_col, train_sample, sample_store
     )
     if len(filtered) < min(train_sample, n_lists * 4):
-        filtered = (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(id_col)
-            .limit(train_sample)
-            .select(vec_col)
-            .collect()
-        )
+        filtered = fallback()
     sample = np.asarray([list(r[0]) for r in filtered], dtype=np.float64)
     return _kmeans_centroids(sample, n_lists, kmeans_iters, seed)
 
@@ -495,6 +534,7 @@ def train_pq_codebooks(
     train_sample: int = 2048,
     kmeans_iters: int = 8,
     seed: int = 11,
+    sample_store: dict | None = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks (Jégou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
@@ -512,26 +552,11 @@ def train_pq_codebooks(
     dim = C.shape[1]
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
-    sample_mod = 64
-    rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .where(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod))
-            == 0
-        )
-        .orderBy(id_col)
-        .limit(train_sample)
-        .select(vec_col)
-        .collect()
+    rows, fallback = _train_sample(
+        corpus, id_col, vec_col, train_sample, sample_store
     )
     if len(rows) < min(train_sample, ksub):
-        rows = (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(id_col)
-            .limit(train_sample)
-            .select(vec_col)
-            .collect()
-        )
+        rows = fallback()
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     # residuals against each sample's nearest coarse centroid
     d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
@@ -716,18 +741,20 @@ def ivfpq_topk(
     that then contains everything); the scale configuration's recall is
     pinned by pytest. Skewed list sizes ride AQE skew-join on ``list``.
     """
+    sample_store: dict = {}  # one sample collect serves both trainings
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
     else:
         cents = train_ivf_index(
-            corpus, id_col, vec_col, n_lists, train_sample, kmeans_iters, seed
+            corpus, id_col, vec_col, n_lists, train_sample, kmeans_iters, seed,
+            sample_store=sample_store,
         )
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=np.float64)
     else:
         books = train_pq_codebooks(
             corpus, cents, id_col, vec_col, m, ksub, train_sample,
-            kmeans_iters, seed + 1000,
+            kmeans_iters, seed + 1000, sample_store=sample_store,
         )
     codes = pq_encode(corpus, cents, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "list", "codes"
@@ -876,12 +903,14 @@ def build_pq_index(
     Returns ``{"n_vectors": n, "n_lists": ..., "m": ..., "ksub": ...}``.
     """
     spark = corpus.sparkSession
+    sample_store: dict = {}  # one sample collect serves both trainings
     cents = train_ivf_index(
-        corpus, id_col, vec_col, n_lists, train_sample, kmeans_iters, seed
+        corpus, id_col, vec_col, n_lists, train_sample, kmeans_iters, seed,
+        sample_store=sample_store,
     )
     books = train_pq_codebooks(
         corpus, cents, id_col, vec_col, m, ksub, train_sample,
-        kmeans_iters, seed + 1000,
+        kmeans_iters, seed + 1000, sample_store=sample_store,
     )
     save_ivf_index(spark, cents, f"{path}/centroids")
     save_pq_index(spark, books, f"{path}/codebooks")
