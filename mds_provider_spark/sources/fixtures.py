@@ -15,6 +15,7 @@ scale each executor synthesizes only its own id range.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Iterator
 
 import numpy as np
@@ -70,18 +71,63 @@ def transcript_at(seed: int, i: int) -> str:
     return " ".join(WORDS[(h >> (4 * k)) % len(WORDS)] for k in range(n))
 
 
+# Memoized pure sub-expressions of the reference waveform (guide §4.5:
+# per-process state in an importable module, reused across tasks).
+# The SECOND harmonic 0.11*sin(2*pi*2.17*f*t) depends only on
+# (freq, sr_hz, n) — and ``_wave_params`` quantizes freq to exactly 1000
+# distinct values while (sr, dur) come from small enums, so over a large
+# table each distinct array recurs thousands of times. Entries hold the
+# byte-for-byte result of the original expression (same dtype, same
+# operation order), so memoized and direct synthesis are bit-identical
+# (pinned by test_ref_waveform_memo_bit_identical); the caches are
+# bounded so adversarial (sr, dur) inputs cannot grow them unbounded.
+_T_MEMO: dict[tuple[int, int], np.ndarray] = {}
+_H2_MEMO: dict[tuple[float, int, int], np.ndarray] = {}
+# A/B measurement toggle (tools/bench_extra_pcmleg.py): results are
+# bit-identical either way, so this only exists to time the memo.
+_H2_MEMO_MAX_BYTES = (
+    0 if os.environ.get("SPARK_GRAFT_NO_WAVE_MEMO") else 256 * 1024 * 1024
+)
+_h2_memo_bytes = 0
+
+
+def _time_base(sr_hz: int, n: int) -> np.ndarray:
+    """Memoized ``arange(n)/sr`` (read-only by convention)."""
+    t = _T_MEMO.get((sr_hz, n))
+    if t is None:
+        t = np.arange(n, dtype=np.float64) / float(sr_hz)
+        if _H2_MEMO_MAX_BYTES and len(_T_MEMO) < 4096:
+            _T_MEMO[(sr_hz, n)] = t
+    return t
+
+
+def _second_harmonic(freq: float, sr_hz: int, n: int) -> np.ndarray:
+    """Memoized ``0.11*sin(2*pi*2.17*freq*t)`` (read-only by convention)."""
+    global _h2_memo_bytes
+    key = (freq, sr_hz, n)
+    w2 = _H2_MEMO.get(key)
+    if w2 is None:
+        w2 = 0.11 * np.sin(2 * np.pi * 2.17 * freq * _time_base(sr_hz, n))
+        if _h2_memo_bytes < _H2_MEMO_MAX_BYTES:
+            _H2_MEMO[key] = w2
+            _h2_memo_bytes += w2.nbytes
+    return w2
+
+
 def ref_waveform(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Reference PCM, a pure function of (clip_id, sr_hz, dur_ms).
 
     A two-harmonic sine whose frequency/phase derive from the clip_id
     hash. This is the waveform the PCM invariant compares against
     (BASELINE.json: decoded-PCM allclose at SNR>=30dB vs the reference).
+    The second harmonic comes from the per-process memo above — the
+    result is bit-identical to synthesizing both harmonics inline.
     """
     freq, phase = _wave_params(clip_id)
     n = max(1, int(sr_hz) * int(dur_ms) // 1000)
-    t = np.arange(n, dtype=np.float64) / float(sr_hz)
+    t = _time_base(int(sr_hz), n)
     w = 0.42 * np.sin(2 * np.pi * freq * t + phase)
-    w += 0.11 * np.sin(2 * np.pi * 2.17 * freq * t)
+    w += _second_harmonic(freq, int(sr_hz), n)
     return w.astype(np.float32)
 
 
@@ -96,12 +142,17 @@ def ref_waveform_batch(clip_ids: list, sr_hz: int, dur_ms: int) -> np.ndarray:
     Identical operation order per element, so every row is bit-identical
     to the scalar function (the SNR checker may use either)."""
     n = max(1, int(sr_hz) * int(dur_ms) // 1000)
-    t = np.arange(n, dtype=np.float64) / float(sr_hz)
+    sr = int(sr_hz)
+    t = _time_base(sr, n)
     params = np.asarray([_wave_params(c) for c in clip_ids], dtype=np.float64)
     freqs = params[:, 0:1]   # (k, 1)
     phases = params[:, 1:2]
     w = 0.42 * np.sin(2 * np.pi * freqs * t + phases)
-    w += 0.11 * np.sin(2 * np.pi * 2.17 * freqs * t)
+    # Per-row memoized second harmonic: elementwise ops on identical
+    # float64 inputs, so each row matches the (k, n)-matrix form bit for
+    # bit while unique-(freq, sr, n) sines are synthesized only once.
+    for i in range(w.shape[0]):
+        w[i] += _second_harmonic(float(params[i, 0]), sr, n)
     return w.astype(np.float32)
 
 

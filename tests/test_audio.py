@@ -96,6 +96,33 @@ def test_ref_waveform_batch_bit_identical(spark):
         assert np.array_equal(batch[i], FX.ref_waveform(cid, 8000, 120))
 
 
+def test_ref_waveform_memo_bit_identical():
+    """The per-process second-harmonic memo must not change a single bit
+    vs synthesizing both harmonics inline (the generator/checker/oracle
+    share this waveform byte-for-byte)."""
+    from mds_provider_spark.sources import fixtures as FX
+
+    def ref_inline(clip_id, sr_hz, dur_ms):
+        freq, phase = FX._wave_params(clip_id)
+        n = max(1, int(sr_hz) * int(dur_ms) // 1000)
+        t = np.arange(n, dtype=np.float64) / float(sr_hz)
+        w = 0.42 * np.sin(2 * np.pi * freq * t + phase)
+        w += 0.11 * np.sin(2 * np.pi * 2.17 * freq * t)
+        return w.astype(np.float32)
+
+    ids = [FX.clip_id_at(11, i) for i in range(64)]
+    for sr, dur in [(8000, 80), (16000, 200), (44100, 25), (16000, 1)]:
+        for cid in ids:
+            got = FX.ref_waveform(cid, sr, dur)       # memoized path
+            again = FX.ref_waveform(cid, sr, dur)     # warm-memo path
+            want = ref_inline(cid, sr, dur)
+            assert np.array_equal(got, want)
+            assert np.array_equal(again, want)
+        batch = FX.ref_waveform_batch(ids, sr, dur)
+        for i, cid in enumerate(ids):
+            assert np.array_equal(batch[i], ref_inline(cid, sr, dur))
+
+
 def test_quality_features_kernel_properties():
     import numpy as np
 
